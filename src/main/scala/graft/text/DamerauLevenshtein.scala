@@ -1,0 +1,157 @@
+package graft.text
+
+/**
+ * Damerau-Levenshtein edit distance (restricted / optimal-string-alignment
+ * variant with adjacent transpositions), full-matrix and banded forms.
+ *
+ * Semantics match the reference implementation
+ * (`/root/reference/src/util/edit_distance.py:9-123`): unit costs for
+ * insert/delete/substitute/swap, transposition checked against the two
+ * previous positions, banded form uses band half-width
+ * `d = min(abs(m-n) + 10, m)` with the shorter string vertical and is exact
+ * whenever the true distance fits inside the band.
+ *
+ * Operates on Unicode code points (not UTF-16 chars) so astral-plane input
+ * behaves like the reference's Python code-point semantics
+ * (SURVEY.md §7 hard-part 7).
+ */
+object DamerauLevenshtein {
+
+  val CostIndel = 1
+  val CostSub   = 1
+  val CostSwap  = 1
+
+  @inline private def codePoints(s: String): Array[Int] = {
+    // Fast path: no surrogate pairs (the overwhelmingly common case).
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) {
+      if (Character.isHighSurrogate(s.charAt(i))) ascii = false
+      i += 1
+    }
+    if (ascii) {
+      val out = new Array[Int](s.length)
+      var j = 0
+      while (j < s.length) { out(j) = s.charAt(j).toInt; j += 1 }
+      out
+    } else s.codePoints().toArray
+  }
+
+  /** Full O(m*n) DP. Reference: edit_distance.py:9-58. */
+  def distance(s1: String, s2: String): Int =
+    distanceCp(codePoints(s1), codePoints(s2))
+
+  private[text] def distanceCp(a: Array[Int], b: Array[Int]): Int = {
+    val m = a.length
+    val n = b.length
+    if (m == 0) return n * CostIndel
+    if (n == 0) return m * CostIndel
+    // Three rolling rows (transposition needs row i-2).
+    var row2 = new Array[Int](n + 1) // i-2
+    var row1 = new Array[Int](n + 1) // i-1
+    var row0 = new Array[Int](n + 1) // i
+    var j = 0
+    while (j <= n) { row1(j) = j * CostIndel; j += 1 }
+    var i = 1
+    while (i <= m) {
+      row0(0) = i * CostIndel
+      var jj = 1
+      while (jj <= n) {
+        val left = row0(jj - 1) + CostIndel
+        val up   = row1(jj) + CostIndel
+        var diag = row1(jj - 1)
+        if (a(i - 1) != b(jj - 1)) diag += CostSub
+        var best = math.min(math.min(left, up), diag)
+        if (i >= 2 && jj >= 2 && a(i - 1) == b(jj - 2) && a(i - 2) == b(jj - 1)) {
+          val swap = row2(jj - 2) + CostSwap
+          if (swap < best) best = swap
+        }
+        row0(jj) = best
+        jj += 1
+      }
+      val t = row2; row2 = row1; row1 = row0; row0 = t
+      i += 1
+    }
+    row1(n)
+  }
+
+  /**
+   * Banded O(n*d) DP, exact for distances that fit in the band.
+   * Reference: edit_distance.py:61-123 — band half-width
+   * `d = min(abs(m - n) + 10, m)` where m = longer length; since
+   * `dist >= abs(m-n)`, the band is exact whenever `dist <= abs(m-n) + 10`,
+   * i.e. for any realistic OCR noise level.
+   */
+  def distanceBanded(s1: String, s2: String): Int =
+    distanceBandedCp(codePoints(s1), codePoints(s2))
+
+  private[text] def distanceBandedCp(a0: Array[Int], b0: Array[Int]): Int = {
+    // Longer string horizontal (a, length m); shorter vertical (b, length n).
+    var a = a0; var b = b0
+    if (a.length < b.length) { val t = a; a = b; b = t }
+    val m = a.length
+    val n = b.length
+    val bottomShift = m - n
+    val d = math.min(bottomShift + 10, m)
+    if (d >= m) return distanceCp(a, b) // band covers everything; full DP is simpler
+    val width = 2 * d + 1
+    val Inf = Int.MaxValue / 4
+
+    // rows indexed by shifted column: col = d + (colTheoretical - row)
+    var row2 = Array.fill(width)(Inf)
+    var row1 = Array.fill(width)(Inf)
+    var row0 = Array.fill(width)(Inf)
+    // first row: colTheoretical = shift for row 0; only shifts >= 0 valid
+    row1(d) = 0
+    var s = 1
+    while (s <= d) {
+      val colT = s
+      if (colT <= m) row1(d + s) = row1(d + s - 1) + CostIndel
+      s += 1
+    }
+    var row = 1
+    while (row <= n) {
+      java.util.Arrays.fill(row0, Inf)
+      var shift = -d
+      while (shift <= d) {
+        val colT = row + shift
+        if (colT >= 0 && colT <= m) {
+          val col = d + shift
+          if (colT == 0) {
+            row0(col) = row1(col + 1) + CostIndel // copy from above
+          } else {
+            val fromLeft  = if (col == 0) Inf else row0(col - 1) + CostIndel
+            val fromAbove = if (col == width - 1) Inf else row1(col + 1) + CostIndel
+            var fromDiag  = row1(col)
+            if (a(colT - 1) != b(row - 1)) fromDiag += CostSub
+            var best = math.min(math.min(fromLeft, fromAbove), fromDiag)
+            if (row >= 2 && colT >= 2 && a(colT - 1) == b(row - 2) && a(colT - 2) == b(row - 1)) {
+              val swap = row2(col) + CostSwap
+              if (swap < best) best = swap
+            }
+            row0(col) = best
+          }
+        }
+        shift += 1
+      }
+      val t = row2; row2 = row1; row1 = row0; row0 = t
+      row += 1
+    }
+    row1(d + bottomShift)
+  }
+
+  /**
+   * Normalized distance `dist / len(correct)` (code points).
+   * Reference: edit_distance.py:126-131. Guards the `len(correct)==0`
+   * division (the reference crashes without its eval-side filter,
+   * SURVEY.md §7 hard-part 5): returns 0.0 if both empty else 1.0.
+   */
+  def normalized(incorrect: String, correct: String, banded: Boolean = true): Double = {
+    val len = correct.codePointCount(0, correct.length)
+    if (len == 0) { if (incorrect.isEmpty) 0.0 else 1.0 }
+    else {
+      val dist = if (banded) distanceBanded(incorrect, correct) else distance(incorrect, correct)
+      dist.toDouble / len
+    }
+  }
+}

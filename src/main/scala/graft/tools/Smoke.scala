@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev smoke entry: generate a small interleaved-docs table, corrupt it
+  * through the noise channel, score noisy-vs-clean with the DL kernel in a
+  * distributed job, print the null-corrector CER floor. Usage:
+  * `sbt "runMain graft.tools.Smoke [nDocs]"`. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(500L)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-smoke")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val pairs = graft.gen.DocGen.pairs(spark, n)
+    val scored = pairs.map { p =>
+      (p.split, graft.text.DamerauLevenshtein.normalized(p.text_noisy, p.text_clean),
+        if (p.text_noisy == p.text_clean) 1L else 0L)
+    }.toDF("split", "dist", "perfect")
+    scored.groupBy($"split")
+      .agg(org.apache.spark.sql.functions.count("*").as("n_spans"),
+        org.apache.spark.sql.functions.avg($"dist").as("null_cer"),
+        org.apache.spark.sql.functions.avg($"perfect").as("pct_perfect"))
+      .orderBy($"split")
+      .show(truncate = false)
+
+    val docs = graft.gen.DocGen.docs(spark, n)
+    println(s"docs=${docs.count()} text_spans=${pairs.count()}")
+    docs.show(2, truncate = 60)
+    spark.stop()
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.DamerauLevenshtein._
+
+class EditDistanceSpec extends AnyFunSuite {
+
+  // The reference's one hard-coded smoke case (edit_distance.py:134-136):
+  // 2 leading inserts + 1 transposition ("nm" for "mn") = 3.
+  test("reference smoke case: banded(xxabcdefghijklnmop, abcdefghijklmnop) == 3") {
+    assert(distanceBanded("xxabcdefghijklnmop", "abcdefghijklmnop") == 3)
+    assert(distance("xxabcdefghijklnmop", "abcdefghijklmnop") == 3)
+  }
+
+  test("hand cases") {
+    assert(distance("", "") == 0)
+    assert(distance("abc", "") == 3)
+    assert(distance("", "abc") == 3)
+    assert(distance("ab", "ba") == 1)           // pure transposition
+    assert(distance("abc", "abc") == 0)
+    assert(distance("kitten", "sitting") == 3)
+    assert(distance("ca", "abc") == 3)          // OSA (no substring re-edit)
+    assert(distance("a cat", "an act") == 2)    // insert + transpose
+    assert(distanceBanded("ab", "ba") == 1)
+    assert(distanceBanded("", "") == 0)
+    assert(distanceBanded("abc", "") == 3)
+  }
+
+  test("code points: astral-plane chars count as one symbol") {
+    assert(distance("a😀b", "ab") == 1) // a😀b vs ab
+    assert(distanceBanded("a😀b", "ab") == 1)
+    assert(distance("дом", "том") == 1) // Cyrillic substitution
+  }
+
+  test("normalized: empty-target guard (reference crashes here)") {
+    assert(normalized("", "") == 0.0)
+    assert(normalized("x", "") == 1.0)
+    assert(normalized("ab", "ba") == 0.5)
+  }
+
+  private val alphabet: IndexedSeq[Char] = ('a' to 'f') ++ Seq(' ', 'д', 'ж')
+  private def randStr(r: scala.util.Random, maxLen: Int = 24): String =
+    new String(Array.fill(r.nextInt(maxLen + 1))(alphabet(r.nextInt(alphabet.size))))
+
+  test("property: metric axioms + bounds (500 random pairs)") {
+    val r = new scala.util.Random(42)
+    (0 until 500).foreach { _ =>
+      val a = randStr(r); val b = randStr(r)
+      val d = distance(a, b)
+      assert(d >= math.abs(a.length - b.length))  // length lower bound (justifies P5 prune)
+      assert(d <= math.max(a.length, b.length))   // upper bound
+      assert(distance(b, a) == d)                 // symmetry
+      assert(distance(a, a) == 0)                 // identity
+    }
+  }
+
+  test("property: triangle inequality (300 random triples)") {
+    val r = new scala.util.Random(43)
+    (0 until 300).foreach { _ =>
+      val a = randStr(r, 14); val b = randStr(r, 14); val c = randStr(r, 14)
+      assert(distance(a, c) <= distance(a, b) + distance(b, c), s"($a,$b,$c)")
+    }
+  }
+
+  test("property: banded == full whenever distance fits the band") {
+    val r = new scala.util.Random(44)
+    var checked = 0
+    (0 until 1000).foreach { _ =>
+      val a = randStr(r); val b = randStr(r)
+      val full = distance(a, b)
+      val band = math.min(math.abs(a.length - b.length) + 10, math.max(a.length, b.length))
+      if (full <= band) { assert(distanceBanded(a, b) == full, s"($a,$b)"); checked += 1 }
+    }
+    assert(checked > 100) // the property actually got exercised
+  }
+
+  test("property: banded == full on noised strings (the real workload shape)") {
+    val r = new scala.util.Random(45)
+    val rng = new graft.gen.DetRng(9L)
+    (0 until 300).foreach { i =>
+      val t = graft.gen.DocGen.sentence(rng, 3 + r.nextInt(8))
+      val noisy = graft.gen.NoiseChannel.mutilateSpan("p", i, t, graft.gen.DocGen.goodChars)
+      assert(distanceBanded(noisy, t) == distance(noisy, t))
+    }
+  }
+
+  test("property: DL <= plain Levenshtein (transpositions only help)") {
+    def lev(a: String, b: String): Int = {
+      val x = a.toCharArray; val y = b.toCharArray
+      val dp = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      dp(x.length)(y.length)
+    }
+    val r = new scala.util.Random(46)
+    (0 until 300).foreach { _ =>
+      val a = randStr(r, 16); val b = randStr(r, 16)
+      assert(distance(a, b) <= lev(a, b))
+    }
+  }
+}

@@ -34,7 +34,19 @@ object Smoke {
 
     val docs = graft.gen.DocGen.docs(spark, n)
     println(s"docs=${docs.count()} text_spans=${pairs.count()}")
-    docs.show(2, truncate = 60)
+
+    // Full flagship pipeline: explode → (null-)correct → salted reassemble,
+    // check the span-sequence invariant and CER against clean.
+    import graft.pipeline.{CorrectionPipeline => CP}
+    val docsDf = docs.toDF()
+    val out = CP.run(docsDf.select($"doc_id", $"noisy_spans"), graft.correct.NullCorrector,
+      spansCol = "noisy_spans", salted = true)
+    val violations = CP.spanSequenceViolations(out,
+      docsDf.select($"doc_id", $"noisy_spans".as("spans"))).count()
+    val corrected = CP.correct(CP.explodeSpans(docsDf, "noisy_spans"), graft.correct.NullCorrector)
+    val m = CP.cer(corrected, docsDf)
+    println(s"pipeline: docs_out=${out.count()} span_seq_violations=$violations " +
+      f"null_cer=${m.avgDistance}%.4f pct_perfect=${m.percentPerfect}%.4f n=${m.n}")
     spark.stop()
   }
 }

@@ -47,6 +47,18 @@ object Smoke {
     val m = CP.cer(corrected, docsDf)
     println(s"pipeline: docs_out=${out.count()} span_seq_violations=$violations " +
       f"null_cer=${m.avgDistance}%.4f pct_perfect=${m.percentPerfect}%.4f n=${m.n}")
+
+    // Dictionary correction: train vocab on the train split, correct the
+    // noisy spans, report CER improvement over the null floor.
+    import graft.correct.{DictionaryCorrector => DC}
+    val vocabDf = DC.trainVocab(docsDf).cache()
+    val bc = DC.buildModel(spark, vocabDf, 2L)
+    val t0 = System.nanoTime()
+    val dictCorrected = CP.correct(CP.explodeSpans(docsDf, "noisy_spans"), DC.corrector(bc))
+    val dm = CP.cer(dictCorrected, docsDf)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"dictionary: cer=${dm.avgDistance}%.4f pct_perfect=${dm.percentPerfect}%.4f " +
+      f"n=${dm.n} spans_per_sec=${dm.n / secs}%.0f (null floor ${m.avgDistance}%.4f)")
     spark.stop()
   }
 }

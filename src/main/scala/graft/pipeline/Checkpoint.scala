@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.correct.Corrector
+import graft.model.CerMetrics
+
+/**
+ * Checkpointed, resumable correction run (SURVEY.md §7 step 6; reference
+ * analogs: Lightning checkpoint/resume `train.py:75-82,99` and the
+ * interrupt-safe partial eval loops `dictionary_corrector.py:218-237`).
+ *
+ * Work is keyed by a stable hash bucket of `doc_id` (`pmod(xxhash64(doc_id))`
+ * — the same partitioning an Iceberg table would be bucket-partitioned by at
+ * production scale). Buckets are processed in groups; each group is one Spark
+ * job whose parquet commit is atomic (job-level output committer), and a
+ * state row `(run_id, bucket, status, rows, cer_sum, perfect, lineage)` is
+ * appended only AFTER the group's data commit. Resume therefore re-derives
+ * remaining work as an anti-join of buckets against the state table: a killed
+ * run reprocesses at most the one uncommitted group, and because every
+ * upstream stage is deterministic (hash-seeded generator/channel), the
+ * resumed output is byte-identical to an unkilled run (tested).
+ */
+object CheckpointedRun {
+
+  final case class StateRow(run_id: String, bucket: Int, status: String,
+                            rows: Long, cer_sum: Double, perfect: Long, lineage: String)
+
+  /** Injected-failure hook for kill-and-resume tests. */
+  final class KilledException(msg: String) extends RuntimeException(msg)
+
+  def bucketOf(nBuckets: Int) = pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int")
+
+  /** Buckets already committed for this run. */
+  def doneBuckets(spark: SparkSession, stateDir: String, runId: String): Set[Int] = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Set.empty
+    else {
+      import spark.implicits._
+      spark.read.parquet(stateDir).as[StateRow]
+        .filter(s => s.run_id == runId && s.status == "done")
+        .map(_.bucket).collect().toSet
+    }
+  }
+
+  /**
+   * Run (or resume) the correction pipeline over `docs`.
+   *
+   * @param docs        input table `(doc_id, <spansCol>, ...)` — noisy spans in
+   * @param cleanDocs   clean table for CER metrics (may be the same table)
+   * @param failAfterGroups  test hook: throw KilledException after N groups commit
+   * @return per-run metrics summed over the buckets THIS invocation processed
+   */
+  def run(spark: SparkSession,
+          docs: DataFrame,
+          cleanDocs: DataFrame,
+          corrector: Corrector,
+          outDir: String,
+          stateDir: String,
+          runId: String,
+          spansCol: String = "noisy_spans",
+          nBuckets: Int = 16,
+          groupSize: Int = 4,
+          salted: Boolean = false,
+          lineage: String = "",
+          failAfterGroups: Option[Int] = None): CerMetrics = {
+    import spark.implicits._
+
+    val done = doneBuckets(spark, stateDir, runId)
+    val remaining = (0 until nBuckets).filterNot(done)
+    val groups = remaining.grouped(groupSize).toSeq
+    var totals = CerMetrics(0, 0, 0.0)
+
+    groups.zipWithIndex.foreach { case (group, gi) =>
+      failAfterGroups.foreach(k => if (gi >= k) throw new KilledException(s"injected kill before group $gi"))
+
+      val bucketed = docs.withColumn("bucket", bucketOf(nBuckets))
+        .filter(col("bucket").isin(group: _*))
+      val corrected = CorrectionPipeline
+        .correct(CorrectionPipeline.explodeSpans(bucketed.drop("bucket"), spansCol), corrector)
+        .cache()
+      try {
+        val assembled = (if (salted) CorrectionPipeline.reassembleSalted(corrected)
+                         else CorrectionPipeline.reassemble(corrected))
+          .withColumn("bucket", bucketOf(nBuckets))
+        // data commit (atomic at job level)
+        assembled.write.mode(SaveMode.Append).partitionBy("bucket").parquet(outDir)
+
+        // per-bucket metrics vs clean, then the state commit
+        val clean = CorrectionPipeline.explodeSpans(cleanDocs, "spans")
+          .filter(col("kind") === "text")
+          .select(col("doc_id"), col("offset"), col("text").as("text_clean"))
+        val perBucket = corrected.toDF()
+          .filter(col("kind") === "text")
+          .join(clean, Seq("doc_id", "offset"))
+          .withColumn("bucket", bucketOf(nBuckets))
+          .withColumn("dist", when(col("text") === col("text_clean"), 0.0)
+            .otherwise(udf((a: String, b: String) => graft.text.DamerauLevenshtein.normalized(a, b))
+              .apply(col("text"), col("text_clean"))))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("rows"),
+            sum(col("dist")).as("cer_sum"),
+            sum(when(col("dist") === 0.0, 1L).otherwise(0L)).as("perfect"))
+          .collect()
+          .map(r => StateRow(runId, r.getInt(0), "done", r.getLong(1), r.getDouble(2), r.getLong(3), lineage))
+        // buckets with zero text spans still need a done-marker
+        val covered = perBucket.map(_.bucket).toSet
+        val markers = group.filterNot(covered).map(b => StateRow(runId, b, "done", 0L, 0.0, 0L, lineage))
+        val stateRows = perBucket.toSeq ++ markers
+        spark.createDataset(stateRows).write.mode(SaveMode.Append).parquet(stateDir)
+        totals = CerMetrics(
+          totals.n + stateRows.map(_.rows).sum,
+          totals.nPerfect + stateRows.map(_.perfect).sum,
+          totals.sumNormDist + stateRows.map(_.cer_sum).sum)
+      } finally corrected.unpersist()
+    }
+    totals
+  }
+
+  /** Aggregate metrics for a completed run from its state table. */
+  def metrics(spark: SparkSession, stateDir: String, runId: String): CerMetrics = {
+    import spark.implicits._
+    val rows = spark.read.parquet(stateDir).as[StateRow]
+      .filter(s => s.run_id == runId && s.status == "done").collect()
+    CerMetrics(rows.map(_.rows).sum, rows.map(_.perfect).sum, rows.map(_.cer_sum).sum)
+  }
+}

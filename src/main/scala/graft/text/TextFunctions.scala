@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Column-level text operators (SURVEY.md §2.8) — all built on codegen'd
+ * `org.apache.spark.sql.functions`, no UDFs in the hot path.
+ */
+object TextFunctions {
+
+  /** F5 — whitespace collapse + trim, the normalization the reference embeds
+    * in its byte-seek line reader (`/root/reference/src/util/data_functions.py:21-27`):
+    * runs of any `\s` become one space, leading/trailing whitespace dropped.
+    * (Python strip() also removes trailing; the reference's get_line stops at
+    * `\n` so trailing spaces survive only from non-newline whitespace — we
+    * standardize on full trim, SURVEY.md S6 note.) */
+  def normalizeWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  /** F6 — whitespace tokenize (`strip().split()`): empty input → empty array,
+    * exactly like Python's `"".split()`. */
+  def tokenize(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  /** F7 — `" ".join(tokens)`. */
+  def joinTokens(c: Column): Column = array_join(c, " ")
+
+  /** A1/S4 — distinct characters of a text column, one row per char.
+    * `split(text, "")` yields per-code-point pieces in Spark 4. */
+  def distinctChars(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), "")).as("char"))
+      .filter(length(col("char")) > 0)
+      .distinct()
+
+  /** S7/O1 — the alphabet as a sorted string (all_chars.txt analog). */
+  def alphabetString(df: DataFrame, textCol: String): String =
+    distinctChars(df, textCol).orderBy(col("char"))
+      .collect().map(_.getString(0)).mkString
+
+  /** F8 — char → index encode against an alphabet; miss → unk = |alphabet|
+    * (`data_functions.py:31-39`). Pure column expression: the alphabet rides
+    * the plan as a literal array, `array_position` does the lookup. */
+  def encode(c: Column, alphabet: String): Column = {
+    val alpha = array(alphabet.codePoints().toArray.map(cp => lit(new String(Character.toChars(cp)))): _*)
+    val unk = alphabet.codePointCount(0, alphabet.length)
+    transform(filter(split(c, ""), ch => length(ch) > 0),
+      ch => coalesce(nullif(array_position(alpha, ch), lit(0L)) - 1L, lit(unk.toLong)))
+  }
+
+  /** F9 — index → char decode; unk/out-of-bounds → U+FFFD `�`
+    * (`neural_corrector.py:107-126`; UNK constant `util/__init__.py:3`). */
+  def decode(c: Column, alphabet: String): Column = {
+    val alpha = array(alphabet.codePoints().toArray.map(cp => lit(new String(Character.toChars(cp)))): _*)
+    array_join(transform(c, i => coalesce(try_element_at(alpha, (i + 1).cast("int")), lit("�"))), "")
+  }
+
+  /** F11/W4 — split text into fixed-size chunks (code-point windows) as an
+    * array column: `transform(sequence(...), k -> substring(...))`.
+    * NB `substring` counts chars; Spark strings are code-point addressed in
+    * SQL functions, matching the reference's Python slicing for BMP+ text. */
+  def chunks(c: Column, maxLen: Int): Column =
+    when(length(c) === 0, array(lit("")))
+      .otherwise(transform(
+        sequence(lit(0), ceil(length(c) / lit(maxLen.toDouble)).cast("int") - 1),
+        k => substring(c, (k * maxLen + 1).cast("int"), lit(maxLen))))
+
+  /**
+   * W4 — chunked map: apply a per-string kernel to bounded-size chunks and
+   * re-concatenate in chunk order (`neural_corrector.py:134-148`). The
+   * regroup mirrors W3: sort_array over (pos, out) then join — never bare
+   * collect_list order.
+   */
+  def mapChunked(df: DataFrame, keyCols: Seq[String], textCol: String, maxLen: Int,
+                 kernel: Column => Column): DataFrame = {
+    val keys = keyCols.map(col)
+    df.select(keys :+ posexplode(chunks(col(textCol), maxLen)).as(Seq("pos", "chunk")): _*)
+      .withColumn("out", kernel(col("chunk")))
+      .groupBy(keys: _*)
+      .agg(array_join(transform(sort_array(collect_list(struct(col("pos"), col("out")))),
+        s => s("out")), "").as(textCol))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.correct.{DictionaryCorrector, NullCorrector}
+import graft.gen.DocGen
+import graft.pipeline.{CheckpointedRun, CorrectionPipeline => CP}
+
+class CheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = DocGen.docs(spark, 250).toDF().cache()
+
+  private def freshDirs(): (String, String) = {
+    val base = Files.createTempDirectory("ckpt").toString
+    (s"$base/out", s"$base/state")
+  }
+
+  test("clean run: all buckets committed, output covers every doc, metrics match direct pipeline") {
+    val (out, state) = freshDirs()
+    val m = CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "run1",
+      nBuckets = 8, groupSize = 3, lineage = "test")
+    assert(CheckpointedRun.doneBuckets(spark, state, "run1") == (0 until 8).toSet)
+    val written = spark.read.parquet(out)
+    assert(written.select("doc_id").distinct().count() == 250)
+    val direct = CP.cer(CP.correct(CP.explodeSpans(docs, "noisy_spans"), NullCorrector), docs)
+    assert(m.n == direct.n && m.nPerfect == direct.nPerfect)
+    assert(math.abs(m.sumNormDist - direct.sumNormDist) < 1e-9)
+  }
+
+  test("kill-and-resume: resumed output identical to an unkilled run; no reprocessing of done buckets") {
+    val (outA, stateA) = freshDirs()
+    // killed after 1 group of 3 buckets
+    intercept[CheckpointedRun.KilledException] {
+      CheckpointedRun.run(spark, docs, docs, NullCorrector, outA, stateA, "r",
+        nBuckets = 8, groupSize = 3, failAfterGroups = Some(1))
+    }
+    val doneAfterKill = CheckpointedRun.doneBuckets(spark, stateA, "r")
+    assert(doneAfterKill.size == 3)
+    // resume
+    val m2 = CheckpointedRun.run(spark, docs, docs, NullCorrector, outA, stateA, "r",
+      nBuckets = 8, groupSize = 3)
+    assert(CheckpointedRun.doneBuckets(spark, stateA, "r") == (0 until 8).toSet)
+    // resume processed only the remaining 5 buckets
+    val total = CheckpointedRun.metrics(spark, stateA, "r")
+    assert(m2.n < total.n && m2.n > 0)
+
+    // unkilled control run
+    val (outB, stateB) = freshDirs()
+    CheckpointedRun.run(spark, docs, docs, NullCorrector, outB, stateB, "r",
+      nBuckets = 8, groupSize = 3)
+    val a = spark.read.parquet(outA).drop("bucket")
+    val b = spark.read.parquet(outB).drop("bucket")
+    assert(CP.spanSequenceViolations(a, b).isEmpty)
+    assert(a.count() == b.count())
+    val mA = CheckpointedRun.metrics(spark, stateA, "r")
+    val mB = CheckpointedRun.metrics(spark, stateB, "r")
+    assert(mA.n == mB.n && mA.nPerfect == mB.nPerfect)
+    // summation order differs across group boundaries → fp tolerance
+    assert(math.abs(mA.sumNormDist - mB.sumNormDist) < 1e-9)
+  }
+
+  test("checkpointed dictionary run produces the same CER as the direct pipeline") {
+    val (out, state) = freshDirs()
+    val vocab = DictionaryCorrector.trainVocab(docs)
+    val bc = DictionaryCorrector.buildModel(spark, vocab, 2L)
+    val m = CheckpointedRun.run(spark, docs, docs, DictionaryCorrector.corrector(bc),
+      out, state, "dict", nBuckets = 4, groupSize = 2, salted = true)
+    val direct = CP.cer(CP.correct(CP.explodeSpans(docs, "noisy_spans"),
+      DictionaryCorrector.corrector(bc)), docs)
+    assert(m.n == direct.n && m.nPerfect == direct.nPerfect)
+    assert(math.abs(m.sumNormDist - direct.sumNormDist) < 1e-9)
+    bc.destroy()
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+import graft.text.TextFunctions.{normalizeWs, tokenize, alphabetString, chunks, mapChunked}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalizeWs collapses runs of any whitespace and trims (F5)") {
+    val df = Seq("  a\t\tb \n c ", "x", "", "   ").toDF("t")
+    val got = df.select(normalizeWs($"t")).as[String].collect().toSeq
+    assert(got == Seq("a b c", "x", "", ""))
+  }
+
+  test("tokenize matches Python strip().split() incl. empty string (F6)") {
+    val df = Seq("  a  b ", "", "   ", "one").toDF("t")
+    val got = df.select(tokenize($"t")).as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a", "b"), Seq(), Seq(), Seq("one")))
+  }
+
+  test("encode/decode round-trip with unk handling (F8/F9)") {
+    val alphabet = "abcд"
+    val df = Seq("abд", "axb", "").toDF("t")
+    val enc = df.select(TextFunctions.encode($"t", alphabet).as("e")).as[Seq[Long]].collect().toSeq
+    assert(enc == Seq(Seq(0L, 1L, 3L), Seq(0L, 4L, 1L), Seq())) // x → unk=4
+    val dec = df.select(TextFunctions.decode(TextFunctions.encode($"t", alphabet), alphabet)).as[String].collect().toSeq
+    assert(dec == Seq("abд", "a�b", "")) // unk decodes to U+FFFD like the reference
+  }
+
+  test("alphabet aggregation: distinct chars sorted (A1/S7/O1)") {
+    val df = Seq("bca", "ab", "ддa").toDF("text")
+    assert(alphabetString(df, "text") == "abcд")
+  }
+
+  test("chunks splits by fixed code-point windows (F11)") {
+    val df = Seq("abcdefg", "ab", "").toDF("t")
+    val got = df.select(chunks($"t", 3).as("c")).as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("abc", "def", "g"), Seq("ab"), Seq("")))
+  }
+
+  test("mapChunked: chunk → kernel → ordered re-concat is identity for identity kernel (W4)") {
+    val df = (0 until 50).map(i => (s"id$i", ("x" * (i * 7 + 1)).take(200) + i)).toDF("id", "t")
+    val out = mapChunked(df, Seq("id"), "t", 16, identity).orderBy($"id")
+    val orig = df.orderBy($"id")
+    assert(out.as[(String, String)].collect().toSeq.sortBy(_._1) ==
+      orig.as[(String, String)].collect().toSeq.sortBy(_._1))
+  }
+
+  test("mapChunked applies kernel per chunk in order (W4)") {
+    val df = Seq(("a", "abcdef")).toDF("id", "t")
+    val out = mapChunked(df, Seq("id"), "t", 2, upper).as[(String, String)].head()
+    assert(out == (("a", "ABCDEF")))
+  }
+}

@@ -1,0 +1,143 @@
+package graft.correct
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.gen.NoiseChannel
+
+/**
+ * Noisy-channel corrector (BASELINE.json north_star, SURVEY.md §2.10 U4):
+ * for an OOV token pick `argmax_clean P(clean) · P(noisy | clean)` where
+ * candidates come from the trie ∩ Levenshtein-automaton search
+ * ([[TokenTrie]]) and the channel likelihood uses per-edit-type confusion
+ * weights derived from the generative 0.12 channel itself
+ * (`make_messy_dataset.py:20-31`): P(edit)=0.12 split uniformly over 4 types;
+ * CHANGE/INSERT spread uniformly over the good-char alphabet.
+ *
+ * This replaces beam-search decoding for token-level correction: the trie
+ * bounds the candidate space exactly, so instead of beam-pruning an unbounded
+ * decode we score every candidate within edit range with the exact weighted
+ * alignment DP — a strictly stronger search at the same asymptotic cost.
+ * Search widens progressively (maxDist = 1, 2, .., maxWidth) and stops at the
+ * first radius with candidates: nearly all OCR errors sit at distance 1-2, so
+ * the common case touches a tiny trie neighborhood.
+ */
+final class NoisyChannelModel(
+    val vocab: Map[String, Long],
+    val minFrequency: Long,
+    goodCharsCount: Int,
+    maxWidth: Int = 3) extends Serializable {
+
+  import NoisyChannelModel._
+
+  @transient private lazy val pruned: Map[String, Long] =
+    vocab.filter(_._2 >= minFrequency)
+  @transient lazy val trie: TokenTrie = TokenTrie.build(pruned)
+  @transient private lazy val totalFreq: Double =
+    math.max(pruned.valuesIterator.sum.toDouble, 1.0)
+  @transient private lazy val fallback: DictionaryModel =
+    new DictionaryModel(vocab, minFrequency)
+
+  // per-op log weights of the generative channel
+  private val logMatch = math.log(1.0 - NoiseChannel.EditChance)           // 0.88
+  private val pOp = NoiseChannel.EditChance / NoiseChannel.NEditTypes      // 0.03
+  private val logSub = math.log(pOp / goodCharsCount)
+  private val logIns = math.log(pOp / goodCharsCount)
+  private val logDel = math.log(pOp)
+  private val logSwap = math.log(pOp)
+
+  /** Exact weighted alignment: log P(noisy | clean) maximized over edit
+    * scripts (OSA alignment with per-op channel weights). */
+  def channelLogProb(noisy: String, clean: String): Double = {
+    val a = noisy.codePoints().toArray // observed
+    val b = clean.codePoints().toArray // hypothesis
+    val m = a.length
+    val n = b.length
+    val NegInf = Double.MinValue / 4
+    // dp(i)(j): best log-prob of producing a[0,i) from b[0,j)
+    var row2 = Array.fill(m + 1)(NegInf)
+    var row1 = new Array[Double](m + 1)
+    var row0 = new Array[Double](m + 1)
+    var i = 0
+    while (i <= m) { row1(i) = i * logIns; i += 1 } // produce leading noise by inserts
+    var j = 1
+    while (j <= n) {
+      row0(0) = row1(0) + logDel // clean char deleted
+      var k = 1
+      while (k <= m) {
+        val matchOrSub =
+          row1(k - 1) + (if (a(k - 1) == b(j - 1)) logMatch else logSub)
+        val del = row1(k) + logDel
+        val ins = row0(k - 1) + logIns
+        var best = math.max(math.max(matchOrSub, del), ins)
+        if (j >= 2 && k >= 2 && a(k - 1) == b(j - 2) && a(k - 2) == b(j - 1)) {
+          val swap = row2(k - 2) + logSwap
+          if (swap > best) best = swap
+        }
+        row0(k) = best
+        k += 1
+      }
+      val t = row2; row2 = row1; row1 = row0; row0 = t
+      j += 1
+    }
+    row1(m)
+  }
+
+  def contains(token: String): Boolean = pruned.contains(token)
+
+  /** Noisy-channel token inference. */
+  def inferToken(token: String): String = {
+    if (pruned.isEmpty) return token
+    if (contains(token)) return token // exact hit (reference fast path :80)
+    var width = 1
+    while (width <= maxWidth) {
+      val cands = trie.searchWithin(token, width)
+      if (cands.nonEmpty) {
+        var bestTok: String = null
+        var bestScore = Double.MinValue
+        cands.foreach { case (w, f, _) =>
+          val score = channelLogProb(token, w) + math.log(f / totalFreq)
+          if (score > bestScore || (score == bestScore && (bestTok == null || w < bestTok))) {
+            bestScore = score; bestTok = w
+          }
+        }
+        return bestTok
+      }
+      width += 1
+    }
+    // nothing within maxWidth: fall back to the exhaustive nearest-word scan
+    fallback.inferToken(token)
+  }
+
+  def inferSentence(text: String): String = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length == 1 && toks(0).isEmpty) ""
+    else toks.map(inferToken).mkString(" ")
+  }
+}
+
+object NoisyChannelModel {
+  def fromVocabDf(spark: SparkSession, vocabDf: DataFrame, minFrequency: Long,
+                  goodCharsCount: Int = graft.gen.DocGen.goodChars.length): Broadcast[NoisyChannelModel] = {
+    val vocab = vocabDf.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    spark.sparkContext.broadcast(new NoisyChannelModel(vocab, minFrequency, goodCharsCount))
+  }
+}
+
+/** Corrector wrapper with per-partition memoization (same shape as the
+  * dictionary corrector's — Zipf reuse makes the memo hit rate high). */
+final class NoisyChannelCorrector(bc: Broadcast[NoisyChannelModel]) extends Corrector {
+  override def correctTexts(texts: Iterator[String]): Iterator[String] = {
+    val model = bc.value
+    val memo = new java.util.HashMap[String, String]()
+    texts.map { text =>
+      val toks = text.trim.split("\\s+")
+      if (toks.length == 1 && toks(0).isEmpty) ""
+      else toks.map { t =>
+        var c = memo.get(t)
+        if (c == null) { c = model.inferToken(t); memo.put(t, c) }
+        c
+      }.mkString(" ")
+    }
+  }
+  override def correctText(text: String): String = bc.value.inferSentence(text)
+}

@@ -59,6 +59,16 @@ object Smoke {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"dictionary: cer=${dm.avgDistance}%.4f pct_perfect=${dm.percentPerfect}%.4f " +
       f"n=${dm.n} spans_per_sec=${dm.n / secs}%.0f (null floor ${m.avgDistance}%.4f)")
+
+    // Noisy-channel corrector (trie + Levenshtein automaton + channel weights)
+    val ncBc = graft.correct.NoisyChannelModel.fromVocabDf(spark, vocabDf, 2L)
+    val t1 = System.nanoTime()
+    val ncCorrected = CP.correct(CP.explodeSpans(docsDf, "noisy_spans"),
+      new graft.correct.NoisyChannelCorrector(ncBc))
+    val nm = CP.cer(ncCorrected, docsDf)
+    val secs1 = (System.nanoTime() - t1) / 1e9
+    println(f"noisy-channel: cer=${nm.avgDistance}%.4f pct_perfect=${nm.percentPerfect}%.4f " +
+      f"n=${nm.n} spans_per_sec=${nm.n / secs1}%.0f")
     spark.stop()
   }
 }

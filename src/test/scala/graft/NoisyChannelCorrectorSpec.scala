@@ -1,0 +1,72 @@
+package graft
+
+import graft.correct._
+import graft.gen.DocGen
+import graft.pipeline.{CorrectionPipeline => CP}
+import graft.text.DamerauLevenshtein
+
+class NoisyChannelCorrectorSpec extends SparkSpec {
+
+  test("trie search ≡ brute-force distance filter (Levenshtein automaton correctness)") {
+    val r = new scala.util.Random(11)
+    val words = (0 until 400).map { _ =>
+      new String(Array.fill(1 + r.nextInt(8))(('a' + r.nextInt(6)).toChar))
+    }.distinct.map(w => (w, 1L + r.nextInt(50))).toMap
+    val trie = TokenTrie.build(words)
+    (0 until 120).foreach { _ =>
+      val q = new String(Array.fill(1 + r.nextInt(9))(('a' + r.nextInt(7)).toChar))
+      (0 to 3).foreach { d =>
+        val got = trie.searchWithin(q, d).map { case (w, f, dist) => (w, f, dist) }.toSet
+        val want = words.collect {
+          case (w, f) if DamerauLevenshtein.distance(q, w) <= d =>
+            (w, f, DamerauLevenshtein.distance(q, w))
+        }.toSet
+        assert(got == want, s"q=$q d=$d missing=${want -- got} extra=${got -- want}")
+      }
+    }
+  }
+
+  test("channel log-prob: identity beats any single edit; edits ranked by channel weights") {
+    val m = new NoisyChannelModel(Map("abc" -> 1L), 1L, goodCharsCount = 30)
+    val id = m.channelLogProb("abc", "abc")
+    assert(id > m.channelLogProb("abx", "abc")) // sub
+    assert(id > m.channelLogProb("ab", "abc"))  // del
+    assert(id > m.channelLogProb("abbc", "abc")) // ins
+    assert(id > m.channelLogProb("acb", "abc")) // swap
+    // delete (p=.03) is more likely than substitution (p=.03/30)
+    assert(m.channelLogProb("ab", "abc") > m.channelLogProb("abx", "abc"))
+    // swap cheaper than two substitutions
+    assert(m.channelLogProb("acb", "abc") > m.channelLogProb("axy", "abc"))
+  }
+
+  test("inferToken: exact hit, nearest, channel trades distance against frequency") {
+    val m = new NoisyChannelModel(Map("cat" -> 10L, "bat" -> 5L, "dog" -> 7L), 1L, 30)
+    assert(m.inferToken("cat") == "cat")
+    assert(m.inferToken("caz") == "cat")
+    assert(m.inferToken("aat") == "cat") // dist tie → freq decides through the prior
+    // a very frequent word at dist 2 can beat a rare word at dist 1:
+    // channel odds per extra edit ≈ log(psub) - log(match) ≈ -6.9; prior gap
+    // log(100000/1) ≈ 11.5 overcomes it
+    val m2 = new NoisyChannelModel(Map("the" -> 100000L, "thx" -> 1L), 1L, 30)
+    assert(m2.inferToken("thz") == "the") // dist(thz,thx)=1 but prior wins
+  }
+
+  test("e2e: noisy-channel corrector beats null and at least matches the dictionary corrector") {
+    val docs = DocGen.docs(spark, 400).toDF().cache()
+    val vocabDf = DictionaryCorrector.trainVocab(docs).cache()
+    val spans = CP.explodeSpans(docs, "noisy_spans")
+
+    val nullCer = CP.cer(CP.correct(spans, NullCorrector), docs)
+    val dictBc = DictionaryCorrector.buildModel(spark, vocabDf, 2L)
+    val dictCer = CP.cer(CP.correct(spans, DictionaryCorrector.corrector(dictBc)), docs)
+    val ncBc = NoisyChannelModel.fromVocabDf(spark, vocabDf, 2L)
+    val ncCer = CP.cer(CP.correct(spans, new NoisyChannelCorrector(ncBc)), docs)
+
+    info(f"null=${nullCer.avgDistance}%.4f dict=${dictCer.avgDistance}%.4f nc=${ncCer.avgDistance}%.4f")
+    info(f"perfect: null=${nullCer.percentPerfect}%.4f dict=${dictCer.percentPerfect}%.4f nc=${ncCer.percentPerfect}%.4f")
+    assert(ncCer.avgDistance < nullCer.avgDistance)
+    assert(ncCer.avgDistance <= dictCer.avgDistance * 1.05,
+      s"noisy-channel ${ncCer.avgDistance} materially worse than dictionary ${dictCer.avgDistance}")
+    dictBc.destroy(); ncBc.destroy()
+  }
+}

@@ -1,13 +1,474 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.correct.DictionaryCorrector
+import graft.dedup.Dedup
+import graft.pipeline.CorrectionPipeline
+import graft.similarity.Similarity
+import graft.text.{DamerauLevenshtein, TextFunctions}
+import graft.textanalysis.TextAnalysis
+
+/**
+ * Driver contract (see SURVEY.md §5 "Oracle cross-check" and §7 step 8).
+ *
+ * Every entry in [[queries]] has a DuckDB-equivalent in [[oracleSql]] unless
+ * the operator is not SQL-expressible (those are covered by ScalaTest
+ * properties instead). Column names AND value types are aligned pairwise:
+ * integers are cast to BIGINT on both sides, doubles are produced by the
+ * same expression shape and rounded at the end (never intermediates), and all
+ * content hashes are md5-derived so both engines compute identical bits.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Tokens of `documents.text` — Python `strip().split()` semantics. */
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextFunctions.tokenize(col("text"))).as("token"))
+
+  private def vocabOf(docs: DataFrame): DataFrame =
+    docTokens(docs).groupBy(col("token")).agg(count(lit(1)).as("freq"))
+
+  /** Consecutive-doc pairs (doc i vs doc i+1) — deterministic string pairs
+    * for edit-distance oracle checks. */
+  private def consecutivePairs(docs: DataFrame, prefixLen: Int): DataFrame = {
+    val a = docs.select(col("doc_id"), substring(col("text"), 1, prefixLen).as("ta"))
+    val b = docs.select((col("doc_id") - 1).as("doc_id"), substring(col("text"), 1, prefixLen).as("tb"))
+    a.join(b, Seq("doc_id"))
+  }
+
+  private val dlTrue = udf((a: String, b: String) => DamerauLevenshtein.distanceUnrestricted(a, b))
+
+  /** Flagship query on sf=0.001 scale: the full correction pipeline — generate
+    * interleaved docs, train the vocabulary on clean train-split text, correct
+    * the noisy spans with the broadcast dictionary kernel, reassemble in span
+    * order, and emit per-doc output with the span-sequence payload. */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.gen.DocGen
+    val docs = DocGen.docs(spark, 300).toDF().cache()
+    try {
+      val vocab = DictionaryCorrector.trainVocab(docs)
+      val model = DictionaryCorrector.buildModel(spark, vocab, minFrequency = 2)
+      val out = CorrectionPipeline.run(docs, DictionaryCorrector.corrector(model),
+        spansCol = "noisy_spans")
+      out.select(col("doc_id"), size(col("spans")).as("n_spans"), col("spans"))
+        .orderBy(col("doc_id"))
+    } finally docs.unpersist()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference operators over documents (SURVEY.md §2) ----
+    "q_vocab_agg" -> ((s, dir) =>
+      vocabOf(tbl(s, dir, "documents")).select(col("token"), col("freq"))),
+
+    "q_vocab_pruned" -> ((s, dir) =>
+      vocabOf(tbl(s, dir, "documents")).filter(col("freq") >= 5)),
+
+    "q_vocab_top" -> ((s, dir) =>
+      vocabOf(tbl(s, dir, "documents"))
+        .orderBy(col("freq").desc, col("token").asc).limit(100)),
+
+    "q_max_freq" -> ((s, dir) =>
+      vocabOf(tbl(s, dir, "documents")).agg(max(col("freq")).as("max_freq"))),
+
+    "q_distinct_chars" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0).distinct()),
+
+    "q_split_assign" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id") + 1, lit(10)) === 9, "validation")
+          .when(pmod(col("doc_id") + 1, lit(10)) === 0, "test")
+          .otherwise("train").as("split"))),
+
+    "q_split_counts" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        when(pmod(col("doc_id") + 1, lit(10)) === 9, "validation")
+          .when(pmod(col("doc_id") + 1, lit(10)) === 0, "test")
+          .otherwise("train").as("split"))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))),
+
+    "q_doc_stats" -> ((s, dir) =>
+      tbl(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        max(length(col("text"))).cast("long").as("max_len"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))),
+
+    "q_reassemble" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextFunctions.tokenize(col("text"))).as(Seq("pos", "tok")))
+        .groupBy(col("doc_id"))
+        .agg(array_join(transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")), " ").as("rebuilt"))),
+
+    "q_levenshtein" -> ((s, dir) =>
+      consecutivePairs(tbl(s, dir, "documents"), 60)
+        .select(col("doc_id"), levenshtein(col("ta"), col("tb")).cast("long").as("lev"))),
+
+    "q_damerau" -> ((s, dir) =>
+      consecutivePairs(tbl(s, dir, "documents"), 60)
+        .select(col("doc_id"), dlTrue(col("ta"), col("tb")).cast("long").as("dl"))),
+
+    "q_cer_rows" -> ((s, dir) =>
+      consecutivePairs(tbl(s, dir, "documents"), 60)
+        .select(col("doc_id"),
+          dlTrue(col("ta"), col("tb")).cast("long").as("dist"),
+          round(dlTrue(col("ta"), col("tb")).cast("double") / length(col("tb")), 4).as("norm_dist"))),
+
+    "q_cer_summary" -> ((s, dir) => {
+      val rows = consecutivePairs(tbl(s, dir, "documents"), 60)
+        .select(dlTrue(col("ta"), col("tb")).cast("long").as("dist"),
+          (dlTrue(col("ta"), col("tb")).cast("double") / length(col("tb"))).as("norm"))
+      rows.agg(count(lit(1)).as("n"), sum(col("dist")).as("sum_dist"),
+        sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_perfect"),
+        round(avg(col("norm")), 4).as("avg_norm"))
+    }),
+
+    // ---- deduplication (training-data pipeline layer) ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(tbl(s, dir, "documents"))),
+
+    "q_minhash" -> ((s, dir) => {
+      val sig = Dedup.minHashSignature(col("text"), shingleK = 3, nHashes = 4)
+      tbl(s, dir, "documents").select(col("doc_id"),
+        element_at(sig, 1).as("h0"), element_at(sig, 2).as("h1"),
+        element_at(sig, 3).as("h2"), element_at(sig, 4).as("h3"))
+    }),
+
+    "q_lsh_bands" -> ((s, dir) =>
+      Dedup.lshBands(tbl(s, dir, "documents"), shingleK = 3, nBands = 4, rowsPerBand = 2)),
+
+    "q_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(tbl(s, dir, "documents"), shingleK = 3, nBands = 4, rowsPerBand = 2)),
+
+    "q_simhash" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"), Dedup.simHash32(col("text")).as("simhash"))),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val a = d.select(col("doc_id"), col("text").as("text_a"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("text_b"))
+      a.join(b, Seq("doc_id"))
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"),
+          round(Dedup.ngramJaccardForPairs("text_a", "text_b", 2), 4).as("jaccard"))
+    }),
+
+    // ---- text analysis ----
+    "q_langid" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "q_token_counts" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))),
+
+    "q_quality" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.alphaRatio(col("text")), 4).as("alpha_ratio"),
+        round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        round(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_token_len"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.contentFingerprint(col("text")).as("fp"),
+        TextAnalysis.rollingFingerprint(col("text")).as("rfp"))),
+
+    // ---- similarity search over embeddings ----
+    "q_embed_norm" -> ((s, dir) =>
+      tbl(s, dir, "embeddings").select(col("vec_id"),
+        round(Similarity.l2Norm(col("embedding")), 4).as("nrm"))),
+
+    "q_ann_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
+    }),
+
+    "q_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(
+        tbl(s, dir, "embeddings").filter(col("vec_id") < 120), threshold = 0.25)),
+
+    // ---- relational spine (scan/filter/agg/join/window health) ----
+    "q1_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_quantity") < 30)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+          count(lit(1)).as("n"))),
+
+    "q_join_agg" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))),
+
+    "q_window_events" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .filter(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).cast("long").as("rn"),
+          lag(col("event_id"), 1).over(w).as("prev_event"))
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .withColumn("pts", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("pts").isNull ||
+            (unix_micros(col("ts").cast("timestamp_ltz")) -
+              unix_micros(col("pts").cast("timestamp_ltz"))) > 1800000000L, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"),
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("session_id"))
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (same parquet tables registered by
+    * basename). Norm: every integer output CAST to BIGINT, doubles rounded
+    * identically, md5-derived hashes computed the same way. */
+  def oracleSql: Map[String, String] = {
+    val normText = raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    val toks = raw"regexp_split_to_array(trim(text), '\s+')"
+    // tokens of the NORMALIZED text (single-space separated, no empties)
+    val tokCte =
+      raw"""tk AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS tok,
+                generate_subscripts(string_split($normText, ' '), 1) AS i
+         FROM documents)"""
+    def minhashH(expr: String, seed: Int) =
+      raw"CAST(min(('0x' || substr(md5($expr || ':$seed'), 1, 15))::UBIGINT) AS BIGINT)"
+    val sh3Cte =
+      raw"""sh AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+         FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                   JOIN tk c ON c.doc_id = a.doc_id AND c.i = a.i + 2)"""
+    val minhash8 =
+      raw"""WITH $tokCte, $sh3Cte,
+      sig AS (SELECT doc_id, ${(0 until 8).map(k => minhashH("sh", k) + s" AS h$k").mkString(", ")}
+              FROM sh GROUP BY doc_id)"""
+    val bandRows = (0 until 4).map { b =>
+      raw"SELECT doc_id, $b AS band, md5('b$b:' || CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+
+    Map(
+      "q_vocab_agg" ->
+        raw"""SELECT token, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest($toks) AS token FROM documents) t
+           WHERE length(token) > 0 GROUP BY token""",
+
+      "q_vocab_pruned" ->
+        raw"""SELECT token, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest($toks) AS token FROM documents) t
+           WHERE length(token) > 0 GROUP BY token HAVING count(*) >= 5""",
+
+      "q_vocab_top" ->
+        raw"""SELECT token, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest($toks) AS token FROM documents) t
+           WHERE length(token) > 0 GROUP BY token
+           ORDER BY freq DESC, token ASC LIMIT 100""",
+
+      "q_max_freq" ->
+        raw"""SELECT CAST(max(freq) AS BIGINT) AS max_freq FROM (
+             SELECT count(*) AS freq
+             FROM (SELECT unnest($toks) AS token FROM documents) t
+             WHERE length(token) > 0 GROUP BY token)""",
+
+      "q_distinct_chars" ->
+        "SELECT DISTINCT unnest(string_split(text, '')) AS ch FROM documents",
+
+      "q_split_assign" ->
+        raw"""SELECT doc_id, CASE (doc_id + 1) % 10 WHEN 9 THEN 'validation'
+             WHEN 0 THEN 'test' ELSE 'train' END AS split FROM documents""",
+
+      "q_split_counts" ->
+        raw"""SELECT split, CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT CASE (doc_id + 1) % 10 WHEN 9 THEN 'validation'
+             WHEN 0 THEN 'test' ELSE 'train' END AS split FROM documents) GROUP BY split""",
+
+      "q_doc_stats" ->
+        raw"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(max(length(text)) AS BIGINT) AS max_len,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents""",
+
+      "q_reassemble" ->
+        raw"""SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS rebuilt
+           FROM (SELECT doc_id, unnest($toks) AS tok, generate_subscripts($toks, 1) AS i
+                 FROM documents) t
+           WHERE length(tok) > 0 GROUP BY doc_id""",
+
+      "q_levenshtein" ->
+        raw"""SELECT a.doc_id, CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS BIGINT) AS lev
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""",
+
+      "q_damerau" ->
+        raw"""SELECT a.doc_id, CAST(damerau_levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS BIGINT) AS dl
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""",
+
+      "q_cer_rows" ->
+        raw"""SELECT a.doc_id,
+             CAST(damerau_levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS BIGINT) AS dist,
+             round(damerau_levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) * 1.0
+                   / length(substr(b.text, 1, 60)), 4) AS norm_dist
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""",
+
+      "q_cer_summary" ->
+        raw"""WITH r AS (
+             SELECT damerau_levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS dist,
+                    damerau_levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) * 1.0
+                    / length(substr(b.text, 1, 60)) AS norm
+             FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+           SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dist) AS BIGINT) AS sum_dist,
+                  CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect,
+                  round(avg(norm), 4) AS avg_norm FROM r""",
+
+      "q_dedup_exact" ->
+        raw"""SELECT md5($normText) AS text_fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+             CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1""",
+
+      "q_minhash" ->
+        raw"""WITH $tokCte, $sh3Cte
+           SELECT doc_id, ${(0 until 4).map(k => minhashH("sh", k) + s" AS h$k").mkString(", ")}
+           FROM sh GROUP BY doc_id""",
+
+      "q_lsh_bands" ->
+        raw"""$minhash8 SELECT doc_id, band, band_key FROM ($bandRows) b""",
+
+      "q_lsh_pairs" ->
+        raw"""$minhash8, bands AS ($bandRows)
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id""",
+
+      "q_simhash" ->
+        raw"""WITH tk AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS tok FROM documents),
+           h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::UBIGINT AS hv FROM tk),
+           bits AS (SELECT doc_id, b AS bit,
+                    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                    FROM h, generate_series(0, 31) t(b) GROUP BY doc_id, b)
+           SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id""",
+
+      "q_ngram_jaccard" ->
+        raw"""WITH $tokCte,
+           sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS sh
+                  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a
+                  JOIN documents b ON b.doc_id = a.doc_id + 1),
+           inter AS (SELECT p.id_a, p.id_b, count(*) AS ni FROM pr p
+                     JOIN sh x ON x.doc_id = p.id_a
+                     JOIN sh y ON y.doc_id = p.id_b AND y.sh = x.sh
+                     GROUP BY p.id_a, p.id_b)
+           SELECT p.id_a, p.id_b,
+                  round(COALESCE(ni, 0) * 1.0 / (sa.n + sb.n - COALESCE(ni, 0)), 4) AS jaccard
+           FROM pr p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+           LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b""",
+
+      "q_langid" ->
+        raw"""SELECT doc_id, CASE
+             WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+             WHEN len(regexp_extract_all(text, '[äöüßÄÖÜ]')) > 0 THEN 'de'
+             WHEN len(regexp_extract_all(text, '[áíóúñ¿¡]')) > 0 THEN 'es'
+             WHEN len(regexp_extract_all(text, '[àâçêëîïôùûœ]')) > 0 THEN 'fr'
+             ELSE 'en' END AS lang_pred FROM documents""",
+
+      "q_token_counts" ->
+        raw"""SELECT doc_id,
+             CAST(len(list_filter($toks, x -> length(x) > 0)) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+           FROM documents""",
+
+      "q_quality" ->
+        raw"""WITH f AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0) AS lt,
+             len(regexp_extract_all(lower(text), '[a-z ]')) * 1.0 / length(text) AS alpha,
+             len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) * 1.0 / length(text) AS punct,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0) AS t
+             FROM documents),
+           g AS (SELECT doc_id, alpha, punct,
+             len(list_filter(lt, x -> x IN ('the','a','an','and','of','to','in','is','on','for'))) * 1.0 / len(lt) AS stopr,
+             list_aggregate(list_transform(t, x -> length(x)), 'sum') * 1.0 / len(t) AS mtl,
+             len(t) AS nt FROM f)
+           SELECT doc_id, round(alpha, 4) AS alpha_ratio, round(punct, 4) AS punct_ratio,
+             round(stopr, 4) AS stopword_ratio, round(mtl, 4) AS mean_token_len,
+             round(greatest(least(least(nt / 100.0, 1.0) * 0.3 + alpha * 0.4 + stopr * 0.3 - punct * 0.5, 1.0), 0.0), 4) AS quality
+           FROM g""",
+
+      "q_fingerprint" ->
+        raw"""SELECT doc_id, md5($normText) AS fp,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, cp) -> (h * 131 + cp) % 2147483647) AS rfp
+           FROM documents""",
+
+      "q_embed_norm" ->
+        raw"""SELECT vec_id, round(sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS nrm
+           FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t GROUP BY vec_id""",
+
+      "q_ann_topk" ->
+        raw"""WITH n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+                  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t GROUP BY vec_id),
+           p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.embedding AS qv, c.embedding AS cv
+                 FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10),
+           d AS (SELECT query_id, neighbor_id, sum(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dot
+                 FROM (SELECT query_id, neighbor_id, unnest(qv) AS qx, unnest(cv) AS cx FROM p) t
+                 GROUP BY query_id, neighbor_id),
+           s AS (SELECT query_id, neighbor_id,
+                 round(dot / (nq.nrm * nc.nrm), 4) AS sim FROM d
+                 JOIN n nq ON nq.vec_id = query_id JOIN n nc ON nc.vec_id = neighbor_id)
+           SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             FROM s) WHERE rank <= 5""",
+
+      "q_cosine_neardup" ->
+        raw"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 120),
+           n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+                 FROM (SELECT vec_id, unnest(embedding) AS x FROM e) t GROUP BY vec_id),
+           p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+                 FROM e a JOIN e b ON a.vec_id < b.vec_id),
+           d AS (SELECT id_a, id_b, sum(CAST(ax AS DOUBLE) * CAST(bx AS DOUBLE)) AS dot
+                 FROM (SELECT id_a, id_b, unnest(va) AS ax, unnest(vb) AS bx FROM p) t
+                 GROUP BY id_a, id_b)
+           SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS sim FROM d
+           JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+           WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.25""",
+
+      "q1_agg" ->
+        raw"""SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+             CAST(count(*) AS BIGINT) AS n
+           FROM lineitem WHERE l_quantity < 30 GROUP BY l_returnflag, l_linestatus""",
+
+      "q_join_agg" ->
+        raw"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+           FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment""",
+
+      "q_window_events" ->
+        raw"""SELECT event_id, user_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+           FROM events WHERE user_id < 40""",
+
+      "q_sessionize" ->
+        raw"""WITH e AS (SELECT event_id, user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events),
+           s AS (SELECT event_id, user_id, ts,
+                 CASE WHEN pts IS NULL OR (epoch_us(ts) - epoch_us(pts)) > 1800000000 THEN 1 ELSE 0 END AS brk
+                 FROM e)
+           SELECT event_id, user_id,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM s"""
+    )
+  }
 }

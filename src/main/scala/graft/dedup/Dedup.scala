@@ -1,0 +1,184 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Large-scale corpus deduplication operators — the training-data-pipeline
+ * layer over the `documents`-shaped table `(doc_id, text, ...)`.
+ *
+ * All hot paths are pure Column expressions (whole-stage codegen, no UDFs);
+ * hashes are derived from `md5` so every operator is oracle-checkable against
+ * an independent SQL engine bit-for-bit (DuckDB computes the identical md5
+ * hex), unlike `xxhash64`, whose seed/implementation is Spark-private.
+ *
+ * Scale design (100 TB):
+ *  - Exact dedup is one hash-aggregate on a 16-byte fingerprint — the shuffle
+ *    carries (fingerprint, doc_id) pairs only, never the text.
+ *  - MinHash/LSH: signatures are computed scan-side (narrow), the only wide
+ *    ops are the band-key self-join (shuffle keyed on 16-byte band keys; AQE
+ *    skew-join handles hot buckets of boilerplate docs) and the final
+ *    verification join, which runs on the *candidate pairs* only — the
+ *    classic candidate-generation/verification split that keeps the O(n²)
+ *    pair space off the cluster.
+ *  - SimHash: a 32-bit signature per doc via one explode + two aggregations;
+ *    near-dup candidates = equal signature (or banded sub-keys for hamming
+ *    tolerance).
+ */
+object Dedup {
+
+  /** Canonical text form shared by every dedup operator: lowercase,
+    * whitespace runs collapsed, trimmed. */
+  def normalizeText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** 128-bit content fingerprint of the normalized text (hex string). */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** Stable 60-bit hash of a string + integer seed, oracle-reproducible:
+    * first 15 hex chars of md5("<s>:<seed>") as a long. */
+  def seededHash(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(c, lit(":" + seed))), 1, 15), 16, 10).cast("long")
+
+  /**
+   * Exact deduplication groups: one row per distinct normalized text with the
+   * canonical survivor (min doc_id) and the group size. `n_docs > 1` rows are
+   * the duplicate sets. One shuffle on the fingerprint.
+   */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), fingerprint(col(textCol)).as("text_fp"))
+      .groupBy(col("text_fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Exact dedup: keep exactly the survivor row per fingerprint group. */
+  def dedupExact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Word `k`-shingles of the normalized text as an array column; a text with
+    * fewer than `k` tokens yields its single full-token shingle. */
+  def wordShingles(c: Column, k: Int): Column = {
+    val toks = split(normalizeText(c), " ")
+    when(size(toks) <= k, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /**
+   * MinHash signature: for each of `nHashes` seeded hash functions, the
+   * minimum over the doc's shingle set. Computed per row as a pure expression
+   * (array_min over transform) — narrow, codegen'd, no shuffle.
+   */
+  def minHashSignature(c: Column, shingleK: Int, nHashes: Int): Column = {
+    val sh = wordShingles(c, shingleK)
+    array((0 until nHashes).map { seed =>
+      array_min(transform(sh, s =>
+        conv(substring(md5(concat(s, lit(":" + seed))), 1, 15), 16, 10).cast("long")))
+    }: _*)
+  }
+
+  /** LSH band keys: the signature split into `nBands` bands of `rowsPerBand`,
+    * each band hashed to a compact 16-byte key. Output: one row per
+    * (doc, band). */
+  def lshBands(docs: DataFrame, shingleK: Int, nBands: Int, rowsPerBand: Int,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = minHashSignature(col(textCol), shingleK, nBands * rowsPerBand)
+    docs
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(nBands - 1)),
+          b => md5(concat(lit("b"), b.cast("string"), lit(":"),
+            array_join(transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+              h => h.cast("string")), ","))))
+      ).as(Seq("band", "band_key")))
+  }
+
+  /**
+   * MinHash-LSH candidate pairs: docs sharing at least one band key.
+   * The self-join shuffles on the band key (small), never the text; pairs are
+   * deduplicated across bands. Standard LSH guarantee: a pair with Jaccard
+   * similarity s collides in ≥1 of b bands with prob 1-(1-s^r)^b.
+   */
+  def lshCandidatePairs(docs: DataFrame, shingleK: Int = 3, nBands: Int = 4,
+                        rowsPerBand: Int = 2, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val bands = lshBands(docs, shingleK, nBands, rowsPerBand, idCol, textCol)
+    val a = bands.select(col("band"), col("band_key"), col(idCol).as("id_a"))
+    val b = bands.select(col("band"), col("band_key"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /**
+   * Exact shingle-set Jaccard similarity for given (id_a, id_b) pairs — the
+   * verification stage after LSH candidate generation. Set sizes are
+   * pre-aggregated; the intersection comes from one equi-join on the shingle
+   * value restricted to candidate docs. Shuffles scale with candidate-set
+   * shingle counts, not corpus size.
+   */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingleK: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ids = pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b").as("id"))).distinct()
+    val sh = docs.join(ids, col(idCol) === col("id"), "left_semi")
+      .select(col(idCol).as("id"), explode(array_distinct(wordShingles(col(textCol), shingleK))).as("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("id").as("jb"), col("sh").as("sh_b"))
+    pairs
+      .join(shA, Seq("id_a"))
+      .join(shB, col("id_b") === col("jb") && col("sh_a") === col("sh_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  /**
+   * N-gram Jaccard similarity between explicit doc pairs (e.g. consecutive
+   * ids): |A∩B| / |A∪B| over distinct word shingles, computed entirely as an
+   * array expression on the joined row — no explode, no extra shuffle beyond
+   * the pair join itself.
+   */
+  def ngramJaccardForPairs(aText: String, bText: String,
+                           shingleK: Int): Column = {
+    val a = array_distinct(wordShingles(col(aText), shingleK))
+    val b = array_distinct(wordShingles(col(bText), shingleK))
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /**
+   * 32-bit SimHash of the whitespace-tokenized normalized text: per bit, the
+   * sign of the sum of ±1 votes from each token's md5-derived hash (token
+   * multiplicity counts, matching the classic definition with tf weights).
+   * Pure expression: explode-free, one `aggregate` fold over the token array
+   * updating a 32-lane counter vector.
+   */
+  def simHash32(c: Column): Column = {
+    val toks = split(normalizeText(c), " ")
+    val masks = array((0 until 32).map(b => lit(1L << b)): _*)
+    val lanes = aggregate(
+      toks,
+      array_repeat(lit(0), 32),
+      (acc, t) => {
+        val hv = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+        zip_with(acc, masks, (a, m) => a + when(hv.bitwiseAND(m) =!= 0, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(lanes, masks, (s, m) => when(s >= 0, m).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
+  /** SimHash near-dup candidates: equal full signature (hamming distance 0)
+    * — for tolerance, join on rotated sub-keys instead (same band pattern as
+    * LSH). One shuffle on the 4-byte signature. */
+  def simHashGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), simHash32(col(textCol)).as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+}

@@ -1,0 +1,123 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.DetRng
+
+/**
+ * Multimodal column handling: image/audio/video payloads as opaque `binary`
+ * columns with typed metadata, processed by batched `mapPartitions` kernels.
+ *
+ * The Spark-side plumbing — schemas, typed Datasets, partition-level
+ * batching, deterministic synthesis of blobs from `media_ref`s — is real and
+ * tested. The codec itself is a STUB (`StubCodec`): this container has no
+ * image/audio libraries, so decode/feature-extraction derive deterministic
+ * fake values from the payload bytes. Swapping in a real codec changes ONE
+ * function (`StubCodec.decode`) and nothing in the dataflow.
+ *
+ * Scale notes: blobs never pass through wide operators — kernels are narrow
+ * mapPartitions; joining features back to documents happens on `media_ref`
+ * (small string key), never on the bytes. Batch size bounds kernel memory the
+ * same way the reference bounds decoder batches
+ * (`/root/reference/src/model/eval.py:36`, batch_size → DataLoader).
+ */
+object Multimodal {
+
+  /** Opaque media payload row: the `binary` column + envelope metadata. */
+  final case class MediaBlob(media_ref: String, media_kind: String,
+                             bytes: Array[Byte], n_bytes: Int)
+
+  /** Decoded media metadata + feature vector (the mapInPandas-output analog). */
+  final case class MediaFeatures(media_ref: String, media_kind: String,
+                                 width: Int, height: Int, n_frames: Int,
+                                 features: Array[Float])
+
+  val FeatureDim = 16
+
+  /**
+   * STUB codec — deterministic fake decode. A real deployment replaces this
+   * object with JNI/javacv bindings; everything else in this file stays.
+   */
+  object StubCodec extends Serializable {
+    /** Fake synthesis: blob bytes are a pure function of the media_ref. */
+    def fakeBytes(mediaRef: String, n: Int): Array[Byte] = {
+      val rng = DetRng.forKey(mediaRef, 0x626C6F62L)
+      Array.fill(n)(rng.nextInt(256).toByte)
+    }
+
+    /** Fake decode: dimensions/frames/features derived from the payload.
+      * Deterministic in the bytes — re-runs and resumes agree. */
+    def decode(blob: MediaBlob): MediaFeatures = {
+      val rng = DetRng.forKey(blob.media_ref, 0x6465636FL)
+      val (w, h, frames) = blob.media_kind match {
+        case "image" => (64 + rng.nextInt(512), 64 + rng.nextInt(512), 1)
+        case "video" => (320, 240, 1 + rng.nextInt(300))
+        case _       => (0, 0, 1 + rng.nextInt(100)) // audio: frames = windows
+      }
+      val feats = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < blob.bytes.length) {
+        feats(i % FeatureDim) += (blob.bytes(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      var k = 0
+      while (k < FeatureDim) { feats(k) /= math.max(1, blob.bytes.length / FeatureDim); k += 1 }
+      MediaFeatures(blob.media_ref, blob.media_kind, w, h, frames, feats)
+    }
+  }
+
+  /** Deterministic media table for the `media_ref`s appearing in a docs
+    * table: kind derived from the ref hash (images/audio/video mix), payload
+    * synthesized by the stub. Narrow — one pass over exploded spans. */
+  def mediaTable(docs: DataFrame, spansCol: String = "spans"): Dataset[MediaBlob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(col(spansCol)).as("span"))
+      .filter(col("span.kind") === "media")
+      .select(col("span.media_ref").as("media_ref"))
+      .distinct()
+      .as[String]
+      .map { ref =>
+        val rng = DetRng.forKey(ref, 0x6B696E64L)
+        val kinds = Array("image", "audio", "video")
+        val kind = kinds(rng.nextInt(3))
+        val n = 256 + rng.nextInt(2048)
+        MediaBlob(ref, kind, StubCodec.fakeBytes(ref, n), n)
+      }
+  }
+
+  /**
+   * Batched decode/feature-extract kernel: the mapPartitions slot where a
+   * real codec runs. `batchSize` bounds per-batch memory exactly like the
+   * reference's DataLoader batches; grouped iteration keeps the partition
+   * streaming (never materialized whole).
+   */
+  def extractFeatures(blobs: Dataset[MediaBlob], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real codec would decode the whole batch in one native call here
+        batch.iterator.map(StubCodec.decode)
+      }
+    }
+  }
+
+  /** Deterministic frame sampling for video rows: every `stride`-th frame
+    * index up to `maxFrames` — pure expression, oracle-expressible. */
+  def sampleFrames(features: DataFrame, stride: Int = 10, maxFrames: Int = 8): DataFrame =
+    features
+      .filter(col("media_kind") === "video")
+      .select(col("media_ref"), col("n_frames"),
+        slice(sequence(lit(0), col("n_frames") - 1, lit(stride)), 1, maxFrames)
+          .as("frame_indices"))
+
+  /** Join extracted media features back onto exploded spans (key = media_ref,
+    * broadcast when the media dimension is small). */
+  def enrichSpans(spanRows: DataFrame, features: Dataset[MediaFeatures]): DataFrame =
+    spanRows.join(
+      broadcast(features.toDF().select(col("media_ref"), col("media_kind"),
+        col("width"), col("height"), col("n_frames"), col("features"))),
+      Seq("media_ref"), "left")
+}

@@ -1,0 +1,132 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over an embedding column (`array<float>`) — the
+ * approximate-nearest-neighbor layer of the training-data pipeline, over the
+ * `embeddings`-shaped table `(vec_id, embedding, ...)`.
+ *
+ * Two paths:
+ *  - [[bruteForceTopK]] — exact cosine top-k via a broadcast cross join.
+ *    The correctness baseline; also the right plan whenever the query set is
+ *    small (queries broadcast, corpus streamed — one narrow scan, no shuffle
+ *    of the corpus, top-k via window over the small query dimension).
+ *  - [[lshTopK]] — random-hyperplane LSH: 1-bit signatures from deterministic
+ *    pseudo-hyperplanes, candidates = bucket-join on band keys, exact
+ *    re-ranking only within candidates. At 100 TB the corpus is scanned once
+ *    to produce (band_key, vec) rows; the join shuffles candidates only —
+ *    corpus never crosses the network more than once, and bucket skew is
+ *    AQE-handled.
+ *
+ * All similarity math is double-precision Column expressions
+ * (`zip_with` + `aggregate`), codegen'd, no UDFs.
+ */
+object Similarity {
+
+  /** Dot product of two array columns (double). Left-to-right fold — the
+    * deterministic summation order makes results reproducible run-to-run. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  }
+
+  /**
+   * Exact top-k by cosine: for each query row, the k nearest corpus rows.
+   * Queries are broadcast (small dimension); ranking is deterministic —
+   * rounded similarity desc, then corpus id asc — so results are stable
+   * across partitionings and engines (ties at full float precision are
+   * engine-dependent; rounding before ranking removes that).
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     roundTo: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic pseudo-hyperplane component for (plane, dim): a value in
+    * [-1, 1) derived from md5 — reproducible everywhere, no RNG state. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane$plane:"), dim.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit((1L << 32).toDouble)) * 2.0 - 1.0
+
+  /** Sign-bit signature of a vector against `nPlanes` pseudo-hyperplanes. */
+  def lshSignature(vec: Column, nPlanes: Int): Column =
+    array((0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0.0, 1).otherwise(0)
+    }: _*)
+
+  /** Band keys over the sign signature (same banding idea as MinHash-LSH):
+    * vectors agreeing on all bits of any band become candidates. */
+  def lshBandKeys(vec: Column, nBands: Int, bitsPerBand: Int): Column = {
+    val sig = lshSignature(vec, nBands * bitsPerBand)
+    transform(sequence(lit(0), lit(nBands - 1)),
+      b => concat(lit("b"), b, lit(":"),
+        array_join(slice(sig, b * bitsPerBand + 1, lit(bitsPerBand)), "")))
+  }
+
+  /**
+   * Approximate top-k: candidates from LSH bucket collisions, exact cosine
+   * re-rank within candidates. Recall < 1 by construction; increase
+   * bands / lower bitsPerBand to raise it (measured against
+   * [[bruteForceTopK]] in SimilaritySpec).
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nBands: Int = 8, bitsPerBand: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              roundTo: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(lshBandKeys(col(vecCol), nBands, bitsPerBand)).as("band_key"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      explode(lshBandKeys(col(vecCol), nBands, bitsPerBand)).as("band_key"))
+    val cands = c.join(broadcast(q), Seq("band_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"), col("c_vec"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), roundTo))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs within one table: all (a < b) pairs
+   * with rounded cosine ≥ threshold. Exact all-pairs form for bounded inputs;
+   * the scale path is the same predicate over [[lshTopK]]-style candidates.
+   */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         roundTo: Int = 4): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), roundTo))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

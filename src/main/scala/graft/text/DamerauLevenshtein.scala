@@ -141,6 +141,56 @@ object DamerauLevenshtein {
   }
 
   /**
+   * Unrestricted (true) Damerau-Levenshtein distance — Lowrance-Wagner DP
+   * with the last-occurrence table, allowing edits between transposed
+   * characters (e.g. "CA"→"ABC" = 2, where the reference's restricted/OSA
+   * form gives 3).
+   *
+   * The reference implements only the restricted form
+   * (`/root/reference/src/util/edit_distance.py:53-55` — single adjacent-swap
+   * case); this variant exists because the external oracle (DuckDB
+   * `damerau_levenshtein`) computes TRUE DL, so oracle-checked queries use
+   * this kernel while reference-semantics paths use [[distance]]. Always
+   * `distanceUnrestricted(a,b) <= distance(a,b)` (property-tested).
+   */
+  def distanceUnrestricted(s1: String, s2: String): Int = {
+    val a = codePoints(s1)
+    val b = codePoints(s2)
+    val m = a.length
+    val n = b.length
+    if (m == 0) return n
+    if (n == 0) return m
+    val inf = m + n
+    // d is (m+2) x (n+2), offset by 1: d(i+1)(j+1) corresponds to prefix (i, j)
+    val d = Array.ofDim[Int](m + 2, n + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= m) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
+    var j = 0
+    while (j <= n) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
+    val da = new java.util.HashMap[Int, Int]() // code point -> last row seen
+    i = 1
+    while (i <= m) {
+      var db = 0
+      j = 1
+      while (j <= n) {
+        val k = da.getOrDefault(b(j - 1), 0)
+        val l = db
+        val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trans = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
+        j += 1
+      }
+      da.put(a(i - 1), i)
+      i += 1
+    }
+    d(m + 1)(n + 1)
+  }
+
+  /**
    * Normalized distance `dist / len(correct)` (code points).
    * Reference: edit_distance.py:126-131. Guards the `len(correct)==0`
    * division (the reference crashes without its eval-side filter,

@@ -1,0 +1,104 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators of the training-data pipeline — language ID,
+ * quality scoring, token counting, fingerprinting — over `documents`-shaped
+ * text columns.
+ *
+ * Everything here is a pure Column expression (whole-stage codegen, no UDFs),
+ * deterministic, and mirrors 1:1 into portable ANSI-ish SQL so each operator
+ * is oracle-checkable (see SparkEntry.oracleSql). Per-row only — no shuffles;
+ * these run scan-side at 100 TB and cost one pass.
+ */
+object TextAnalysis {
+
+  /**
+   * Character-class language heuristic: script detection first (CJK → zh),
+   * then diacritic marker classes for de/es/fr, default en. This is the
+   * standard cheap first-stage filter of corpus pipelines (full n-gram models
+   * are a broadcast-table upgrade of the same shape: per-class evidence
+   * counts → argmax).
+   */
+  def langId(text: Column): Column = {
+    def hits(cls: String) = size(regexp_extract_all(text, lit(cls), lit(0)))
+    when(hits("[\\u4e00-\\u9fff]") > 0, "zh")
+      .when(hits("[äöüßÄÖÜ]") > 0, "de")
+      .when(hits("[áíóúñ¿¡]") > 0, "es")
+      .when(hits("[àâçêëîïôùûœ]") > 0, "fr")
+      .otherwise("en")
+  }
+
+  /** Whitespace token count (Python `str.split()` semantics: empty → 0). */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and single
+    * non-alnum glyphs — the standard pre-tokenizer regex shape. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Fraction of characters that are ASCII letters or space. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      size(regexp_extract_all(lower(text), lit("[a-z ]"), lit(0))).cast("double") / length(text))
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      size(regexp_extract_all(text, lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0))).cast("double") / length(text))
+
+  /** English stopword-hit ratio over whitespace tokens (tiny embedded list —
+    * a quality signal: natural prose has a stable stopword mass). */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+    val hits = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    when(size(toks) === 0, 0.0).otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Mean whitespace-token length in characters (0 for empty text). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / size(toks))
+  }
+
+  /**
+   * Composite quality score in [0, 1]: length band + alpha mass + stopword
+   * presence − punctuation noise. Weights are the documented heuristic, not
+   * learned; the operator shape (bounded per-row score for filter thresholds)
+   * is what the pipeline needs.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(wsTokenCount(text).cast("double") / 100.0, lit(1.0))
+    greatest(least(
+      lenScore * 0.3 + alphaRatio(text) * 0.4 + stopwordRatio(text) * 0.3
+        - punctRatio(text) * 0.5,
+      lit(1.0)), lit(0.0))
+  }
+
+  /** 128-bit content fingerprint (md5 hex of the normalized text) — exact
+    * dedup / lineage key. */
+  def contentFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /**
+   * 31-bit polynomial rolling fingerprint over code points
+   * (`h = h*131 + cp mod 2^31-1`) — the order-sensitive cousin of
+   * [[contentFingerprint]] (detects reorderings md5-of-sorted-tokens misses;
+   * the building block of winnowing-style near-dup fingerprinting). Pure
+   * Column fold over the code-point array — no UDF. The modulus keeps
+   * `h*131 + cp` far from Long overflow, so the fold is exact and portable.
+   */
+  def rollingFingerprint(text: Column): Column = {
+    val mod = lit(2147483647L) // 2^31 - 1
+    aggregate(
+      transform(filter(split(text, ""), ch => length(ch) > 0), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (h, cp) => pmod(h * 131L + cp, mod))
+  }
+}

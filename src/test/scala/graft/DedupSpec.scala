@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "The  quick Brown fox jumps over the lazy dog"), // exact dup after normalization
+    (2L, "the quick brown fox jumps over the lazy cat"),  // near dup (1 token differs)
+    (3L, "spark shuffles partitions across the cluster nodes"),
+    (4L, "completely different text about query optimizers and joins"),
+    (5L, "spark shuffles partitions across the cluster nodes")  // exact dup of 3
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: normalized-equal texts collapse to the min-id survivor") {
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length == 4) // 6 docs, two pairs collapse
+    val dups = groups.filter(_.getAs[Long]("n_docs") > 1).map(_.getAs[Long]("keep_id")).sorted
+    assert(dups.toSeq == Seq(0L, 3L))
+    val kept = Dedup.dedupExact(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L, 4L))
+  }
+
+  test("word shingles: correct k-gram set and short-text fallback") {
+    val sh = docs.filter($"doc_id" === 0)
+      .select(Dedup.wordShingles($"text", 3).as("sh")).as[Seq[String]].head()
+    assert(sh.head == "the quick brown" && sh.last == "the lazy dog")
+    assert(sh.length == 9 - 3 + 1)
+    val short = Seq((0L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.wordShingles($"text", 3).as("sh")).as[Seq[String]].head()
+    assert(short == Seq("two words"))
+  }
+
+  test("minhash: identical texts share the full signature; near-dups share most of it") {
+    val sig = docs.select($"doc_id", Dedup.minHashSignature($"text", 3, 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(0L) == sig(1L)) // normalization-equal
+    assert(sig(3L) == sig(5L))
+    val agree02 = sig(0L).zip(sig(2L)).count { case (a, b) => a == b }
+    val agree04 = sig(0L).zip(sig(4L)).count { case (a, b) => a == b }
+    assert(agree02 > agree04, s"near-dup should agree more: $agree02 vs $agree04")
+  }
+
+  test("LSH candidate pairs find the exact and near duplicates, jaccard verifies") {
+    val pairs = Dedup.lshCandidatePairs(docs, shingleK = 3, nBands = 8, rowsPerBand = 2)
+    val got = pairs.as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)))
+    assert(got.contains((3L, 5L)))
+    val verified = Dedup.jaccardVerify(docs, pairs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified((0L, 1L)) == 1.0)
+    assert(verified((3L, 5L)) == 1.0)
+    verified.get((0L, 2L)).foreach(j => assert(j > 0.3 && j < 1.0))
+  }
+
+  test("ngram jaccard on explicit pairs: identity = 1, disjoint = 0") {
+    val pairs = Seq(
+      ("the quick brown fox", "the quick brown fox", "same"),
+      ("the quick brown fox", "totally unrelated words here", "disjoint")
+    ).toDF("text_a", "text_b", "label")
+    val out = pairs.select($"label", Dedup.ngramJaccardForPairs("text_a", "text_b", 2).as("j"))
+      .as[(String, Double)].collect().toMap
+    assert(out("same") == 1.0)
+    assert(out("disjoint") == 0.0)
+  }
+
+  test("simhash: equal for identical text, closer hamming for near-dups than unrelated") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val sh = docs.select($"doc_id", Dedup.simHash32($"text").as("h")).as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh(3L) == sh(5L))
+    assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(4L)))
+    val groups = Dedup.simHashGroups(docs).collect()
+    assert(groups.exists(r => r.getAs[Long]("n_docs") >= 2))
+  }
+}

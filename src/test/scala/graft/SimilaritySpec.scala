@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gen.DetRng
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic clustered vectors: 4 well-separated centers + small noise,
+    * so true nearest neighbors are in-cluster. */
+  private lazy val vecs = {
+    val dim = 16
+    val rows = (0 until 80).map { i =>
+      val cluster = i % 4
+      val rng = DetRng.forKey(s"vec$i", 7L)
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d / 4 == cluster) 5.0f else 0.0f
+        center + (rng.nextDouble().toFloat - 0.5f) * 0.5f
+      }
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding").cache()
+  }
+
+  test("cosine: self-similarity 1, orthogonal ~0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val sims = df.select(round(Similarity.cosine($"a", $"b"), 6).as("s")).as[Double].collect()
+    assert(sims(0) == 1.0 && sims(1) == 0.0)
+  }
+
+  test("brute-force top-k returns in-cluster neighbors, deterministic ranking") {
+    val q = vecs.filter($"vec_id" < 4) // one query per cluster
+    val top = Similarity.bruteForceTopK(q, vecs, k = 5).collect()
+    assert(top.length == 4 * 5)
+    top.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      val nid = r.getAs[Long]("neighbor_id")
+      assert(nid % 4 == qid % 4, s"neighbor $nid not in cluster of query $qid")
+      assert(r.getAs[Double]("sim") > 0.9)
+    }
+    // determinism: two runs identical
+    val again = Similarity.bruteForceTopK(q, vecs, k = 5).collect()
+    assert(top.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("LSH top-k recall vs brute force is high on clustered data") {
+    val q = vecs.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(q, vecs, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopK(q, vecs, k = 3, nBands = 8, bitsPerBand = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall too low: $recall")
+  }
+
+  test("cosine near-dup pairs: in-cluster pairs pass the threshold, cross-cluster don't") {
+    val pairs = Similarity.cosineNearDupPairs(vecs.filter($"vec_id" < 20), threshold = 0.9)
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") % 4 == r.getAs[Long]("id_b") % 4)
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.textanalysis.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId: script/diacritic detection per class") {
+    val df = Seq(
+      ("hello plain english text", "en"),
+      ("das ist schön für müller", "de"),
+      ("mañana está aquí señor", "es"),
+      ("être à côté de la fenêtre", "fr"),
+      ("这是中文文本", "zh")
+    ).toDF("text", "expected")
+    val out = df.select($"expected", TextAnalysis.langId($"text").as("got"))
+      .as[(String, String)].collect()
+    out.foreach { case (exp, got) => assert(got == exp, s"expected $exp got $got") }
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq(("the cat, sat!  on 42 mats", 0)).toDF("text", "u")
+    val r = df.select(
+      TextAnalysis.wsTokenCount($"text").as("ws"),
+      TextAnalysis.bpeTokenCount($"text").as("bpe")).head()
+    assert(r.getInt(0) == 6)
+    // [the][cat][,][sat][!][on][42][mats] = 8
+    assert(r.getInt(1) == 8)
+    val empty = Seq(("", 0)).toDF("text", "u")
+      .select(TextAnalysis.wsTokenCount($"text")).head().getInt(0)
+    assert(empty == 0)
+  }
+
+  test("quality score: natural prose beats punctuation soup, bounded [0,1]") {
+    val df = Seq(
+      ("good", "the quick brown fox jumps over the lazy dog and runs on the hill for a while"),
+      ("bad", "@@@ ### !!! ;;; ::: %%% ^^^ &&& *** ((( )))")
+    ).toDF("label", "text")
+    val scores = df.select($"label", TextAnalysis.qualityScore($"text").as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(scores("good") > scores("bad"))
+    scores.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
+  }
+
+  test("stopword ratio: exact fraction") {
+    val r = Seq(("the cat and the dog", 0)).toDF("text", "u")
+      .select(TextAnalysis.stopwordRatio($"text")).head().getDouble(0)
+    assert(r == 3.0 / 5.0) // the, and, the
+  }
+
+  test("fingerprints: whitespace/case-insensitive md5, order-sensitive rolling") {
+    val df = Seq(
+      (0L, "Hello  World"),
+      (1L, "hello world"),   // same md5 fingerprint after normalization
+      (2L, "world hello")    // same bag of words, different order
+    ).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextAnalysis.contentFingerprint($"text").as("fp"),
+      TextAnalysis.rollingFingerprint($"text").as("rfp"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fps(0L)._1 == fps(1L)._1)
+    assert(fps(1L)._1 != fps(2L)._1)
+    assert(fps(1L)._2 != fps(2L)._2) // rolling hash is order-sensitive
+  }
+
+  test("rolling fingerprint matches a plain Scala reimplementation") {
+    val texts = Seq("abc", "the quick brown fox", "a", "")
+    def expected(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 131 + c.toLong) % 2147483647L)
+    val got = texts.toDF("text").select(TextAnalysis.rollingFingerprint($"text"))
+      .as[Long].collect()
+    texts.zip(got).foreach { case (t, g) => assert(g == expected(t), s"for '$t'") }
+  }
+}

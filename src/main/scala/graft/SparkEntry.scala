@@ -133,12 +133,8 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(tbl(s, dir, "documents"))),
 
-    "q_minhash" -> ((s, dir) => {
-      val sig = Dedup.minHashSignature(col("text"), shingleK = 3, nHashes = 4)
-      tbl(s, dir, "documents").select(col("doc_id"),
-        element_at(sig, 1).as("h0"), element_at(sig, 2).as("h1"),
-        element_at(sig, 3).as("h2"), element_at(sig, 4).as("h3"))
-    }),
+    "q_minhash" -> ((s, dir) =>
+      Dedup.minHashSignatures(tbl(s, dir, "documents"), shingleK = 3, nHashes = 4)),
 
     "q_lsh_bands" -> ((s, dir) =>
       Dedup.lshBands(tbl(s, dir, "documents"), shingleK = 3, nBands = 4, rowsPerBand = 2)),

@@ -51,11 +51,12 @@ object DictionaryCorrector {
     spark.sparkContext.broadcast(new DictionaryModel(vocab, minFrequency))
   }
 
-  /** Path 1: broadcast kernel with per-partition memoization. */
+  /** Path 1: broadcast kernel with executor-wide memoization (one memo per
+    * deserialized model instance = per executor JVM, shared across tasks). */
   final class BroadcastDictionaryCorrector(bc: Broadcast[DictionaryModel]) extends Corrector {
     override def correctTexts(texts: Iterator[String]): Iterator[String] = {
       val model = bc.value
-      val memo = new java.util.HashMap[String, String]()
+      val memo = model.memo
       texts.map { text =>
         val toks = text.trim.split("\\s+")
         if (toks.length == 1 && toks(0).isEmpty) ""

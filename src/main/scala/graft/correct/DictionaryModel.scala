@@ -34,6 +34,9 @@ final class DictionaryModel(
   @transient private lazy val maxLen: Int =
     if (byLength.isEmpty) 0 else byLength.keys.max
 
+  /** Executor-wide inference memo (see NoisyChannelModel.memo). */
+  @transient lazy val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def isEmpty: Boolean = !vocab.exists(_._2 >= minFrequency)
 
   def contains(token: String): Boolean =

@@ -13,45 +13,65 @@ import scala.collection.mutable
  * (BASELINE.json north_star: "broadcast dictionary trie with
  * Levenshtein-automaton candidate generation").
  */
-final class TokenTrie private (root: TokenTrie.Node) extends Serializable {
+final class TokenTrie private (root: TokenTrie.Node, val maxDepth: Int) extends Serializable {
 
-  /** All (word, freq, dist) with dist(word, token) <= maxDist. */
+  /**
+   * All (word, freq, dist) with dist(word, token) <= maxDist.
+   *
+   * DP rows live in a per-search stack indexed by trie depth (siblings reuse
+   * the same buffer once the previous subtree unwinds) — one allocation per
+   * search instead of one per visited node, which matters: wide searches over
+   * merged tokens visit thousands of nodes, and per-node allocation makes the
+   * kernel GC-bound at high parallelism.
+   */
   def searchWithin(token: String, maxDist: Int): mutable.ArrayBuffer[(String, Long, Int)] = {
     val t = token.codePoints().toArray
     val n = t.length
     val out = mutable.ArrayBuffer.empty[(String, Long, Int)]
-    val row0 = Array.tabulate(n + 1)(identity) // empty-prefix row
+    val depthCap = math.min(maxDepth, n + maxDist) + 2
+    val rows = Array.ofDim[Int](depthCap + 1, n + 1)
+    var j = 0
+    while (j <= n) { rows(0)(j) = j; j += 1 }
+    val chars = new Array[Int](depthCap + 1) // node char per depth (for swap)
 
-    def dfs(node: TokenTrie.Node, nodeChar: Int, row: Array[Int], parentRow: Array[Int]): Unit = {
+    // depth d = number of trie chars consumed; rows(d) = DP row of that prefix
+    def dfs(node: TokenTrie.Node, d: Int): Unit = {
+      if (d + 1 > depthCap) return // any deeper word exceeds maxDist by length
+      val row = rows(d)
+      val parentRow = if (d >= 1) rows(d - 1) else null
+      val nodeChar = if (d >= 1) chars(d) else -1
       var i = 0
       while (i < node.childChars.length) {
         val ch = node.childChars(i)
         val child = node.childNodes(i)
-        val childRow = new Array[Int](n + 1)
+        val childRow = rows(d + 1)
         childRow(0) = row(0) + 1
         var minV = childRow(0)
-        var j = 1
-        while (j <= n) {
-          val ins = childRow(j - 1) + 1
-          val del = row(j) + 1
-          val sub = row(j - 1) + (if (ch == t(j - 1)) 0 else 1)
+        var jj = 1
+        while (jj <= n) {
+          val ins = childRow(jj - 1) + 1
+          val del = row(jj) + 1
+          val sub = row(jj - 1) + (if (ch == t(jj - 1)) 0 else 1)
           var v = math.min(math.min(ins, del), sub)
-          if (j >= 2 && nodeChar != -1 && ch == t(j - 2) && nodeChar == t(j - 1)) {
-            val swap = parentRow(j - 2) + 1
+          if (jj >= 2 && nodeChar != -1 && ch == t(jj - 2) && nodeChar == t(jj - 1)) {
+            val swap = parentRow(jj - 2) + 1
             if (swap < v) v = swap
           }
-          childRow(j) = v
+          childRow(jj) = v
           if (v < minV) minV = v
-          j += 1
+          jj += 1
         }
         if (child.word != null && childRow(n) <= maxDist)
           out += ((child.word, child.freq, childRow(n)))
-        if (minV <= maxDist) dfs(child, ch, childRow, row)
+        if (minV <= maxDist) {
+          chars(d + 1) = ch
+          dfs(child, d + 1)
+        }
         i += 1
       }
     }
     if (root.word != null && n <= maxDist) out += ((root.word, root.freq, n))
-    dfs(root, -1, row0, row0)
+    dfs(root, 0)
     out
   }
 }
@@ -79,12 +99,14 @@ object TokenTrie {
 
   def build(words: Iterable[(String, Long)]): TokenTrie = {
     val root = new Node
+    var maxDepth = 0
     words.foreach { case (w, f) =>
       var node = root
       w.codePoints().forEach(cp => node = node.childFor(cp))
       node.word = w
       node.freq = f
+      maxDepth = math.max(maxDepth, w.codePointCount(0, w.length))
     }
-    new TokenTrie(root)
+    new TokenTrie(root, maxDepth)
   }
 }

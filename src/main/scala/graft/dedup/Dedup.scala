@@ -67,9 +67,13 @@ object Dedup {
   }
 
   /**
-   * MinHash signature: for each of `nHashes` seeded hash functions, the
-   * minimum over the doc's shingle set. Computed per row as a pure expression
-   * (array_min over transform) — narrow, codegen'd, no shuffle.
+   * MinHash signature as a single array expression: for each of `nHashes`
+   * seeded hash functions, the minimum over the doc's shingle set.
+   * Narrow and shuffle-free, but the shingle subexpression is INLINED once
+   * per hash by Catalyst (CollapseProject), so codegen size grows with
+   * `nHashes` — fine for per-row use with a handful of hashes; for real
+   * signature widths use [[minHashSignatures]], whose expression tree is
+   * linear.
    */
   def minHashSignature(c: Column, shingleK: Int, nHashes: Int): Column = {
     val sh = wordShingles(c, shingleK)
@@ -79,19 +83,35 @@ object Dedup {
     }: _*)
   }
 
+  /**
+   * MinHash signatures via explode + min-aggregation: one row per doc with
+   * columns `h0..h{n-1}`. The shingle set is computed ONCE per doc, each
+   * hash is one scalar expression over the exploded rows, and the aggregation
+   * is a standard partial+final hash agg — the shuffle carries only
+   * (id, n×8 bytes). This is the scale path: expression tree and codegen are
+   * linear in `nHashes`, and the 100 TB-input cost is one scan + one compact
+   * shuffle.
+   */
+  def minHashSignatures(docs: DataFrame, shingleK: Int, nHashes: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(wordShingles(col(textCol), shingleK)).as("sh"))
+    val aggs = (0 until nHashes).map(seed => min(seededHash(col("sh"), seed)).as(s"h$seed"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** LSH band keys: the signature split into `nBands` bands of `rowsPerBand`,
     * each band hashed to a compact 16-byte key. Output: one row per
-    * (doc, band). */
+    * (doc, band). Built on [[minHashSignatures]]. */
   def lshBands(docs: DataFrame, shingleK: Int, nBands: Int, rowsPerBand: Int,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sig = minHashSignature(col(textCol), shingleK, nBands * rowsPerBand)
-    docs
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(nBands - 1)),
-          b => md5(concat(lit("b"), b.cast("string"), lit(":"),
-            array_join(transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-              h => h.cast("string")), ","))))
-      ).as(Seq("band", "band_key")))
+    val sig = minHashSignatures(docs, shingleK, nBands * rowsPerBand, idCol, textCol)
+    val bandKeys = (0 until nBands).map { b =>
+      md5(concat(lit("b"), lit(b).cast("string"), lit(":"),
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"h${b * rowsPerBand + r}").cast("string")): _*)))
+    }
+    sig.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
   }
 
   /**

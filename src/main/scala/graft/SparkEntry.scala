@@ -41,7 +41,13 @@ object SparkEntry {
     a.join(b, Seq("doc_id"))
   }
 
-  private val dlTrue = udf((a: String, b: String) => DamerauLevenshtein.distanceUnrestricted(a, b))
+  /** Native Catalyst expression (codegen'd, stays inside the WholeStageCodegen
+    * span — see DamerauLevenshteinExpr): true DL, matching the DuckDB oracle's
+    * damerau_levenshtein. Registration is idempotent per session. */
+  private def dlTrue(s: SparkSession)(a: Column, b: Column): Column = {
+    org.apache.spark.sql.graft.DamerauLevenshteinExpr.register(s)
+    call_function("dl_distance_true", a, b)
+  }
 
   /** Flagship query on sf=0.001 scale: the full correction pipeline — generate
     * interleaved docs, train the vocabulary on clean train-split text, correct
@@ -112,18 +118,18 @@ object SparkEntry {
 
     "q_damerau" -> ((s, dir) =>
       consecutivePairs(tbl(s, dir, "documents"), 60)
-        .select(col("doc_id"), dlTrue(col("ta"), col("tb")).cast("long").as("dl"))),
+        .select(col("doc_id"), dlTrue(s)(col("ta"), col("tb")).cast("long").as("dl"))),
 
     "q_cer_rows" -> ((s, dir) =>
       consecutivePairs(tbl(s, dir, "documents"), 60)
         .select(col("doc_id"),
-          dlTrue(col("ta"), col("tb")).cast("long").as("dist"),
-          round(dlTrue(col("ta"), col("tb")).cast("double") / length(col("tb")), 4).as("norm_dist"))),
+          dlTrue(s)(col("ta"), col("tb")).cast("long").as("dist"),
+          round(dlTrue(s)(col("ta"), col("tb")).cast("double") / length(col("tb")), 4).as("norm_dist"))),
 
     "q_cer_summary" -> ((s, dir) => {
       val rows = consecutivePairs(tbl(s, dir, "documents"), 60)
-        .select(dlTrue(col("ta"), col("tb")).cast("long").as("dist"),
-          (dlTrue(col("ta"), col("tb")).cast("double") / length(col("tb"))).as("norm"))
+        .select(dlTrue(s)(col("ta"), col("tb")).cast("long").as("dist"),
+          (dlTrue(s)(col("ta"), col("tb")).cast("double") / length(col("tb"))).as("norm"))
       rows.agg(count(lit(1)).as("n"), sum(col("dist")).as("sum_dist"),
         sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_perfect"),
         round(avg(col("norm")), 4).as("avg_norm"))
@@ -143,7 +149,7 @@ object SparkEntry {
       Dedup.lshCandidatePairs(tbl(s, dir, "documents"), shingleK = 3, nBands = 4, rowsPerBand = 2)),
 
     "q_simhash" -> ((s, dir) =>
-      tbl(s, dir, "documents").select(col("doc_id"), Dedup.simHash32(col("text")).as("simhash"))),
+      Dedup.simHash32Relational(tbl(s, dir, "documents"))),
 
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")

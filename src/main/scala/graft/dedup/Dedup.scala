@@ -193,6 +193,29 @@ object Dedup {
       lit(0L), (a, x) => a + x)
   }
 
+  /**
+   * Relational SimHash: tokens exploded, md5 computed ONCE per token
+   * occurrence, 32 conditional ±1 sums in one partial+final hash agg, bits
+   * recombined from the per-lane sums. Identical output to [[simHash32]];
+   * this is the scale/bench path — the per-row HOF fold evaluates an
+   * interpreted lambda per (token × lane) and allocates a 32-slot array per
+   * token, while this form is one codegen'd aggregate over (id, hv) rows.
+   */
+  def simHash32Relational(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val hv = docs.select(col(idCol),
+      explode(split(normalizeText(col(textCol)), " ")).as("tok"))
+      .select(col(idCol), conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("hv"))
+    val laneSums = (0 until 32).map { b =>
+      sum(when(col("hv").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"s$b")
+    }
+    hv.groupBy(col(idCol))
+      .agg(laneSums.head, laneSums.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** SimHash near-dup candidates: equal full signature (hamming distance 0)
     * — for tolerance, join on rotated sub-keys instead (same band pattern as
     * LSH). One shuffle on the 4-byte signature. */

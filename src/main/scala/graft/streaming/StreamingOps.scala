@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.correct.Corrector
+import graft.dedup.Dedup
+import graft.model.{Doc, Span}
+
+/**
+ * Structured Streaming forms of the pipeline's operators.
+ *
+ * The reference is pure batch (SURVEY.md §2.9); these exist because the
+ * production shape of a corpus pipeline ingests continuously. Design rules:
+ *
+ *  - The correction kernel is applied WITHIN each document row
+ *    (`mapPartitions` over whole docs, spans corrected in place) — no
+ *    explode/regroup, so the streaming query needs no shuffle or state for
+ *    correction itself and span order is trivially preserved. This is the
+ *    same kernel slot as the batch path (equivalence-tested in
+ *    StreamingSpec); the batch pipeline keeps the explode→reassemble form
+ *    because batch can afford the shuffle and gains per-span parallelism for
+ *    pathological documents.
+ *  - Deduplication uses watermarked `dropDuplicates` on the content
+ *    fingerprint — bounded state, the streaming analog of D1.
+ *  - Sessionization uses event-time `session_window` aggregation with a
+ *    watermark — bounded state, late data handled by the watermark.
+ */
+object StreamingOps {
+
+  /** Correct text spans inside each doc row; media spans untouched.
+    * Narrow, stateless — works identically on batch and streaming Datasets. */
+  def correctDocs(docs: Dataset[Doc], corrector: Corrector): Dataset[Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      it.map { d =>
+        val corrected = d.spans.map { s =>
+          if (s.kind == Span.KindText) s.copy(text = corrector.correctText(s.text))
+          else s
+        }
+        Doc(d.doc_id, corrected)
+      }
+    }
+  }
+
+  /** Streaming exact dedup: keep the first doc per content fingerprint within
+    * the watermark horizon. State is bounded by the watermark (fingerprints
+    * older than the horizon are evicted). */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("text_fp", Dedup.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("text_fp")
+
+  /** Watermarked event-time sessionization: one row per (user, session
+    * window) with event count and value sum — the streaming analog of the
+    * batch q_sessionize window query. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Windowed per-language document counts with a watermark — the standard
+    * streaming aggregation shape (tumbling event-time window). */
+  def docRates(docs: DataFrame, tsCol: String, langCol: String,
+               window: String = "1 minute", watermark: String = "5 minutes"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(langCol), org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col(langCol), col("window.start").as("window_start"), col("n_docs"))
+}

@@ -76,4 +76,11 @@ class DedupSpec extends SparkSpec {
     val groups = Dedup.simHashGroups(docs).collect()
     assert(groups.exists(r => r.getAs[Long]("n_docs") >= 2))
   }
+
+  test("relational simhash ≡ per-row HOF simhash") {
+    val hof = docs.select($"doc_id", Dedup.simHash32($"text").as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val rel = Dedup.simHash32Relational(docs).as[(Long, Long)].collect().toMap
+    assert(hof == rel)
+  }
 }

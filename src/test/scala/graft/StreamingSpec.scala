@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.correct.DictionaryCorrector
+import graft.gen.DocGen
+import graft.model.Doc
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("streaming correction ≡ batch correction, span order preserved") {
+    implicit val sqlCtx = spark.sqlContext
+    val noisy = DocGen.docs(spark, 50).collect()
+      .map(d => Doc(d.doc_id, d.noisy_spans)).toSeq
+    val clean = DocGen.docs(spark, 50).toDF()
+
+    val vocab = DictionaryCorrector.trainVocab(clean, "spans", splitFilter = None)
+    val model = DictionaryCorrector.buildModel(spark, vocab, 2)
+    val corrector = DictionaryCorrector.corrector(model)
+
+    // batch result through the same row-level operator
+    val batchOut = StreamingOps.correctDocs(noisy.toDS(), corrector)
+      .collect().map(d => d.doc_id -> d.spans).toMap
+
+    val stream = MemoryStream[Doc]
+    stream.addData(noisy)
+    val q = StreamingOps.correctDocs(stream.toDS(), corrector)
+      .writeStream.format("memory").queryName("corrected_docs")
+      .outputMode(OutputMode.Append()).start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val streamOut = spark.table("corrected_docs").as[Doc]
+      .collect().map(d => d.doc_id -> d.spans).toMap
+    assert(streamOut == batchOut)
+    // media spans untouched, order intact
+    streamOut.values.foreach { spans =>
+      assert(spans.map(_.offset) == spans.map(_.offset).sorted)
+    }
+    // and equivalent to the batch explode→reassemble pipeline
+    val viaPipeline = graft.pipeline.CorrectionPipeline
+      .run(noisy.toDF(), corrector)
+      .as[Doc].collect().map(d => d.doc_id -> d.spans).toMap
+    assert(streamOut == viaPipeline)
+  }
+
+  test("streaming dedup drops repeated fingerprints") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Long)]
+    stream.addData(Seq(
+      (ts(0), "the quick brown fox", 1L),
+      (ts(1), "THE  quick brown fox", 2L), // dup after normalization
+      (ts(2), "something different", 3L)))
+    val df = stream.toDF().toDF("ts", "text", "id")
+    val q = StreamingOps.dedupStream(df, "ts", "text")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val ids = spark.table("deduped").select("id").as[Long].collect().sorted
+    assert(ids.length == 2 && ids.contains(3L))
+  }
+
+  test("watermarked session windows close after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    // user 1: two bursts separated by > 30 min -> two sessions
+    stream.addData(Seq(
+      (1L, ts(0), 1.0), (1L, ts(5), 2.0),
+      (1L, ts(50), 3.0),
+      (2L, ts(10), 4.0)))
+    // late watermark-advancing batch so sessions finalize
+    stream.addData(Seq((9L, Timestamp.valueOf("2026-01-01 14:00:00"), 0.0)))
+    val df = stream.toDF().toDF("user_id", "ts", "value")
+    val q = StreamingOps.sessionize(df, gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val rows = spark.table("sessions")
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rows.contains((1L, 2L, 3.0))) // first burst: 2 events
+    assert(rows.contains((1L, 1L, 3.0))) // second burst
+    assert(rows.contains((2L, 1L, 4.0)))
+  }
+}

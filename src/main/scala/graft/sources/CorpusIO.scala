@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Corpus artifact sinks/scans (SURVEY.md §2.1 S2, S5, S8, S9, S10) — the
+ * file formats the reference materializes between pipeline stages, as
+ * schema-enforced Spark readers/writers.
+ */
+object CorpusIO {
+
+  /** S2 — plain-text corpus: one sentence per line, UTF-8
+    * (`to_plain_text.py:42-46`). */
+  def writePlainText(df: DataFrame, textCol: String, path: String): Unit =
+    df.select(col(textCol)).write.mode("overwrite").text(path)
+
+  def readPlainText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).withColumnRenamed("value", "text")
+
+  /** S5 — split index CSV `(byte_index_clean, byte_index_messy, split)`
+    * becomes `(doc_id, offset, split)` in the columnar model (byte offsets
+    * vanish, SURVEY.md S6). The reference asserts the header on read
+    * (`corrector_dataset.py:25`); here the explicit schema + FAILFAST is the
+    * assertion — a header/type mismatch fails the read, not the query. */
+  val splitSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("offset", IntegerType),
+    StructField("split", StringType)))
+
+  def writeSplitCsv(df: DataFrame, path: String): Unit =
+    df.select(col("doc_id"), col("offset"), col("split"))
+      .write.mode("overwrite").option("header", true).csv(path)
+
+  def readSplitCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(splitSchema)
+      .option("header", true)
+      .option("enforceSchema", false) // verify the file header against the schema
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** S8 — vocabulary model artifact (`dictionary_corrector.py:157-172`
+    * `json.dumps(self.__dict__)`): stored columnar as (token, freq) plus the
+    * min_frequency hyperparameter; the reference's key-set assertion on load
+    * (:168-171) becomes a schema equality check. */
+  val vocabSchema: StructType = StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("freq", LongType, nullable = false),
+    StructField("min_frequency", LongType, nullable = false)))
+
+  def saveVocab(vocabDf: DataFrame, minFrequency: Long, path: String): Unit =
+    vocabDf.select(col("token"), col("freq").cast("long").as("freq"),
+        lit(minFrequency).as("min_frequency"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load + assert the artifact shape; returns (vocabDf, minFrequency). */
+  def loadVocab(spark: SparkSession, path: String): (DataFrame, Long) = {
+    val df = spark.read.parquet(path)
+    val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val want = vocabSchema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(got == want, s"vocab model schema mismatch: got $got, want $want")
+    val mf = df.select(col("min_frequency")).head().getLong(0)
+    (df.select(col("token"), col("freq")), mf)
+  }
+
+  /** S9 — eval-examples CSV `(text_in, text_out, text_correct,
+    * edit_distance)` (`eval.py:39-42,49-60`). */
+  def writeEvalCsv(df: DataFrame, path: String): Unit =
+    df.select(col("text_in"), col("text_out"), col("text_correct"), col("edit_distance"))
+      .write.mode("overwrite").option("header", true).csv(path)
+
+  /** S10 — hyperparameters as a single-row JSON document
+    * (`tune_hyperparameters.py:115-117` / `data_functions.py:79-82`). */
+  def saveHyperparams(spark: SparkSession, params: Map[String, Double], path: String): Unit = {
+    val cols = params.toSeq.sortBy(_._1).map { case (k, v) => lit(v).as(k) }
+    spark.range(1).select(cols: _*).coalesce(1).write.mode("overwrite").json(path)
+  }
+
+  def loadHyperparams(spark: SparkSession, path: String): Map[String, Double] = {
+    val row = spark.read.json(path).head()
+    row.schema.fieldNames.map(n => n -> row.getAs[Any](n).toString.toDouble).toMap
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.CorpusIO
+
+class CorpusIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    Files.createTempDirectory(s"corpusio_$name").resolve("out").toString
+
+  test("S2: plain-text sink/scan round-trips line corpus") {
+    val path = tmp("text")
+    val df = Seq("first sentence", "second sentence").toDF("text")
+    CorpusIO.writePlainText(df, "text", path)
+    val back = CorpusIO.readPlainText(spark, path).as[String].collect().sorted
+    assert(back.toSeq == Seq("first sentence", "second sentence"))
+  }
+
+  test("S5: split CSV round-trip with schema enforcement; corrupt file fails fast") {
+    val path = tmp("split")
+    val df = Seq(("doc0", 0, "train"), ("doc1", 1, "test")).toDF("doc_id", "offset", "split")
+    CorpusIO.writeSplitCsv(df, path)
+    val back = CorpusIO.readSplitCsv(spark, path)
+    assert(back.schema == CorpusIO.splitSchema)
+    assert(back.count() == 2)
+
+    val bad = tmp("badsplit")
+    Seq(("doc0", "train")).toDF("doc_id", "split")
+      .write.option("header", true).csv(bad)
+    intercept[Exception] { CorpusIO.readSplitCsv(spark, bad).collect() }
+  }
+
+  test("S8: vocab model save/load with key-set assertion") {
+    val path = tmp("vocab")
+    val vocab = Seq(("the", 10L), ("cat", 3L)).toDF("token", "freq")
+    CorpusIO.saveVocab(vocab, minFrequency = 2L, path)
+    val (back, mf) = CorpusIO.loadVocab(spark, path)
+    assert(mf == 2L)
+    assert(back.as[(String, Long)].collect().toMap == Map("the" -> 10L, "cat" -> 3L))
+
+    val bad = tmp("badvocab")
+    Seq(("the", 10L)).toDF("token", "freq").write.parquet(bad)
+    intercept[IllegalArgumentException] { CorpusIO.loadVocab(spark, bad) }
+  }
+
+  test("S9: eval CSV has the reference column layout") {
+    val path = tmp("eval")
+    val df = Seq(("in", "out", "correct", 3)).toDF("text_in", "text_out", "text_correct", "edit_distance")
+    CorpusIO.writeEvalCsv(df, path)
+    val back = spark.read.option("header", true).csv(path)
+    assert(back.columns.toSeq == Seq("text_in", "text_out", "text_correct", "edit_distance"))
+  }
+
+  test("S10: hyperparams JSON round-trip") {
+    val path = tmp("hp")
+    val params = Map("min_frequency" -> 2.0, "edit_chance" -> 0.12)
+    CorpusIO.saveHyperparams(spark, params, path)
+    assert(CorpusIO.loadHyperparams(spark, path) == params)
+  }
+}

@@ -248,8 +248,9 @@ object SparkEntry {
       raw"""tk AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS tok,
                 generate_subscripts(string_split($normText, ' '), 1) AS i
          FROM documents)"""
-    def minhashH(expr: String, seed: Int) =
-      raw"CAST(min(('0x' || substr(md5($expr || ':$seed'), 1, 15))::UBIGINT) AS BIGINT)"
+    // affine MinHash family over a 31-bit md5 base hash (see Dedup.minHashSignatures)
+    def minhashH(expr: String, k: Int) =
+      raw"CAST(min(((('0x' || substr(md5($expr), 1, 8))::UBIGINT >> 1) * ${Dedup.minHashA(k)} + ${Dedup.minHashB(k)}) % ${Dedup.MinHashP}) AS BIGINT)"
     val sh3Cte =
       raw"""sh AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
          FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1

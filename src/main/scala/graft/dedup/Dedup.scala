@@ -83,21 +83,35 @@ object Dedup {
     }: _*)
   }
 
+  /** Mersenne-prime modulus of the affine MinHash family (2^61 - 1). */
+  val MinHashP = 2305843009213693951L
+
+  /** Deterministic 31-bit multiplier/offset for hash function `k` — fixed
+    * constants derived from SplitMix64 so both engines can restate them. */
+  def minHashA(k: Int): Long = 1L + 2L * ((graft.gen.DetRng.hash64(s"mha$k") >>> 34) & 0x3FFFFFFFL)
+  def minHashB(k: Int): Long = (graft.gen.DetRng.hash64(s"mhb$k") >>> 33)
+
   /**
    * MinHash signatures via explode + min-aggregation: one row per doc with
-   * columns `h0..h{n-1}`. The shingle set is computed ONCE per doc, each
-   * hash is one scalar expression over the exploded rows, and the aggregation
-   * is a standard partial+final hash agg — the shuffle carries only
-   * (id, n×8 bytes). This is the scale path: expression tree and codegen are
-   * linear in `nHashes`, and the 100 TB-input cost is one scan + one compact
-   * shuffle.
+   * columns `h0..h{n-1}`. The shingle set is computed ONCE per doc, ONE md5
+   * per shingle provides the 31-bit base hash, and the k functions are the
+   * standard affine family `(a_k * base + b_k) mod (2^61-1)` (31-bit base ×
+   * 31-bit odd multiplier stays far from Long overflow, so the arithmetic is
+   * exact and portable to the SQL oracle). The aggregation is a standard
+   * partial+final hash agg — the shuffle carries only (id, n×8 bytes).
+   * This is the scale path: one md5 + n multiply-adds per shingle (the
+   * naive form pays n md5s), codegen linear in `nHashes`.
    */
   def minHashSignatures(docs: DataFrame, shingleK: Int, nHashes: Int,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol),
       explode(wordShingles(col(textCol), shingleK)).as("sh"))
-    val aggs = (0 until nHashes).map(seed => min(seededHash(col("sh"), seed)).as(s"h$seed"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val base = sh.select(col(idCol),
+      shiftright(conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"), 1).as("hb"))
+    val aggs = (0 until nHashes).map { k =>
+      min(pmod(col("hb") * minHashA(k) + minHashB(k), lit(MinHashP))).as(s"h$k")
+    }
+    base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys: the signature split into `nBands` bands of `rowsPerBand`,

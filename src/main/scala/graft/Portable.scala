@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Cross-engine-portable numeric helpers.
+ *
+ * `round(x, 4)` is NOT portable between engines: Spark rounds the shortest
+ * decimal representation of the double (BigDecimal.valueOf → HALF_UP), while
+ * DuckDB rounds the true binary value — a double whose shortest repr is an
+ * exact tie (e.g. 0.71925) rounds up in Spark and down in DuckDB. Observed in
+ * practice (1/5000 rows at sf0.1). `floor(x·10⁴ + 0.5) / 10⁴` uses only
+ * IEEE-exact double ops, so both engines produce bit-identical results; the
+ * oracle SQL mirrors the same formula.
+ */
+object Portable {
+  def roundAt(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * p + 0.5d) / p
+  }
+
+  def round4(c: Column): Column = roundAt(c, 4)
+
+  /** The DuckDB-side spelling of [[round4]] for oracle SQL. */
+  def round4Sql(expr: String): String = s"floor(($expr) * 10000 + 0.5) / 10000"
+}

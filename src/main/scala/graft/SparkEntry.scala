@@ -41,6 +41,18 @@ object SparkEntry {
     a.join(b, Seq("doc_id"))
   }
 
+  /** Synthetic HTML page built from a documents row — constructed with the
+    * same string template as the SQL oracle (see q_html_* in oracleSql). */
+  private def htmlOf: Column = {
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><title>doc-"), id,
+      lit("</title></head><body><nav><a href=\"/h\">home</a></nav><p>"), col("text"),
+      lit("</p><img src=\"media://m"), id,
+      lit("\"/><p>"), col("text"),
+      lit("</p><footer>c</footer></body></html>"))
+  }
+
   /** Native Catalyst expression (codegen'd, stays inside the WholeStageCodegen
     * span — see DamerauLevenshteinExpr): true DL, matching the DuckDB oracle's
     * damerau_levenshtein. Registration is idempotent per session. */
@@ -124,7 +136,7 @@ object SparkEntry {
       consecutivePairs(tbl(s, dir, "documents"), 60)
         .select(col("doc_id"),
           dlTrue(s)(col("ta"), col("tb")).cast("long").as("dist"),
-          round(dlTrue(s)(col("ta"), col("tb")).cast("double") / length(col("tb")), 4).as("norm_dist"))),
+          Portable.round4(dlTrue(s)(col("ta"), col("tb")).cast("double") / length(col("tb"))).as("norm_dist"))),
 
     "q_cer_summary" -> ((s, dir) => {
       val rows = consecutivePairs(tbl(s, dir, "documents"), 60)
@@ -132,7 +144,7 @@ object SparkEntry {
           (dlTrue(s)(col("ta"), col("tb")).cast("double") / length(col("tb"))).as("norm"))
       rows.agg(count(lit(1)).as("n"), sum(col("dist")).as("sum_dist"),
         sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_perfect"),
-        round(avg(col("norm")), 4).as("avg_norm"))
+        Portable.round4(avg(col("norm"))).as("avg_norm"))
     }),
 
     // ---- deduplication (training-data pipeline layer) ----
@@ -157,8 +169,32 @@ object SparkEntry {
       val b = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("text_b"))
       a.join(b, Seq("doc_id"))
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"),
-          round(Dedup.ngramJaccardForPairs("text_a", "text_b", 2), 4).as("jaccard"))
+          Portable.round4(Dedup.ngramJaccardForPairs("text_a", "text_b", 2)).as("jaccard"))
     }),
+
+    // ---- main-content extraction (HTML boilerplate strip) ----
+    // Synthesized page per document row: boilerplate chrome around two known
+    // content paragraphs + one figure. Both engines build the SAME html
+    // string; the Spark side runs the real DOM-heuristic extractor, the
+    // oracle states the expected span rows by construction — so the whole
+    // extraction kernel is oracle-checked, not just the regexes.
+    "q_html_extract" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tbl(s, dir, "documents").select(col("doc_id"), htmlOf.as("html"))
+      graft.extract.Extract.extractDocs(pages).toDF()
+        .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+        .select(col("doc_id"), col("span.offset").cast("long").as("offset"),
+          col("span.kind").as("kind"), col("span.text").as("text"),
+          col("span.media_ref").as("media_ref"))
+    }),
+
+    "q_html_media" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(graft.extract.Extract.mediaRefs(htmlOf)).as("ref"))),
+
+    "q_html_title" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), graft.extract.Extract.title(htmlOf).as("title"))),
 
     // ---- text analysis ----
     "q_langid" -> ((s, dir) =>
@@ -171,11 +207,11 @@ object SparkEntry {
 
     "q_quality" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
-        round(TextAnalysis.alphaRatio(col("text")), 4).as("alpha_ratio"),
-        round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
-        round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
-        round(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_token_len"),
-        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))),
+        Portable.round4(TextAnalysis.alphaRatio(col("text"))).as("alpha_ratio"),
+        Portable.round4(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
+        Portable.round4(TextAnalysis.stopwordRatio(col("text"))).as("stopword_ratio"),
+        Portable.round4(TextAnalysis.meanTokenLen(col("text"))).as("mean_token_len"),
+        Portable.round4(TextAnalysis.qualityScore(col("text"))).as("quality"))),
 
     "q_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
@@ -185,7 +221,7 @@ object SparkEntry {
     // ---- similarity search over embeddings ----
     "q_embed_norm" -> ((s, dir) =>
       tbl(s, dir, "embeddings").select(col("vec_id"),
-        round(Similarity.l2Norm(col("embedding")), 4).as("nrm"))),
+        Portable.round4(Similarity.l2Norm(col("embedding"))).as("nrm"))),
 
     "q_ann_topk" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -242,6 +278,14 @@ object SparkEntry {
     * identically, md5-derived hashes computed the same way. */
   def oracleSql: Map[String, String] = {
     val normText = raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    // the same html template as the Spark-side htmlOf (extraction queries);
+    // NB extraction normalizes block whitespace, hence normText for `text` —
+    // but the page BODY embeds the raw text (both sides identical)
+    val htmlSql =
+      raw"""'<html><head><title>doc-' || CAST(doc_id AS VARCHAR) ||
+         '</title></head><body><nav><a href="/h">home</a></nav><p>' || text ||
+         '</p><img src="media://m' || CAST(doc_id AS VARCHAR) || '"/><p>' || text ||
+         '</p><footer>c</footer></body></html>'"""
     val toks = raw"regexp_split_to_array(trim(text), '\s+')"
     // tokens of the NORMALIZED text (single-space separated, no empties)
     val tokCte =
@@ -320,8 +364,8 @@ object SparkEntry {
       "q_cer_rows" ->
         raw"""SELECT a.doc_id,
              CAST(damerau_levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS BIGINT) AS dist,
-             round(damerau_levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) * 1.0
-                   / length(substr(b.text, 1, 60)), 4) AS norm_dist
+             floor((damerau_levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) * 1.0
+                   / length(substr(b.text, 1, 60))) * 10000 + 0.5) / 10000 AS norm_dist
            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""",
 
       "q_cer_summary" ->
@@ -332,7 +376,7 @@ object SparkEntry {
              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
            SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dist) AS BIGINT) AS sum_dist,
                   CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect,
-                  round(avg(norm), 4) AS avg_norm FROM r""",
+                  floor(avg(norm) * 10000 + 0.5) / 10000 AS avg_norm FROM r""",
 
       "q_dedup_exact" ->
         raw"""SELECT md5($normText) AS text_fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -373,9 +417,27 @@ object SparkEntry {
                      JOIN sh y ON y.doc_id = p.id_b AND y.sh = x.sh
                      GROUP BY p.id_a, p.id_b)
            SELECT p.id_a, p.id_b,
-                  round(COALESCE(ni, 0) * 1.0 / (sa.n + sb.n - COALESCE(ni, 0)), 4) AS jaccard
+                  floor((COALESCE(ni, 0) * 1.0 / (sa.n + sb.n - COALESCE(ni, 0))) * 10000 + 0.5) / 10000 AS jaccard
            FROM pr p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
            LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b""",
+
+      "q_html_extract" ->
+        raw"""WITH base AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents)
+           SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS BIGINT) AS offset,
+                  'text' AS kind, t AS text, '' AS media_ref FROM base
+           UNION ALL
+           SELECT CAST(doc_id AS VARCHAR), CAST(1 AS BIGINT), 'media', '',
+                  'media://m' || CAST(doc_id AS VARCHAR) FROM base
+           UNION ALL
+           SELECT CAST(doc_id AS VARCHAR), CAST(2 AS BIGINT), 'text', t, '' FROM base""",
+
+      "q_html_media" ->
+        raw"""SELECT doc_id, unnest(regexp_extract_all($htmlSql,
+             '<(?:img|video|audio)[^>]*src="([^"]*)"', 1)) AS ref FROM documents""",
+
+      "q_html_title" ->
+        raw"""SELECT doc_id, regexp_extract($htmlSql, '<title>([^<]*)</title>', 1) AS title
+           FROM documents""",
 
       "q_langid" ->
         raw"""SELECT doc_id, CASE
@@ -402,9 +464,9 @@ object SparkEntry {
              len(list_filter(lt, x -> x IN ('the','a','an','and','of','to','in','is','on','for'))) * 1.0 / len(lt) AS stopr,
              list_aggregate(list_transform(t, x -> length(x)), 'sum') * 1.0 / len(t) AS mtl,
              len(t) AS nt FROM f)
-           SELECT doc_id, round(alpha, 4) AS alpha_ratio, round(punct, 4) AS punct_ratio,
-             round(stopr, 4) AS stopword_ratio, round(mtl, 4) AS mean_token_len,
-             round(greatest(least(least(nt / 100.0, 1.0) * 0.3 + alpha * 0.4 + stopr * 0.3 - punct * 0.5, 1.0), 0.0), 4) AS quality
+           SELECT doc_id, floor(alpha * 10000 + 0.5) / 10000 AS alpha_ratio, floor(punct * 10000 + 0.5) / 10000 AS punct_ratio,
+             floor(stopr * 10000 + 0.5) / 10000 AS stopword_ratio, floor(mtl * 10000 + 0.5) / 10000 AS mean_token_len,
+             floor(greatest(least(least(nt / 100.0, 1.0) * 0.3 + alpha * 0.4 + stopr * 0.3 - punct * 0.5, 1.0), 0.0) * 10000 + 0.5) / 10000 AS quality
            FROM g""",
 
       "q_fingerprint" ->
@@ -415,7 +477,7 @@ object SparkEntry {
            FROM documents""",
 
       "q_embed_norm" ->
-        raw"""SELECT vec_id, round(sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS nrm
+        raw"""SELECT vec_id, floor(sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 10000 + 0.5) / 10000 AS nrm
            FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t GROUP BY vec_id""",
 
       "q_ann_topk" ->
@@ -427,7 +489,7 @@ object SparkEntry {
                  FROM (SELECT query_id, neighbor_id, unnest(qv) AS qx, unnest(cv) AS cx FROM p) t
                  GROUP BY query_id, neighbor_id),
            s AS (SELECT query_id, neighbor_id,
-                 round(dot / (nq.nrm * nc.nrm), 4) AS sim FROM d
+                 floor((dot / (nq.nrm * nc.nrm)) * 10000 + 0.5) / 10000 AS sim FROM d
                  JOIN n nq ON nq.vec_id = query_id JOIN n nc ON nc.vec_id = neighbor_id)
            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
@@ -442,9 +504,9 @@ object SparkEntry {
            d AS (SELECT id_a, id_b, sum(CAST(ax AS DOUBLE) * CAST(bx AS DOUBLE)) AS dot
                  FROM (SELECT id_a, id_b, unnest(va) AS ax, unnest(vb) AS bx FROM p) t
                  GROUP BY id_a, id_b)
-           SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS sim FROM d
+           SELECT id_a, id_b, floor((dot / (na.nrm * nb.nrm)) * 10000 + 0.5) / 10000 AS sim FROM d
            JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
-           WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.25""",
+           WHERE floor((dot / (na.nrm * nb.nrm)) * 10000 + 0.5) / 10000 >= 0.25""",
 
       "q1_agg" ->
         raw"""SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -1,0 +1,132 @@
+package graft.extract
+
+import scala.collection.mutable
+
+/**
+ * Minimal, dependency-free HTML block parser — the DOM layer of the
+ * main-content extraction pipeline (north_rule: "HTML boilerplate strip,
+ * PDF/layout parse, DOM heuristics"). Written from scratch: a linear tag
+ * tokenizer + an enclosing-element stack; no external parser libraries exist
+ * in this environment and a full DOM is unnecessary — boilerpipe-style
+ * heuristics need only flat text BLOCKS with (tag path, link-char, media)
+ * annotations, which a single pass provides at parse cost O(|html|).
+ *
+ * Model:
+ *  - Block-level elements (p, div, li, headers, td, article, …) delimit text
+ *    blocks; inline elements (a, b, span, em, …) do not.
+ *  - Characters inside <a> count toward the block's linkChars (link-density
+ *    heuristics). <script>/<style>/comments are dropped entirely.
+ *  - Media elements (img/video/audio/source/embed) yield media items carrying
+ *    their src attribute, positioned in document order between blocks.
+ *  - Ancestor semantic tags (nav/header/footer/aside) are recorded per block.
+ */
+object HtmlParser {
+
+  final case class Block(text: String, linkChars: Int, docPos: Int,
+                         inBoilerplateTag: Boolean, headingLevel: Int) {
+    def textLen: Int = text.length
+    def linkDensity: Double = if (text.isEmpty) 0.0 else linkChars.toDouble / text.length
+  }
+
+  final case class Media(src: String, kind: String, docPos: Int)
+
+  final case class Page(blocks: Vector[Block], media: Vector[Media], title: String)
+
+  private val BlockTags = Set("p", "div", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "td", "th", "tr", "table", "article", "section", "main", "blockquote", "pre",
+    "nav", "header", "footer", "aside", "body", "html", "figure", "figcaption", "br")
+  private val BoilerplateTags = Set("nav", "header", "footer", "aside")
+  private val DropTags = Set("script", "style", "noscript", "template")
+  private val MediaTags = Map("img" -> "image", "video" -> "video", "audio" -> "audio",
+    "source" -> "media", "embed" -> "media")
+
+  private val SrcAttr = """(?i)\bsrc\s*=\s*["']([^"']*)["']""".r
+
+  /** Decode the handful of entities the heuristics care about. */
+  def decodeEntities(s: String): String =
+    s.replace("&nbsp;", " ").replace("&amp;", "&").replace("&lt;", "<")
+      .replace("&gt;", ">").replace("&quot;", "\"").replace("&#39;", "'")
+
+  def parse(html: String): Page = {
+    val blocks = Vector.newBuilder[Block]
+    val media = Vector.newBuilder[Media]
+    var title = ""
+    val text = new StringBuilder
+    var linkChars = 0
+    var docPos = 0
+    var anchorDepth = 0
+    var dropDepth = 0
+    var titleDepth = 0
+    var boilerDepth = 0
+    var headingLevel = 0
+    val titleBuf = new StringBuilder
+
+    def flushBlock(): Unit = {
+      val t = decodeEntities(text.toString).replaceAll("\\s+", " ").trim
+      if (t.nonEmpty) {
+        blocks += Block(t, math.min(linkChars, t.length), docPos,
+          boilerDepth > 0, headingLevel)
+        docPos += 1
+      }
+      text.clear(); linkChars = 0
+    }
+
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val end = html.indexOf('>', i + 1)
+          if (end < 0) { i = n } // unterminated tag: discard the tail
+          else {
+            val rawTag = html.substring(i + 1, end)
+            val closing = rawTag.startsWith("/")
+            val body = if (closing) rawTag.substring(1) else rawTag
+            val name = body.takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+            if (name.nonEmpty) {
+              if (DropTags.contains(name)) {
+                if (closing) dropDepth = math.max(0, dropDepth - 1)
+                else if (!rawTag.endsWith("/")) dropDepth += 1
+              } else if (name == "title") {
+                if (closing) { titleDepth = 0; title = decodeEntities(titleBuf.toString).trim }
+                else titleDepth = 1
+              } else if (MediaTags.contains(name) && !closing) {
+                flushBlock()
+                val src = SrcAttr.findFirstMatchIn(rawTag).map(_.group(1)).getOrElse("")
+                media += Media(src, MediaTags(name), docPos)
+                docPos += 1
+              } else if (name == "a") {
+                if (closing) anchorDepth = math.max(0, anchorDepth - 1) else anchorDepth += 1
+              } else if (BlockTags.contains(name)) {
+                flushBlock()
+                if (BoilerplateTags.contains(name)) {
+                  if (closing) boilerDepth = math.max(0, boilerDepth - 1) else boilerDepth += 1
+                }
+                if (name.length == 2 && name.charAt(0) == 'h' && name.charAt(1).isDigit) {
+                  headingLevel = if (closing) 0 else name.charAt(1) - '0'
+                }
+              }
+              // other inline tags: ignored (text flows through)
+            }
+            i = end + 1
+          }
+        }
+      } else {
+        if (dropDepth == 0) {
+          if (titleDepth > 0) titleBuf.append(c)
+          else {
+            text.append(c)
+            if (anchorDepth > 0) linkChars += 1
+          }
+        }
+        i += 1
+      }
+    }
+    flushBlock()
+    Page(blocks.result(), media.result(), title)
+  }
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.Portable
+
 /**
  * Similarity search over an embedding column (`array<float>`) — the
  * approximate-nearest-neighbor layer of the training-data pipeline, over the
@@ -53,7 +55,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), roundTo))
+      .withColumn("sim", Portable.roundAt(cosine(col("q_vec"), col("c_vec")), roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
@@ -108,7 +110,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     cands
-      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), roundTo))
+      .withColumn("sim", Portable.roundAt(cosine(col("q_vec"), col("c_vec")), roundTo))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
@@ -125,7 +127,7 @@ object Similarity {
     val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), roundTo))
+      .withColumn("sim", Portable.roundAt(cosine(col("vec_a"), col("vec_b")), roundTo))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.extract.{Extract, HtmlParser, MainContent, PdfLayout}
+import graft.gen.HtmlGen
+import graft.model.{Doc, Span}
+
+class ExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("html parser: blocks, link chars, media, title, script stripping") {
+    val html = """<html><head><title>My &amp; Title</title><style>p{}</style></head>
+      |<body><nav><ul><li><a href="/a">home link</a></li></ul></nav>
+      |<p>Real paragraph with enough characters to count as content here.</p>
+      |<img src="media://pic1"/>
+      |<p>Another <b>real</b> paragraph, also long enough to be considered content.</p>
+      |<script>var a = '<p>fake</p>';</script>
+      |<footer>copyright</footer></body></html>""".stripMargin
+    val page = HtmlParser.parse(html)
+    assert(page.title == "My & Title")
+    assert(page.media.map(_.src) == Vector("media://pic1"))
+    val texts = page.blocks.map(_.text)
+    assert(texts.exists(_.startsWith("Real paragraph")))
+    assert(texts.exists(_.startsWith("Another real paragraph")))
+    assert(!texts.exists(_.contains("fake")))
+    val navBlock = page.blocks.find(_.text == "home link").get
+    assert(navBlock.inBoilerplateTag && navBlock.linkDensity == 1.0)
+  }
+
+  test("main-content extraction recovers exactly the generated article spans") {
+    (0L until 40L).foreach { i =>
+      val fix = HtmlGen.page(i)
+      val got = MainContent.extractSpans(fix.html)
+      assert(got.map(s => (s.kind, s.text, s.media_ref)) ==
+        fix.expected.map(s => (s.kind, s.text, s.media_ref)),
+        s"page $i span mismatch")
+      assert(got.map(_.offset) == got.indices.toVector)
+    }
+  }
+
+  test("distributed extraction: span-sequence equality against fixtures") {
+    val n = 60L
+    val pages = HtmlGen.pages(spark, n)
+    val docs = Extract.extractDocs(pages).collect().map(d => d.doc_id -> d.spans).toMap
+    (0L until n).foreach { i =>
+      val fix = HtmlGen.page(i)
+      assert(docs(fix.docId).map(s => (s.kind, s.text, s.media_ref)) ==
+        fix.expected.map(s => (s.kind, s.text, s.media_ref)))
+    }
+  }
+
+  test("extracted docs flow through the correction pipeline unchanged shape") {
+    val pages = HtmlGen.pages(spark, 20)
+    val docs = Extract.extractDocs(pages).toDF()
+    val out = graft.pipeline.CorrectionPipeline.run(docs, graft.correct.NullCorrector)
+    assert(graft.pipeline.CorrectionPipeline.spanSequenceViolations(out, docs).count() == 0)
+  }
+
+  test("media refs / title column extractors match the kernel parser") {
+    val pages = HtmlGen.pages(spark, 25)
+    val viaCol = pages.select($"doc_id", Extract.mediaRefs($"html").as("refs")).
+      as[(String, Seq[String])].collect().toMap
+    (0L until 25L).foreach { i =>
+      val fix = HtmlGen.page(i)
+      val expectedRefs = fix.expected.filter(_.kind == Span.KindMedia).map(_.media_ref)
+      assert(viaCol(fix.docId) == expectedRefs, s"page $i")
+    }
+  }
+
+  test("pdf layout: reading order is column-major, deterministic, media preserved") {
+    val boxes = Seq(
+      PdfLayout.TextBox(0, 0.55, 0.1, "right top", isFigure = false),
+      PdfLayout.TextBox(0, 0.05, 0.3, "left bottom", isFigure = false),
+      PdfLayout.TextBox(0, 0.06, 0.1, "left top", isFigure = false),
+      PdfLayout.TextBox(0, 0.56, 0.3, "media://f1", isFigure = true))
+    val ordered = PdfLayout.readingOrder(boxes).map(_.text)
+    assert(ordered == Seq("left top", "left bottom", "right top", "media://f1"))
+
+    val spans = PdfLayout.toSpans(boxes)
+    assert(spans.map(_.offset) == spans.indices.toVector)
+    assert(spans.count(_.kind == Span.KindMedia) == 1)
+
+    val docs = PdfLayout.extractDocs(spark.range(10).toDF("doc_id"))
+    val a = docs.collect().map(d => d.doc_id -> d.spans).toMap
+    val b = PdfLayout.extractDocs(spark.range(10).toDF("doc_id"))
+      .collect().map(d => d.doc_id -> d.spans).toMap
+    assert(a == b)
+    a.values.foreach(spans => assert(spans.map(_.offset) == spans.indices.toVector))
+  }
+
+  test("single-column pages fall back to pure y-order") {
+    val boxes = Seq(
+      PdfLayout.TextBox(0, 0.1, 0.5, "second", isFigure = false),
+      PdfLayout.TextBox(0, 0.12, 0.1, "first", isFigure = false))
+    assert(PdfLayout.readingOrder(boxes).map(_.text) == Seq("first", "second"))
+  }
+}

@@ -47,29 +47,35 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** One full pipeline run. Timed section = the correction job proper
-    * (explode → mapPartitions kernel → salted reassembly → sink); input
-    * materialization, model training/broadcast (one-off at production scale)
-    * and the CER evaluation job are measured separately.
-    * Returns (nTextSpans, correctionSec, cer, pctPerfect). */
+  /** One full pipeline run over synthetic HTML pages (pathological skew on).
+    * Timed section = the production job: main-content extraction →
+    * simulated-OCR noise → correction kernel → salted reassembly → sink.
+    * Input materialization, model training/broadcast (one-off at production
+    * scale) and the CER evaluation job are measured separately.
+    * Returns (nTextSpans, jobSec, cer, pctPerfect). */
   private def pipelineRun(spark: SparkSession, nDocs: Long): (Long, Double, Double, Double) = {
-    val docs = DocGen.docs(spark, nDocs, pathological = true).toDF().cache()
+    import spark.implicits._
+    val pages = graft.gen.HtmlGen.pages(spark, nDocs, pathological = true).cache()
+    val clean = graft.extract.Extract.extractDocs(pages).toDF().cache()
     try {
-      docs.count() // materialize input outside the timed corrector path
-      val vocab = DictionaryCorrector.trainVocab(docs)
+      pages.count()
+      clean.count() // clean extraction doubles as vocab source + CER truth
+      val vocab = DictionaryCorrector.trainVocab(clean, "spans", splitFilter = None)
       val model = NoisyChannelModel.fromVocabDf(spark, vocab.filter("freq >= 2"), 2)
       val corrector = new NoisyChannelCorrector(model)
       val (_, sec) = time {
+        val extracted = graft.extract.Extract.extractDocs(pages)
+        val noisy = graft.gen.NoiseChannel.noiseDocs(extracted)
         val corrected = CorrectionPipeline
-          .correct(CorrectionPipeline.explodeSpans(docs, "noisy_spans"), corrector)
+          .correct(CorrectionPipeline.explodeSpans(noisy.toDF(), "spans"), corrector)
         CorrectionPipeline.reassembleSalted(corrected)
           .write.mode("overwrite").parquet(s"/tmp/graft_bench_out")
       }
       val out = spark.read.parquet("/tmp/graft_bench_out")
       val m = CorrectionPipeline.cer(
-        CorrectionPipeline.explodeSpans(out, "spans"), docs, "spans")
+        CorrectionPipeline.explodeSpans(out, "spans"), clean, "spans")
       (m.n, sec, m.avgDistance, m.percentPerfect)
-    } finally { docs.unpersist(); () }
+    } finally { pages.unpersist(); clean.unpersist(); () }
   }
 
   def main(args: Array[String]): Unit = {

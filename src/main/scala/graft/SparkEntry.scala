@@ -61,21 +61,23 @@ object SparkEntry {
     call_function("dl_distance_true", a, b)
   }
 
-  /** Flagship query on sf=0.001 scale: the full correction pipeline — generate
-    * interleaved docs, train the vocabulary on clean train-split text, correct
-    * the noisy spans with the broadcast dictionary kernel, reassemble in span
-    * order, and emit per-doc output with the span-sequence payload. */
+  /** Flagship query on sf=0.001 scale: the full engine — synthesize HTML
+    * pages, extract main content (boilerplate strip), pass text spans through
+    * the simulated-OCR channel, correct with the broadcast dictionary kernel,
+    * reassemble in span order, and emit per-doc span sequences. */
   def entry(spark: SparkSession): DataFrame = {
-    import graft.gen.DocGen
-    val docs = DocGen.docs(spark, 300).toDF().cache()
+    val pages = graft.gen.HtmlGen.pages(spark, 200).cache()
+    val clean = graft.extract.Extract.extractDocs(pages).toDF().cache()
     try {
-      val vocab = DictionaryCorrector.trainVocab(docs)
+      clean.count()
+      val vocab = DictionaryCorrector.trainVocab(clean, "spans", splitFilter = None)
       val model = DictionaryCorrector.buildModel(spark, vocab, minFrequency = 2)
-      val out = CorrectionPipeline.run(docs, DictionaryCorrector.corrector(model),
-        spansCol = "noisy_spans")
+      val noisy = graft.gen.NoiseChannel.noiseDocs(
+        graft.extract.Extract.extractDocs(pages))
+      val out = CorrectionPipeline.run(noisy.toDF(), DictionaryCorrector.corrector(model))
       out.select(col("doc_id"), size(col("spans")).as("n_spans"), col("spans"))
         .orderBy(col("doc_id"))
-    } finally docs.unpersist()
+    } finally { pages.unpersist(); clean.unpersist() }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -18,10 +18,18 @@ object HtmlGen {
 
   final case class PageFixture(docId: String, html: String, expected: Vector[Span])
 
-  def page(i: Long): PageFixture = {
+  /** Pathological long-page knob (skew tests): 1 page in [[PathologicalEvery]]
+    * gets [[PathologicalFactor]]× the paragraphs. */
+  val PathologicalEvery  = 997
+  val PathologicalFactor = 40
+
+  def page(i: Long, pathological: Boolean = false): PageFixture = {
     val rng = DetRng.forKey(f"page$i%06d", 0x68746D6CL)
     val docId = f"page$i%06d"
-    val nParas = 3 + rng.nextInt(5)
+    val base = 3 + rng.nextInt(5)
+    val nParas =
+      if (pathological && i % PathologicalEvery == 0) base * PathologicalFactor
+      else base
     val sb = new StringBuilder
     val expected = Vector.newBuilder[Span]
     var off = 0
@@ -56,8 +64,10 @@ object HtmlGen {
     PageFixture(docId, sb.toString, expected.result())
   }
 
-  def pages(spark: org.apache.spark.sql.SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+  def pages(spark: org.apache.spark.sql.SparkSession, n: Long,
+            pathological: Boolean = false): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    spark.range(n).map { i => val p = page(i); (p.docId, p.html) }.toDF("doc_id", "html")
+    spark.range(n).map { i => val p = page(i, pathological); (p.docId, p.html) }
+      .toDF("doc_id", "html")
   }
 }

@@ -64,4 +64,19 @@ object NoiseChannel {
   /** Deterministic per-span corruption keyed by (docId, offset). */
   def mutilateSpan(docId: String, offset: Int, text: String, goodChars: Array[Int]): String =
     mutilate(text, goodChars, DetRng.forKey(docId, offset.toLong, 0x6E6F697365L /* "noise" */))
+
+  /** Corrupt the text spans of a whole doc table (media untouched) — the
+    * simulated-OCR stage between extraction and correction. Narrow map. */
+  def noiseDocs(docs: org.apache.spark.sql.Dataset[graft.model.Doc],
+                goodChars: Array[Int] = DocGen.goodChars): org.apache.spark.sql.Dataset[graft.model.Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.map { d =>
+      graft.model.Doc(d.doc_id, d.spans.map { s =>
+        if (s.kind == graft.model.Span.KindText)
+          s.copy(text = mutilateSpan(d.doc_id, s.offset, s.text, goodChars))
+        else s
+      })
+    }
+  }
 }

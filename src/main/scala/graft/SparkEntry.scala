@@ -174,6 +174,21 @@ object SparkEntry {
           Portable.round4(Dedup.ngramJaccardForPairs("text_a", "text_b", 2)).as("jaccard"))
     }),
 
+    // W4 chunk/reassemble machinery: chunk to 64-char windows, identity
+    // kernel, ordered re-concat — must reproduce the text exactly, so the
+    // oracle is simply the raw text (checks sort_array-based regrouping).
+    "q_chunked_identity" -> ((s, dir) =>
+      TextFunctions.mapChunked(tbl(s, dir, "documents"), Seq("doc_id"), "text", 64, identity)),
+
+    // F8/F9 encode→decode round-trip against a fixed alphabet; chars outside
+    // the alphabet become U+FFFD. The documents corpus is lowercase ASCII +
+    // space ⊂ alphabet, so the oracle is again the raw text.
+    "q_encode_roundtrip" -> ((s, dir) => {
+      val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.decode(TextFunctions.encode(col("text"), alphabet), alphabet).as("text"))
+    }),
+
     // ---- main-content extraction (HTML boilerplate strip) ----
     // Synthesized page per document row: boilerplate chrome around two known
     // content paragraphs + one figure. Both engines build the SAME html
@@ -422,6 +437,12 @@ object SparkEntry {
                   floor((COALESCE(ni, 0) * 1.0 / (sa.n + sb.n - COALESCE(ni, 0))) * 10000 + 0.5) / 10000 AS jaccard
            FROM pr p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
            LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b""",
+
+      "q_chunked_identity" ->
+        "SELECT doc_id, text FROM documents",
+
+      "q_encode_roundtrip" ->
+        "SELECT doc_id, text FROM documents",
 
       "q_html_extract" ->
         raw"""WITH base AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents)

@@ -92,28 +92,79 @@ final class NoisyChannelModel(
 
   def contains(token: String): Boolean = pruned.contains(token)
 
-  /** Noisy-channel token inference. */
+  /** Best single-word candidate within `width`, scored by channel × prior;
+    * returns (word, score) or null. */
+  private def bestWithin(token: String, width: Int): (String, Double) = {
+    val cands = trie.searchWithin(token, width)
+    var bestTok: String = null
+    var bestScore = Double.MinValue
+    cands.foreach { case (w, f, _) =>
+      val score = channelLogProb(token, w) + math.log(f / totalFreq)
+      if (score > bestScore || (score == bestScore && (bestTok == null || w < bestTok))) {
+        bestScore = score; bestTok = w
+      }
+    }
+    if (bestTok == null) null else (bestTok, bestScore)
+  }
+
+  /**
+   * Segmentation hypothesis: the channel deletes/substitutes spaces, merging
+   * adjacent words into one OOV token ("thecat", "thexcat"). Try every split
+   * point, look each side up within edit radius 1, and score the TWO-WORD
+   * clean string with the exact alignment DP (the deleted space is just one
+   * more edit in the script) × both word priors. This is the decoding role
+   * the north_star assigns to beam search, done exactly: the candidate space
+   * is small enough to enumerate, so no beam pruning is needed.
+   */
+  private def splitCandidate(token: String): (String, Double) = {
+    val cps = token.codePoints().toArray
+    if (cps.length < 5) return null
+    var best: String = null
+    var bestScore = Double.MinValue
+    var i = 2
+    while (i <= cps.length - 2) {
+      val left = new String(cps, 0, i)
+      val right = new String(cps, i, cps.length - i)
+      val lc = trie.searchWithin(left, 1)
+      if (lc.nonEmpty) {
+        val rc = trie.searchWithin(right, 1)
+        lc.foreach { case (lw, lf, _) =>
+          rc.foreach { case (rw, rf, _) =>
+            val clean = lw + " " + rw
+            val score = channelLogProb(token, clean) +
+              math.log(lf / totalFreq) + math.log(rf / totalFreq)
+            if (score > bestScore || (score == bestScore && (best == null || clean < best))) {
+              bestScore = score; best = clean
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    if (best == null) null else (best, bestScore)
+  }
+
+  /** Noisy-channel token inference (single word or recovered word pair). */
   def inferToken(token: String): String = {
     if (pruned.isEmpty) return token
     if (contains(token)) return token // exact hit (reference fast path :80)
     var width = 1
-    while (width <= maxWidth) {
-      val cands = trie.searchWithin(token, width)
-      if (cands.nonEmpty) {
-        var bestTok: String = null
-        var bestScore = Double.MinValue
-        cands.foreach { case (w, f, _) =>
-          val score = channelLogProb(token, w) + math.log(f / totalFreq)
-          if (score > bestScore || (score == bestScore && (bestTok == null || w < bestTok))) {
-            bestScore = score; bestTok = w
-          }
-        }
-        return bestTok
-      }
+    while (width <= math.min(2, maxWidth)) {
+      val b = bestWithin(token, width)
+      if (b != null) return b._1
       width += 1
     }
-    // nothing within maxWidth: fall back to the exhaustive nearest-word scan
-    fallback.inferToken(token)
+    // Nothing close as a single word. A successful split (each part within
+    // edit 1 + the merge edit) is near-certainly right vs a 3-edit single
+    // word, so the expensive width-3 trie walk runs only when no split
+    // exists — a documented decode heuristic that keeps the unresolved-token
+    // path cheap.
+    val split = splitCandidate(token)
+    if (split != null) split._1
+    else {
+      val wide = if (maxWidth >= 3) bestWithin(token, 3) else null
+      if (wide != null) wide._1 else fallback.inferToken(token)
+    }
   }
 
   def inferSentence(text: String): String = {

@@ -29,7 +29,7 @@ final class TokenTrie private (root: TokenTrie.Node, val maxDepth: Int) extends 
     val n = t.length
     val out = mutable.ArrayBuffer.empty[(String, Long, Int)]
     val depthCap = math.min(maxDepth, n + maxDist) + 2
-    val rows = Array.ofDim[Int](depthCap + 1, n + 1)
+    val rows = TokenTrie.rowCache.get().acquire(depthCap + 1, n + 1)
     var j = 0
     while (j <= n) { rows(0)(j) = j; j += 1 }
     val chars = new Array[Int](depthCap + 1) // node char per depth (for swap)
@@ -77,6 +77,24 @@ final class TokenTrie private (root: TokenTrie.Node, val maxDepth: Int) extends 
 }
 
 object TokenTrie {
+  /** Per-thread DP-row workspace, grown on demand and reused across searches
+    * — segmentation-aware inference issues ~2·len width-1 searches per merged
+    * token, so per-search allocation shows up as GC pressure at scale. */
+  private final class RowWorkspace {
+    private var rows: Array[Array[Int]] = Array.empty
+    def acquire(nRows: Int, rowLen: Int): Array[Array[Int]] = {
+      if (rows.length < nRows || (rows.length > 0 && rows(0).length < rowLen)) {
+        val r = math.max(nRows, rows.length)
+        val c = math.max(rowLen, if (rows.isEmpty) 0 else rows(0).length)
+        rows = Array.ofDim[Int](r, c)
+      }
+      rows
+    }
+  }
+  private val rowCache = new ThreadLocal[RowWorkspace] {
+    override def initialValue(): RowWorkspace = new RowWorkspace
+  }
+
   private[correct] final class Node extends Serializable {
     var word: String = _
     var freq: Long = 0L

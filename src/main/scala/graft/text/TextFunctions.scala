@@ -37,6 +37,18 @@ object TextFunctions {
     distinctChars(df, textCol).orderBy(col("char"))
       .collect().map(_.getString(0)).mkString
 
+  /** T1 — subset validation: chars of `sub` not present in `sup` (empty ⇔
+    * `sub ⊆ sup`) — the good_chars ⊆ all_chars relationship the reference
+    * maintains by hand (README.md:52-55). */
+  def charSubsetViolations(sub: DataFrame, sup: DataFrame, charCol: String = "char"): DataFrame =
+    sub.select(col(charCol)).except(sup.select(col(charCol)))
+
+  /** T2 — indices of alphabet characters that are whitespace
+    * (`data_functions.py:70-76`). */
+  def whitespaceIndices(alphabet: String): Seq[Int] =
+    alphabet.codePoints().toArray.zipWithIndex
+      .collect { case (cp, i) if Character.isWhitespace(cp) => i }.toSeq
+
   /** F8 — char → index encode against an alphabet; miss → unk = |alphabet|
     * (`data_functions.py:31-39`). Pure column expression: the alphabet rides
     * the plan as a literal array, `array_position` does the lookup. */

@@ -51,6 +51,18 @@ class NoisyChannelCorrectorSpec extends SparkSpec {
     assert(m2.inferToken("thz") == "the") // dist(thz,thx)=1 but prior wins
   }
 
+  test("segmentation: merged tokens split back into word pairs") {
+    val m = new NoisyChannelModel(
+      Map("the" -> 100L, "cat" -> 50L, "table" -> 30L, "spark" -> 40L, "on" -> 20L), 1L, 30)
+    assert(m.inferToken("thecat") == "the cat")      // deleted space
+    assert(m.inferToken("thexcat") == "the cat")     // space substituted
+    assert(m.inferToken("sparktable") == "spark table")
+    assert(m.inferToken("thecaz") == "the cat")      // merge + edit in second word
+    // a near-miss single word must still win over a contrived split
+    assert(m.inferToken("tablex") == "table")
+    assert(m.inferSentence("thecat on thextable") == "the cat on the table")
+  }
+
   test("e2e: noisy-channel corrector beats null and at least matches the dictionary corrector") {
     val docs = DocGen.docs(spark, 400).toDF().cache()
     val vocabDf = DictionaryCorrector.trainVocab(docs).cache()

@@ -7,6 +7,17 @@ import graft.text.TextFunctions.{normalizeWs, tokenize, alphabetString, chunks, 
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("set ops: char subset validation and whitespace indices (T1/T2)") {
+    import spark.implicits._
+    val all = Seq("a", "b", "c", " ").toDF("char")
+    val good = Seq("a", " ").toDF("char")
+    assert(graft.text.TextFunctions.charSubsetViolations(good, all).count() == 0)
+    val bad = Seq("a", "z").toDF("char")
+    assert(graft.text.TextFunctions.charSubsetViolations(bad, all)
+      .as[String].collect().toSeq == Seq("z"))
+    assert(graft.text.TextFunctions.whitespaceIndices("ab c\td") == Seq(2, 4))
+  }
+
   test("normalizeWs collapses runs of any whitespace and trims (F5)") {
     val df = Seq("  a\t\tb \n c ", "x", "", "   ").toDF("t")
     val got = df.select(normalizeWs($"t")).as[String].collect().toSeq

@@ -117,6 +117,80 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) coarse quantizer: deterministic seed centroids (the
+   * first `nCentroids` corpus rows by id) refined by `iterations` Lloyd
+   * steps, every step a relational job — assignment is a broadcast
+   * cross-join + window argmax, re-centering is a posexplode + per-(centroid,
+   * dim) average. Returns (centroids, corpus-with-centroid_id).
+   *
+   * Scale shape: centroids are broadcast-small; the corpus is scanned once
+   * per iteration and once for final assignment; the index table is the
+   * corpus bucketed by `centroid_id` (at production scale: write partitioned
+   * by it, so probes prune partitions).
+   */
+  def ivfIndex(corpus: DataFrame, nCentroids: Int, iterations: Int = 1,
+               idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    var centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("tmp_id"), col(vecCol).cast("array<double>").as("centroid"))
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col("tmp_id"))).cast("int") - 1)
+      .select(col("centroid_id"), col("centroid"))
+
+    def assign(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("csim").desc, col("centroid_id").asc)
+      corpus.join(broadcast(c), lit(true))
+        .withColumn("csim", cosine(col(vecCol), col("centroid")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .drop("csim", "crank", "centroid")
+    }
+
+    var it = 0
+    while (it < iterations) {
+      val assigned = assign(centroids)
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+          s => s("m")).as("centroid"))
+      it += 1
+    }
+    (centroids, assign(centroids))
+  }
+
+  /** IVF approximate top-k: probe the `nProbes` nearest centroids per query,
+    * exact cosine re-rank within the probed buckets only. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbes: Int = 2, iterations: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              roundTo: Int = 4): DataFrame = {
+    val (centroids, assigned) = ivfIndex(corpus, nCentroids, iterations, idCol, vecCol)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("csim", cosine(col("q_vec"), col("centroid")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nProbes)
+      .select(col("query_id"), col("q_vec"), col("centroid_id"))
+    val cands = assigned
+      .select(col("centroid_id"), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("sim", Portable.roundAt(cosine(col("q_vec"), col("c_vec")), roundTo))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs within one table: all (a < b) pairs
    * with rounded cosine ≥ threshold. Exact all-pairs form for bounded inputs;
    * the scale path is the same predicate over [[lshTopK]]-style candidates.

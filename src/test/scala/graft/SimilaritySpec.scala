@@ -57,6 +57,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall too low: $recall")
   }
 
+  test("IVF top-k: high recall vs brute force with few probes on clustered data") {
+    val q = vecs.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(q, vecs, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(q, vecs, k = 3, nCentroids = 8, nProbes = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
+    // determinism across runs
+    val again = Similarity.ivfTopK(q, vecs, k = 3, nCentroids = 8, nProbes = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf == again)
+  }
+
   test("cosine near-dup pairs: in-cluster pairs pass the threshold, cross-cluster don't") {
     val pairs = Similarity.cosineNearDupPairs(vecs.filter($"vec_id" < 20), threshold = 0.9)
       .collect()

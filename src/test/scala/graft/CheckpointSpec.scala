@@ -60,6 +60,33 @@ class CheckpointSpec extends SparkSpec {
     assert(math.abs(mA.sumNormDist - mB.sumNormDist) < 1e-9)
   }
 
+  test("full-pipeline resume: extract(pages) → noise → correct, kill-and-resume identical") {
+    // the checkpointed docs input is the LAZY extraction plan over raw pages —
+    // per-bucket filters re-evaluate extraction only for that bucket's docs,
+    // and determinism makes the kill+resume output byte-identical
+    val pages = graft.gen.HtmlGen.pages(spark, 120).cache()
+    val clean = graft.extract.Extract.extractDocs(pages).toDF()
+    val noisy = graft.gen.NoiseChannel.noiseDocs(graft.extract.Extract.extractDocs(pages)).toDF()
+
+    val (outA, stateA) = freshDirs()
+    intercept[CheckpointedRun.KilledException] {
+      CheckpointedRun.run(spark, noisy, clean, NullCorrector, outA, stateA, "x",
+        spansCol = "spans", nBuckets = 6, groupSize = 2, failAfterGroups = Some(1))
+    }
+    CheckpointedRun.run(spark, noisy, clean, NullCorrector, outA, stateA, "x",
+      spansCol = "spans", nBuckets = 6, groupSize = 2)
+
+    val (outB, stateB) = freshDirs()
+    CheckpointedRun.run(spark, noisy, clean, NullCorrector, outB, stateB, "x",
+      spansCol = "spans", nBuckets = 6, groupSize = 2)
+
+    val a = spark.read.parquet(outA).select("doc_id", "spans")
+    val b = spark.read.parquet(outB).select("doc_id", "spans")
+    assert(CP.spanSequenceViolations(a, b).count() == 0)
+    assert(a.count() == 120 && b.count() == 120)
+    pages.unpersist()
+  }
+
   test("checkpointed dictionary run produces the same CER as the direct pipeline") {
     val (out, state) = freshDirs()
     val vocab = DictionaryCorrector.trainVocab(docs)

@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
  * practice (1/5000 rows at sf0.1). `floor(x·10⁴ + 0.5) / 10⁴` uses only
  * IEEE-exact double ops, so both engines produce bit-identical results; the
  * oracle SQL mirrors the same formula.
+ *
+ * Assumption this rests on: the double being rounded is itself bit-identical
+ * on both engines. Column-expression folds (`aggregate`/`zip_with`) are
+ * explicit left-to-right, and the embedding oracles (q_embed_norm,
+ * q_ann_topk, q_cosine_neardup) use DuckDB `sum()` over unnest — a
+ * sequential scan whose accumulation order has matched the fold on every
+ * verified run, but is not contractually ordered; a sum landing exactly on a
+ * x.00005 boundary after a reordered accumulation could flip the 4th digit.
+ * If that ever bites, pin the oracle to `list_reduce` (explicit left fold).
  */
 object Portable {
   def roundAt(c: Column, digits: Int): Column = {

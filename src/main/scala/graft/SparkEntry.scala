@@ -61,20 +61,25 @@ object SparkEntry {
     call_function("dl_distance_true", a, b)
   }
 
-  /** Flagship query on sf=0.001 scale: the full engine — synthesize HTML
-    * pages, extract main content (boilerplate strip), pass text spans through
-    * the simulated-OCR channel, correct with the broadcast dictionary kernel,
-    * reassemble in span order, and emit per-doc span sequences. */
+  /** Flagship query on sf=0.001 scale: the full engine at its BEST path —
+    * synthesize HTML pages, extract main content (boilerplate strip), pass
+    * text spans through the simulated-OCR channel, correct with the
+    * north-star noisy-channel kernel (trie + exact channel-weighted
+    * alignment + segmentation decoding — CER ≈ 0.035 vs 0.057 for the
+    * dictionary corrector), reassemble in span order, and emit per-doc span
+    * sequences. */
   def entry(spark: SparkSession): DataFrame = {
     val pages = graft.gen.HtmlGen.pages(spark, 200).cache()
     val clean = graft.extract.Extract.extractDocs(pages).toDF().cache()
     try {
       clean.count()
       val vocab = DictionaryCorrector.trainVocab(clean, "spans", splitFilter = None)
-      val model = DictionaryCorrector.buildModel(spark, vocab, minFrequency = 2)
+      val model = graft.correct.NoisyChannelModel.fromVocabDf(
+        spark, vocab.filter(col("freq") >= 2), minFrequency = 2)
       val noisy = graft.gen.NoiseChannel.noiseDocs(
         graft.extract.Extract.extractDocs(pages))
-      val out = CorrectionPipeline.run(noisy.toDF(), DictionaryCorrector.corrector(model))
+      val out = CorrectionPipeline.run(
+        noisy.toDF(), new graft.correct.NoisyChannelCorrector(model))
       out.select(col("doc_id"), size(col("spans")).as("n_spans"), col("spans"))
         .orderBy(col("doc_id"))
     } finally { pages.unpersist(); clean.unpersist() }
@@ -169,9 +174,24 @@ object SparkEntry {
       val d = tbl(s, dir, "documents")
       val a = d.select(col("doc_id"), col("text").as("text_a"))
       val b = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("text_b"))
+      Dedup.ngramJaccardPairs(a.join(b, Seq("doc_id")), "text_a", "text_b", 2, "j")
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"),
+          Portable.round4(col("j")).as("jaccard"))
+    }),
+
+    "q_simhash_bands" -> ((s, dir) =>
+      Dedup.simHashBands(tbl(s, dir, "documents"), nBands = 4)
+        .select(col("doc_id"), col("band").cast("long").as("band"), col("band_key"))),
+
+    // SimHash Hamming distance over consecutive-doc pairs — oracle-checks the
+    // exact verification predicate of simHashNearDupPairs (bit_count ∘ xor).
+    "q_simhash_hamming" -> ((s, dir) => {
+      val sig = Dedup.simHash32Relational(tbl(s, dir, "documents"))
+      val a = sig.select(col("doc_id"), col("simhash").as("sig_a"))
+      val b = sig.select((col("doc_id") - 1).as("doc_id"), col("simhash").as("sig_b"))
       a.join(b, Seq("doc_id"))
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"),
-          Portable.round4(Dedup.ngramJaccardForPairs("text_a", "text_b", 2)).as("jaccard"))
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
     }),
 
     // W4 chunk/reassemble machinery: chunk to 64-char windows, identity
@@ -187,6 +207,18 @@ object SparkEntry {
       val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
       tbl(s, dir, "documents").select(col("doc_id"),
         TextFunctions.decode(TextFunctions.encode(col("text"), alphabet), alphabet).as("text"))
+    }),
+
+    // F9 stop-at-INT_EMPTY: appending the padding sentinel plus trailing
+    // garbage indices must leave the decode unchanged — the reference stops
+    // at the first INT_EMPTY (`neural_corrector.py:113-114`), so the oracle
+    // is again the raw text.
+    "q_decode_stop" -> ((s, dir) => {
+      val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+      val padded = concat(TextFunctions.encode(col("text"), alphabet),
+        array(lit(TextFunctions.IntEmpty.toLong), lit(0L), lit(999L)))
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.decode(padded, alphabet).as("text"))
     }),
 
     // ---- main-content extraction (HTML boilerplate strip) ----
@@ -312,10 +344,16 @@ object SparkEntry {
     // affine MinHash family over a 31-bit md5 base hash (see Dedup.minHashSignatures)
     def minhashH(expr: String, k: Int) =
       raw"CAST(min(((('0x' || substr(md5($expr), 1, 8))::UBIGINT >> 1) * ${Dedup.minHashA(k)} + ${Dedup.minHashB(k)}) % ${Dedup.MinHashP}) AS BIGINT)"
+    // Docs with fewer than k tokens contribute their single full-token
+    // shingle (matching Dedup.wordShingles; a sliding self-join alone would
+    // silently drop them from the oracle).
     val sh3Cte =
       raw"""sh AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
          FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-                   JOIN tk c ON c.doc_id = a.doc_id AND c.i = a.i + 2)"""
+                   JOIN tk c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+         UNION ALL
+         SELECT doc_id, $normText AS sh FROM documents
+         WHERE len(string_split($normText, ' ')) < 3)"""
     val minhash8 =
       raw"""WITH $tokCte, $sh3Cte,
       sig AS (SELECT doc_id, ${(0 until 8).map(k => minhashH("sh", k) + s" AS h$k").mkString(", ")}
@@ -323,6 +361,15 @@ object SparkEntry {
     val bandRows = (0 until 4).map { b =>
       raw"SELECT doc_id, $b AS band, md5('b$b:' || CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS band_key FROM sig"
     }.mkString(" UNION ALL ")
+    // shared SimHash signature pipeline (token md5 votes → 32 sign bits)
+    val simhashCte =
+      raw"""WITH tk AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS tok FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::UBIGINT AS hv FROM tk),
+         bits AS (SELECT doc_id, b AS bit,
+                  sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                  FROM h, generate_series(0, 31) t(b) GROUP BY doc_id, b),
+         sim AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+                 FROM bits GROUP BY doc_id)"""
 
     Map(
       "q_vocab_agg" ->
@@ -414,18 +461,26 @@ object SparkEntry {
              AND a.doc_id < b.doc_id""",
 
       "q_simhash" ->
-        raw"""WITH tk AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS tok FROM documents),
-           h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::UBIGINT AS hv FROM tk),
-           bits AS (SELECT doc_id, b AS bit,
-                    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-                    FROM h, generate_series(0, 31) t(b) GROUP BY doc_id, b)
-           SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-           FROM bits GROUP BY doc_id""",
+        raw"""$simhashCte SELECT doc_id, simhash FROM sim""",
+
+      "q_simhash_bands" ->
+        raw"""$simhashCte SELECT doc_id, CAST(b AS BIGINT) AS band,
+             CAST((simhash >> (b * 8)) & 255 AS BIGINT) AS band_key
+           FROM sim, generate_series(0, 3) t(b)""",
+
+      "q_simhash_hamming" ->
+        raw"""$simhashCte SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           FROM sim a JOIN sim b ON b.doc_id = a.doc_id + 1""",
 
       "q_ngram_jaccard" ->
         raw"""WITH $tokCte,
-           sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS sh
-                  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           sh AS (SELECT DISTINCT doc_id, sh FROM (
+                  SELECT a.doc_id, a.tok || ' ' || b.tok AS sh
+                  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                  UNION ALL
+                  SELECT doc_id, $normText AS sh FROM documents
+                  WHERE len(string_split($normText, ' ')) < 2)),
            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
            pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a
                   JOIN documents b ON b.doc_id = a.doc_id + 1),
@@ -442,6 +497,9 @@ object SparkEntry {
         "SELECT doc_id, text FROM documents",
 
       "q_encode_roundtrip" ->
+        "SELECT doc_id, text FROM documents",
+
+      "q_decode_stop" ->
         "SELECT doc_id, text FROM documents",
 
       "q_html_extract" ->

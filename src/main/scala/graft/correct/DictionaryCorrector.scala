@@ -62,7 +62,7 @@ object DictionaryCorrector {
         if (toks.length == 1 && toks(0).isEmpty) ""
         else toks.map { t =>
           var c = memo.get(t)
-          if (c == null) { c = model.inferToken(t); memo.put(t, c) }
+          if (c == null) { c = model.inferToken(t); Memo.putBounded(memo, t, c) }
           c
         }.mkString(" ")
       }

@@ -42,7 +42,10 @@ final class NoisyChannelModel(
     * HashMap per partition) lets every task on the executor reuse corrections
     * — the Zipf head is shared across partitions, and throughput no longer
     * degrades as partition count grows (which would silently tax scaling
-    * efficiency at 4N parallelism). */
+    * efficiency at 4N parallelism). Inserts stop at [[Memo.Cap]]: corrupted
+    * OCR tokens are near-unique, so an unbounded map would grow with the data
+    * (executor OOM at 100 TB); the Zipf head that carries the hit rate is
+    * captured long before the cap. */
   @transient lazy val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // per-op log weights of the generative channel
@@ -156,13 +159,16 @@ final class NoisyChannelModel(
     }
     // Nothing close as a single word. A successful split (each part within
     // edit 1 + the merge edit) is near-certainly right vs a 3-edit single
-    // word, so the expensive width-3 trie walk runs only when no split
-    // exists — a documented decode heuristic that keeps the unresolved-token
-    // path cheap.
+    // word, so the expensive wide trie walks run only when no split exists —
+    // a documented decode heuristic that keeps the unresolved-token path
+    // cheap. Widths 3..maxWidth are then searched in full before the
+    // dictionary fallback.
     val split = splitCandidate(token)
     if (split != null) split._1
     else {
-      val wide = if (maxWidth >= 3) bestWithin(token, 3) else null
+      var w = 3
+      var wide: (String, Double) = null
+      while (wide == null && w <= maxWidth) { wide = bestWithin(token, w); w += 1 }
       if (wide != null) wide._1 else fallback.inferToken(token)
     }
   }
@@ -194,7 +200,7 @@ final class NoisyChannelCorrector(bc: Broadcast[NoisyChannelModel]) extends Corr
       if (toks.length == 1 && toks(0).isEmpty) ""
       else toks.map { t =>
         var c = memo.get(t)
-        if (c == null) { c = model.inferToken(t); memo.put(t, c) }
+        if (c == null) { c = model.inferToken(t); Memo.putBounded(memo, t, c) }
         c
       }.mkString(" ")
     }

@@ -56,15 +56,28 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Word `k`-shingles of the normalized text as an array column; a text with
-    * fewer than `k` tokens yields its single full-token shingle. */
-  def wordShingles(c: Column, k: Int): Column = {
-    val toks = split(normalizeText(c), " ")
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normalizeText(c), " ")
+
+  /**
+   * Word `k`-shingles over an ALREADY-MATERIALIZED token-array column; a doc
+   * with fewer than `k` tokens yields its single full-token shingle.
+   *
+   * Pass an attribute (a real column), not the [[tokens]] expression inline:
+   * `toks` is referenced inside the `transform` lambda, and any expression
+   * substituted there is re-evaluated PER SHINGLE by the interpreted HOF —
+   * inlining the tokenizer turns shingling O(tokens) into O(tokens²) per doc
+   * (measured: ~2× on q_minhash, ~4× on q_ngram_jaccard at sf0.1).
+   */
+  def tokenShingles(toks: Column, k: Int): Column =
     when(size(toks) <= k, array(array_join(toks, " ")))
       .otherwise(transform(
         sequence(lit(0), size(toks) - k),
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
-  }
+
+  /** [[tokenShingles]] over the raw text — convenience form for per-row use;
+    * hot paths materialize the token array first (see scaladoc above). */
+  def wordShingles(c: Column, k: Int): Column = tokenShingles(tokens(c), k)
 
   /**
    * MinHash signature as a single array expression: for each of `nHashes`
@@ -104,8 +117,9 @@ object Dedup {
    */
   def minHashSignatures(docs: DataFrame, shingleK: Int, nHashes: Int,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(wordShingles(col(textCol), shingleK)).as("sh"))
+    val sh = docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(tokenShingles(col("__toks"), shingleK)).as("sh"))
     val base = sh.select(col(idCol),
       shiftright(conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"), 1).as("hb"))
     val aggs = (0 until nHashes).map { k =>
@@ -157,7 +171,8 @@ object Dedup {
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ids = pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b").as("id"))).distinct()
     val sh = docs.join(ids, col(idCol) === col("id"), "left_semi")
-      .select(col(idCol).as("id"), explode(array_distinct(wordShingles(col(textCol), shingleK))).as("sh"))
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol).as("id"), explode(array_distinct(tokenShingles(col("__toks"), shingleK))).as("sh"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("jb"), col("sh").as("sh_b"))
@@ -171,19 +186,34 @@ object Dedup {
         (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
 
+  /** Distinct word `k`-shingle set of a text column. */
+  def shingleSet(c: Column, k: Int): Column = array_distinct(wordShingles(c, k))
+
   /**
    * N-gram Jaccard similarity between explicit doc pairs (e.g. consecutive
-   * ids): |A∩B| / |A∪B| over distinct word shingles, computed entirely as an
-   * array expression on the joined row — no explode, no extra shuffle beyond
-   * the pair join itself.
+   * ids): |A∩B| / |A∪B| over distinct word shingles, computed as array
+   * expressions on the joined row — no explode, no extra shuffle beyond the
+   * pair join itself.
+   *
+   * The shingle sets and the intersection size are materialized as REAL
+   * aliased columns, each referenced more than once downstream, so
+   * CollapseProject keeps them as separate projections and every expensive
+   * subtree is evaluated exactly once per row. (Building the whole formula as
+   * one Column re-evaluates the shingle pipeline per reference: HOF lambdas
+   * get fresh variable ids per construction, defeating subexpression
+   * elimination — measured 10×+ slower.)
    */
-  def ngramJaccardForPairs(aText: String, bText: String,
-                           shingleK: Int): Column = {
-    val a = array_distinct(wordShingles(col(aText), shingleK))
-    val b = array_distinct(wordShingles(col(bText), shingleK))
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
-  }
+  def ngramJaccardPairs(pairs: DataFrame, aText: String, bText: String,
+                        shingleK: Int, outCol: String = "jaccard"): DataFrame =
+    pairs
+      .withColumn("__ta", tokens(col(aText)))
+      .withColumn("__tb", tokens(col(bText)))
+      .withColumn("__sh_a", array_distinct(tokenShingles(col("__ta"), shingleK)))
+      .withColumn("__sh_b", array_distinct(tokenShingles(col("__tb"), shingleK)))
+      .withColumn("__ni", size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double"))
+      .withColumn(outCol,
+        col("__ni") / (size(col("__sh_a")) + size(col("__sh_b")) - col("__ni")))
+      .drop("__ta", "__tb", "__sh_a", "__sh_b", "__ni")
 
   /**
    * 32-bit SimHash of the whitespace-tokenized normalized text: per bit, the
@@ -231,11 +261,60 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: equal full signature (hamming distance 0)
-    * — for tolerance, join on rotated sub-keys instead (same band pattern as
-    * LSH). One shuffle on the 4-byte signature. */
+    * — for tolerance use [[simHashNearDupPairs]] (banded sub-keys). One
+    * shuffle on the 4-byte signature. */
   def simHashGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
       .select(col(idCol), simHash32(col(textCol)).as("simhash"))
       .groupBy(col("simhash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Contiguous [lo, width) bit ranges splitting 32 bits into `nBands` chunks
+    * (widths differ by at most 1 when nBands ∤ 32). */
+  private def bandRanges(nBands: Int): Seq[(Int, Int)] =
+    (0 until nBands).map { b =>
+      val lo = b * 32 / nBands
+      val hi = (b + 1) * 32 / nBands
+      (lo, hi - lo)
+    }
+
+  /**
+   * SimHash band sub-keys for Hamming-tolerant near-dup search: the 32-bit
+   * signature split into `nBands` contiguous chunks, one row per (doc, band).
+   * Pigeonhole guarantee: two signatures within Hamming distance d < nBands
+   * agree on at least one whole band, so the band-key self-join is a
+   * COMPLETE candidate generator for `maxHamming = nBands - 1`.
+   * Built on the relational (codegen'd aggregate) signature path.
+   */
+  def simHashBands(docs: DataFrame, nBands: Int = 4,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keys = bandRanges(nBands).map { case (lo, width) =>
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1))
+    }
+    simHash32Relational(docs, idCol, textCol)
+      .select(col(idCol), col("simhash"),
+        posexplode(array(keys: _*)).as(Seq("band", "band_key")))
+  }
+
+  /**
+   * SimHash near-duplicate pairs within Hamming distance `maxHamming`:
+   * candidates from the banded self-join (complete by pigeonhole with
+   * `maxHamming + 1` bands), verified exactly with `bit_count(xor)`. The
+   * shuffle carries (id, 8-byte signature, band key) — never the text; hot
+   * band buckets are AQE-skew-handled like the MinHash-LSH join.
+   */
+  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bands = simHashBands(docs, maxHamming + 1, idCol, textCol)
+    val a = bands.select(col("band"), col("band_key"),
+      col(idCol).as("id_a"), col("simhash").as("sig_a"))
+    val b = bands.select(col("band"), col("band_key"),
+      col(idCol).as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -31,6 +31,18 @@ object CheckpointedRun {
 
   def bucketOf(nBuckets: Int) = pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int")
 
+  /** Write `docs` + bucket column partitioned by `bucket`, exactly once:
+    * skipped when a committed (_SUCCESS) stage already exists — a stage
+    * interrupted mid-write has no marker and is overwritten on resume. */
+  def stageBucketed(spark: SparkSession, docs: DataFrame, stagingDir: String, nBuckets: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      docs.withColumn("bucket", bucketOf(nBuckets))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(stagingDir)
+    }
+  }
+
   /** Buckets already committed for this run. */
   def doneBuckets(spark: SparkSession, stateDir: String, runId: String): Set[Int] = {
     val path = new org.apache.hadoop.fs.Path(stateDir)
@@ -71,12 +83,24 @@ object CheckpointedRun {
     val remaining = (0 until nBuckets).filterNot(done)
     val groups = remaining.grouped(groupSize).toSeq
     var totals = CerMetrics(0, 0, 0.0)
+    if (groups.isEmpty) return totals
+
+    // Stage the bucketed input ONCE, partitioned by bucket. The bucket
+    // predicate is a derived column (pmod(xxhash64(doc_id))) that can never
+    // push down to the original source, so filtering `docs` directly would
+    // re-read and re-derive the ENTIRE upstream plan once per group — at
+    // 100 TB that multiplies total work by the group count. Staging turns
+    // each group job into a partition-pruned read of only its buckets.
+    // The stage is committed atomically (_SUCCESS) and the upstream plan is
+    // deterministic, so a resumed run reuses or identically rewrites it.
+    val stagingDir = s"$outDir.staging"
+    stageBucketed(spark, docs, stagingDir, nBuckets)
+    val staged = spark.read.parquet(stagingDir)
 
     groups.zipWithIndex.foreach { case (group, gi) =>
       failAfterGroups.foreach(k => if (gi >= k) throw new KilledException(s"injected kill before group $gi"))
 
-      val bucketed = docs.withColumn("bucket", bucketOf(nBuckets))
-        .filter(col("bucket").isin(group: _*))
+      val bucketed = staged.filter(col("bucket").isin(group: _*))
       val corrected = CorrectionPipeline
         .correct(CorrectionPipeline.explodeSpans(bucketed.drop("bucket"), spansCol), corrector)
         .cache()

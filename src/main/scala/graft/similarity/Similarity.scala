@@ -15,7 +15,8 @@ import graft.Portable
  *  - [[bruteForceTopK]] — exact cosine top-k via a broadcast cross join.
  *    The correctness baseline; also the right plan whenever the query set is
  *    small (queries broadcast, corpus streamed — one narrow scan, no shuffle
- *    of the corpus, top-k via window over the small query dimension).
+ *    of the corpus, ranking via bounded-heap partial aggregation so the
+ *    exchange carries at most k ids+sims per (partition, query)).
  *  - [[lshTopK]] — random-hyperplane LSH: 1-bit signatures from deterministic
  *    pseudo-hyperplanes, candidates = bucket-join on band keys, exact
  *    re-ranking only within candidates. At 100 TB the corpus is scanned once
@@ -44,10 +45,14 @@ object Similarity {
 
   /**
    * Exact top-k by cosine: for each query row, the k nearest corpus rows.
-   * Queries are broadcast (small dimension); ranking is deterministic —
-   * rounded similarity desc, then corpus id asc — so results are stable
-   * across partitionings and engines (ties at full float precision are
-   * engine-dependent; rounding before ranking removes that).
+   * Queries are broadcast (small dimension); scoring is a single narrow scan
+   * of the corpus, and ranking is a partial/final bounded-heap aggregation
+   * ([[TopKBySim]]) — the exchange carries at most k (id, sim) rows per
+   * (map partition, query), never the scored cross product and never the
+   * vectors. Ranking is deterministic — rounded similarity desc, then corpus
+   * id asc — so results are stable across partitionings and engines (ties at
+   * full float precision are engine-dependent; rounding before ranking
+   * removes that).
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
@@ -55,13 +60,9 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", Portable.roundAt(cosine(col("q_vec"), col("c_vec")), roundTo))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .select(col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
+        Portable.roundAt(cosine(col("q_vec"), col("c_vec")), roundTo).as("sim"))
+    TopKBySim.rank(scored, k)
   }
 
   /** Deterministic pseudo-hyperplane component for (plane, dim): a value in
@@ -103,30 +104,35 @@ object Similarity {
       explode(lshBandKeys(col(vecCol), nBands, bitsPerBand)).as("band_key"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       explode(lshBandKeys(col(vecCol), nBands, bitsPerBand)).as("band_key"))
-    val cands = c.join(broadcast(q), Seq("band_key"))
+    // Score on the (narrow) bucket-join output, THEN dedup across colliding
+    // bands on (ids, sim) only — the distinct exchange never carries vectors
+    // (a pair's sim is identical in every band, so the 3-column distinct is
+    // exact; the duplicate sim computation per extra band is narrow CPU).
+    val scored = c.join(broadcast(q), Seq("band_key"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("q_vec"), col("neighbor_id"), col("c_vec"))
+      .select(col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
+        Portable.roundAt(cosine(col("q_vec"), col("c_vec")), roundTo).as("sim"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands
-      .withColumn("sim", Portable.roundAt(cosine(col("q_vec"), col("c_vec")), roundTo))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    TopKBySim.rank(scored, k)
   }
 
   /**
    * IVF (inverted-file) coarse quantizer: deterministic seed centroids (the
    * first `nCentroids` corpus rows by id) refined by `iterations` Lloyd
-   * steps, every step a relational job — assignment is a broadcast
-   * cross-join + window argmax, re-centering is a posexplode + per-(centroid,
-   * dim) average. Returns (centroids, corpus-with-centroid_id).
+   * steps. Assignment is SHUFFLE-FREE: the centroids are collected (they are
+   * broadcast-small by construction), unit-normalized driver-side, and
+   * embedded as literal arrays; each corpus row computes its argmax dot
+   * product in one narrow projection — `argmax_c cos(v, c) = argmax_c v·ĉ`,
+   * so neither the corpus nor any expanded copy of it ever crosses an
+   * exchange. Re-centering is a posexplode + per-(centroid, dim) average —
+   * partially aggregated map-side, so its exchange carries only
+   * nCentroids × dim rows per partition. Returns (centroids,
+   * corpus-with-centroid_id).
    *
-   * Scale shape: centroids are broadcast-small; the corpus is scanned once
-   * per iteration and once for final assignment; the index table is the
-   * corpus bucketed by `centroid_id` (at production scale: write partitioned
-   * by it, so probes prune partitions).
+   * Scale shape: the corpus is scanned once per iteration and once for final
+   * assignment, all narrow; the index table is the corpus bucketed by
+   * `centroid_id` (at production scale: write partitioned by it, so probes
+   * prune partitions).
    */
   def ivfIndex(corpus: DataFrame, nCentroids: Int, iterations: Int = 1,
                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
@@ -136,14 +142,33 @@ object Similarity {
         row_number().over(Window.orderBy(col("tmp_id"))).cast("int") - 1)
       .select(col("centroid_id"), col("centroid"))
 
+    // (centroid_id, unit centroid) pairs sorted by id — ids stay explicit
+    // because a Lloyd step can empty a centroid, leaving gaps.
+    def unitCentroids(c: DataFrame): Array[(Int, Array[Double])] =
+      c.select(col("centroid_id"), col("centroid")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+        .map { case (id, v) =>
+          val n = math.sqrt(v.map(x => x * x).sum)
+          (id, if (n == 0.0) v else v.map(_ / n))
+        }
+
     def assign(c: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("csim").desc, col("centroid_id").asc)
-      corpus.join(broadcast(c), lit(true))
-        .withColumn("csim", cosine(col(vecCol), col("centroid")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
-        .drop("csim", "crank", "centroid")
+      val cents = unitCentroids(c)
+      val centLit = array(cents.map { case (_, v) => array(v.map(lit): _*) }: _*)
+      val idLit = array(cents.map(p => lit(p._1)): _*)
+      // dots(i) = v · ĉ_i; argmax with ties to the FIRST (lowest-id) centroid
+      // via array_position — the same (csim desc, centroid_id asc) rule the
+      // windowed form used, without the window's full shuffle.
+      val dots = transform(centLit, cv =>
+        aggregate(zip_with(col(vecCol), cv, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, x) => acc + x))
+      corpus
+        .withColumn("__dots", dots)
+        .withColumn("centroid_id",
+          element_at(idLit,
+            array_position(col("__dots"), array_max(col("__dots"))).cast("int")))
+        .drop("__dots")
     }
 
     var it = 0
@@ -177,17 +202,13 @@ object Similarity {
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nProbes)
       .select(col("query_id"), col("q_vec"), col("centroid_id"))
-    val cands = assigned
+    val scored = assigned
       .select(col("centroid_id"), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands
-      .withColumn("sim", Portable.roundAt(cosine(col("q_vec"), col("c_vec")), roundTo))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .select(col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
+        Portable.roundAt(cosine(col("q_vec"), col("c_vec")), roundTo).as("sim"))
+    TopKBySim.rank(scored, k)
   }
 
   /**

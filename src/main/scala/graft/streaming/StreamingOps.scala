@@ -20,7 +20,7 @@ import graft.model.{Doc, Span}
  *    StreamingSpec); the batch pipeline keeps the explode→reassemble form
  *    because batch can afford the shuffle and gains per-span parallelism for
  *    pathological documents.
- *  - Deduplication uses watermarked `dropDuplicates` on the content
+ *  - Deduplication uses `dropDuplicatesWithinWatermark` on the content
  *    fingerprint — bounded state, the streaming analog of D1.
  *  - Sessionization uses event-time `session_window` aggregation with a
  *    watermark — bounded state, late data handled by the watermark.
@@ -44,14 +44,16 @@ object StreamingOps {
   }
 
   /** Streaming exact dedup: keep the first doc per content fingerprint within
-    * the watermark horizon. State is bounded by the watermark (fingerprints
-    * older than the horizon are evicted). */
+    * the watermark horizon. `dropDuplicatesWithinWatermark` is the form whose
+    * state IS evicted by the watermark — plain `dropDuplicates("text_fp")`
+    * would keep every fingerprint forever because the event-time column is
+    * not part of the dedup key, growing state unboundedly. */
   def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
                   watermark: String = "10 minutes"): DataFrame =
     docs
       .withColumn("text_fp", Dedup.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("text_fp")
+      .dropDuplicatesWithinWatermark("text_fp")
 
   /** Watermarked event-time sessionization: one row per (user, session
     * window) with event count and value sum — the streaming analog of the

@@ -59,11 +59,19 @@ object TextFunctions {
       ch => coalesce(nullif(array_position(alpha, ch), lit(0L)) - 1L, lit(unk.toLong)))
   }
 
-  /** F9 — index → char decode; unk/out-of-bounds → U+FFFD `�`
-    * (`neural_corrector.py:107-126`; UNK constant `util/__init__.py:3`). */
+  /** The reference's ragged-batch padding value (`util/__init__.py:2`):
+    * decoding STOPS at the first occurrence (`neural_corrector.py:113-114`). */
+  val IntEmpty: Int = -1
+
+  /** F9 — index → char decode; truncates at the first [[IntEmpty]] (the
+    * reference's padding sentinel, `neural_corrector.py:113-114`), then maps
+    * unk/out-of-bounds indices to U+FFFD `�` (`neural_corrector.py:107-126`;
+    * UNK constant `util/__init__.py:3`). */
   def decode(c: Column, alphabet: String): Column = {
     val alpha = array(alphabet.codePoints().toArray.map(cp => lit(new String(Character.toChars(cp)))): _*)
-    array_join(transform(c, i => coalesce(try_element_at(alpha, (i + 1).cast("int")), lit("�"))), "")
+    val stop = array_position(c, lit(IntEmpty)) // 1-based; 0 = absent
+    val live = when(stop === 0, c).otherwise(slice(c, lit(1), (stop - 1).cast("int")))
+    array_join(transform(live, i => coalesce(try_element_at(alpha, (i + 1).cast("int")), lit("�"))), "")
   }
 
   /** F11/W4 — split text into fixed-size chunks (code-point windows) as an

@@ -60,10 +60,31 @@ class CheckpointSpec extends SparkSpec {
     assert(math.abs(mA.sumNormDist - mB.sumNormDist) < 1e-9)
   }
 
+  test("staged input: bucketed stage written once, per-group reads prune partitions") {
+    val (out, state) = freshDirs()
+    CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "p",
+      nBuckets = 8, groupSize = 3)
+    val staged = spark.read.parquet(s"$out.staging")
+    assert(staged.select("doc_id").distinct().count() == 250)
+    // a group read filters on the PARTITION column → pruned scan, not a full
+    // re-derivation of the upstream plan per group
+    val plan = staged.filter(col("bucket").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"group read does not prune partitions:\n$plan")
+    // resume reuses the committed stage (no rewrite): record mtime, re-run
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$out.staging/_SUCCESS")
+    val t0 = fs.getFileStatus(marker).getModificationTime
+    CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "p2",
+      nBuckets = 8, groupSize = 3)
+    assert(fs.getFileStatus(marker).getModificationTime == t0, "stage was rewritten")
+  }
+
   test("full-pipeline resume: extract(pages) → noise → correct, kill-and-resume identical") {
     // the checkpointed docs input is the LAZY extraction plan over raw pages —
-    // per-bucket filters re-evaluate extraction only for that bucket's docs,
-    // and determinism makes the kill+resume output byte-identical
+    // it is evaluated ONCE into the bucketed stage; group jobs read back only
+    // their buckets, and determinism makes the kill+resume output byte-identical
     val pages = graft.gen.HtmlGen.pages(spark, 120).cache()
     val clean = graft.extract.Extract.extractDocs(pages).toDF()
     val noisy = graft.gen.NoiseChannel.noiseDocs(graft.extract.Extract.extractDocs(pages)).toDF()

@@ -61,10 +61,37 @@ class DedupSpec extends SparkSpec {
       ("the quick brown fox", "the quick brown fox", "same"),
       ("the quick brown fox", "totally unrelated words here", "disjoint")
     ).toDF("text_a", "text_b", "label")
-    val out = pairs.select($"label", Dedup.ngramJaccardForPairs("text_a", "text_b", 2).as("j"))
+    val out = Dedup.ngramJaccardPairs(pairs, "text_a", "text_b", 2, "j")
+      .select($"label", $"j")
       .as[(String, Double)].collect().toMap
     assert(out("same") == 1.0)
     assert(out("disjoint") == 0.0)
+  }
+
+  test("simhash banded near-dup pairs == brute-force pairs within the Hamming radius") {
+    // near-dup family: long base text with single-token perturbations (small
+    // signature flips) plus unrelated docs (far signatures)
+    val base = "the quick brown fox jumps over the lazy dog while spark " +
+      "shuffles partitions across the cluster and catalyst optimizes plans"
+    val family = Seq(
+      (0L, base),
+      (1L, base.replace("lazy", "sleepy")),
+      (2L, base.replace("quick", "rapid")),
+      (3L, base + " tail"),
+      (4L, "completely different text about query optimizers and broadcast joins"),
+      (5L, "yet another unrelated document mentioning watermarks and state stores")
+    ).toDF("doc_id", "text")
+    val maxHamming = 3
+    val sigs = Dedup.simHash32Relational(family).as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxHamming
+    } yield (a, b, java.lang.Long.bitCount(sigs(a) ^ sigs(b)).toLong)).toSet
+    val banded = Dedup.simHashNearDupPairs(family, maxHamming)
+      .as[(Long, Long, Long)].collect().toSet
+    // pigeonhole with maxHamming+1 bands ⇒ banded candidates are COMPLETE
+    assert(banded == brute, s"banded=$banded brute=$brute")
+    assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
   }
 
   test("simhash: equal for identical text, closer hamming for near-dups than unrelated") {

@@ -71,6 +71,31 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == again)
   }
 
+  test("IVF assignment is shuffle-free (no Exchange in the assigned plan)") {
+    val (_, assigned) = Similarity.ivfIndex(vecs, nCentroids = 8, iterations = 1)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment plan shuffles:\n$plan")
+    // every row got a live centroid id
+    assert(assigned.filter($"centroid_id".isNull).count() == 0)
+  }
+
+  test("bounded-heap top-k ≡ window row_number ranking") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic scored rows with deliberate sim ties
+    val scored = (0 until 400).map { i =>
+      val q = i % 4
+      (q.toLong, i.toLong, ((i * 37) % 11) / 10.0)
+    }.toDF("query_id", "neighbor_id", "sim")
+    val viaAgg = graft.similarity.TopKBySim.rank(scored, 7)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 7)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("cosine near-dup pairs: in-cluster pairs pass the threshold, cross-cluster don't") {
     val pairs = Similarity.cosineNearDupPairs(vecs.filter($"vec_id" < 20), threshold = 0.9)
       .collect()

@@ -39,6 +39,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(dec == Seq("abд", "a�b", "")) // unk decodes to U+FFFD like the reference
   }
 
+  test("decode stops at the first INT_EMPTY like the reference (F9)") {
+    val alphabet = "abcд"
+    // reference semantics (`neural_corrector.py:113-114`): everything after
+    // the first INT_EMPTY (-1) is padding, even valid indices
+    val df = Seq(
+      Seq(0L, 1L, -1L, 2L, 3L),   // "ab", padding ignored
+      Seq(-1L, 0L, 1L),           // leading sentinel → ""
+      Seq(0L, 99L, -1L, -1L),     // unk before the sentinel still decodes to �
+      Seq(0L, 1L, 2L, 3L)         // no sentinel → full decode
+    ).toDF("e")
+    val got = df.select(TextFunctions.decode($"e", alphabet)).as[String].collect().toSeq
+    assert(got == Seq("ab", "", "a�", "abcд"))
+  }
+
   test("alphabet aggregation: distinct chars sorted (A1/S7/O1)") {
     val df = Seq("bca", "ab", "ддa").toDF("text")
     assert(alphabetString(df, "text") == "abcд")

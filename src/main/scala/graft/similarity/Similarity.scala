@@ -226,4 +226,30 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /**
+   * Scale path of [[cosineNearDupPairs]]: candidate pairs from
+   * random-hyperplane LSH bucket collisions, exact cosine + threshold
+   * verification on the candidates only — the all-pairs O(n²) space never
+   * materializes. The corpus crosses the network once as (band_key, id, vec)
+   * rows; the post-verification dedup runs on (ids, sim) with no vectors.
+   * Recall < 1 by construction (high-similarity pairs collide with
+   * probability 1-(1-(1-θ/π)^bits)^bands); raise `nBands` to increase it —
+   * measured against the exact form in SimilaritySpec.
+   */
+  def cosineNearDupPairsApprox(vecs: DataFrame, threshold: Double,
+                               nBands: Int = 8, bitsPerBand: Int = 4,
+                               idCol: String = "vec_id", vecCol: String = "embedding",
+                               roundTo: Int = 4): DataFrame = {
+    val banded = vecs.select(col(idCol), col(vecCol),
+      explode(lshBandKeys(col(vecCol), nBands, bitsPerBand)).as("band_key"))
+    val a = banded.select(col("band_key"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = banded.select(col("band_key"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Portable.roundAt(cosine(col("vec_a"), col("vec_b")), roundTo).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
 }

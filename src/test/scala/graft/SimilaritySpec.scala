@@ -104,4 +104,16 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("id_a") % 4 == r.getAs[Long]("id_b") % 4)
     }
   }
+
+  test("LSH near-dup pairs: subset of exact pairs with high recall") {
+    val sub = vecs.filter($"vec_id" < 40)
+    val exact = Similarity.cosineNearDupPairs(sub, threshold = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val approx = Similarity.cosineNearDupPairsApprox(sub, threshold = 0.9,
+      nBands = 8, bitsPerBand = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact), "verification must keep only true near-dups")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"approx near-dup recall too low: $recall")
+  }
 }

@@ -98,7 +98,7 @@ object Bench {
       System.gc() // don't let the previous session's garbage tax this one
       val s = session(cores)
       try {
-        pipelineRun(s, nDocs / 8) // warmup: JIT + codegen caches
+        pipelineRun(s, nDocs / 16) // warmup: JIT + codegen caches
         (0 until reps).map(_ => pipelineRun(s, nDocs)).minBy(_._2)
       } finally {
         s.stop()

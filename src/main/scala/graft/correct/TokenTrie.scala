@@ -23,49 +23,71 @@ final class TokenTrie private (root: TokenTrie.Node, val maxDepth: Int) extends 
    * search instead of one per visited node, which matters: wide searches over
    * merged tokens visit thousands of nodes, and per-node allocation makes the
    * kernel GC-bound at high parallelism.
+   *
+   * The DP is COLUMN-BANDED (Ukkonen cut-off): at trie depth d only token
+   * columns j with |j - d| <= maxDist are computed. Exact, not approximate —
+   * every OSA edit op changes (j - d) by at most 1 and costs >= that drift,
+   * so any out-of-band cell is > maxDist and can neither produce a result nor
+   * re-enter the band below the threshold; the subtree prune on the in-band
+   * minimum is therefore identical to the full-row prune. Cuts per-node work
+   * from O(|token|) to O(maxDist) — ~2× on the width-1/2 searches that
+   * dominate the correction kernel (measured in tools/KernelBreakdown).
    */
   def searchWithin(token: String, maxDist: Int): mutable.ArrayBuffer[(String, Long, Int)] = {
     val t = token.codePoints().toArray
     val n = t.length
+    val W = maxDist
     val out = mutable.ArrayBuffer.empty[(String, Long, Int)]
-    val depthCap = math.min(maxDepth, n + maxDist) + 2
-    val rows = TokenTrie.rowCache.get().acquire(depthCap + 1, n + 1)
+    val depthCap = math.min(maxDepth, n + W) // deepest useful trie depth
+    val rows = TokenTrie.rowCache.get().acquire(depthCap + 2, n + 1)
     var j = 0
-    while (j <= n) { rows(0)(j) = j; j += 1 }
-    val chars = new Array[Int](depthCap + 1) // node char per depth (for swap)
+    val hi0 = math.min(n, W)
+    while (j <= hi0) { rows(0)(j) = j; j += 1 }
+    val chars = new Array[Int](depthCap + 2) // node char per depth (for swap)
 
-    // depth d = number of trie chars consumed; rows(d) = DP row of that prefix
+    // depth d = number of trie chars consumed; rows(d) = banded DP row of
+    // that prefix — only cells in [max(0, d-W), min(n, d+W)] are live.
     def dfs(node: TokenTrie.Node, d: Int): Unit = {
       if (d + 1 > depthCap) return // any deeper word exceeds maxDist by length
       val row = rows(d)
       val parentRow = if (d >= 1) rows(d - 1) else null
       val nodeChar = if (d >= 1) chars(d) else -1
+      val e = d + 1
+      val loE = math.max(0, e - W); val hiE = math.min(n, e + W)
+      val loD = math.max(0, d - W); val hiD = math.min(n, d + W)
+      val loP = math.max(0, d - 1 - W); val hiP = math.min(n, d - 1 + W)
       var i = 0
       while (i < node.childChars.length) {
         val ch = node.childChars(i)
         val child = node.childNodes(i)
-        val childRow = rows(d + 1)
-        childRow(0) = row(0) + 1
-        var minV = childRow(0)
-        var jj = 1
-        while (jj <= n) {
-          val ins = childRow(jj - 1) + 1
-          val del = row(jj) + 1
-          val sub = row(jj - 1) + (if (ch == t(jj - 1)) 0 else 1)
-          var v = math.min(math.min(ins, del), sub)
-          if (jj >= 2 && nodeChar != -1 && ch == t(jj - 2) && nodeChar == t(jj - 1)) {
-            val swap = parentRow(jj - 2) + 1
-            if (swap < v) v = swap
+        val childRow = rows(e)
+        var minV = Int.MaxValue / 4
+        var jj = loE
+        while (jj <= hiE) {
+          var v = Int.MaxValue / 4
+          if (jj == 0) v = row(0) + 1 // loE==0 ⇒ e <= W ⇒ row(0) live
+          else {
+            if (jj - 1 >= loE) { val ins = childRow(jj - 1) + 1; if (ins < v) v = ins }
+            if (jj >= loD && jj <= hiD) { val del = row(jj) + 1; if (del < v) v = del }
+            if (jj - 1 >= loD && jj - 1 <= hiD) {
+              val sub = row(jj - 1) + (if (ch == t(jj - 1)) 0 else 1)
+              if (sub < v) v = sub
+            }
+            if (jj >= 2 && nodeChar != -1 && ch == t(jj - 2) && nodeChar == t(jj - 1) &&
+                jj - 2 >= loP && jj - 2 <= hiP) {
+              val swap = parentRow(jj - 2) + 1
+              if (swap < v) v = swap
+            }
           }
           childRow(jj) = v
           if (v < minV) minV = v
           jj += 1
         }
-        if (child.word != null && childRow(n) <= maxDist)
+        if (child.word != null && n <= hiE && n >= loE && childRow(n) <= maxDist)
           out += ((child.word, child.freq, childRow(n)))
         if (minV <= maxDist) {
-          chars(d + 1) = ch
-          dfs(child, d + 1)
+          chars(e) = ch
+          dfs(child, e)
         }
         i += 1
       }

@@ -254,13 +254,22 @@ object SparkEntry {
         TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))),
 
+    // components materialized once (tokens, ratios) — inlining them into the
+    // five metrics would re-evaluate each interpreted HOF per metric
     "q_quality" -> ((s, dir) =>
-      tbl(s, dir, "documents").select(col("doc_id"),
-        Portable.round4(TextAnalysis.alphaRatio(col("text"))).as("alpha_ratio"),
-        Portable.round4(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
-        Portable.round4(TextAnalysis.stopwordRatio(col("text"))).as("stopword_ratio"),
-        Portable.round4(TextAnalysis.meanTokenLen(col("text"))).as("mean_token_len"),
-        Portable.round4(TextAnalysis.qualityScore(col("text"))).as("quality"))),
+      tbl(s, dir, "documents")
+        .withColumn("__toks", TextAnalysis.wsTokens(col("text")))
+        .withColumn("__ltoks", TextAnalysis.wsTokens(lower(col("text"))))
+        .withColumn("__alpha", TextAnalysis.alphaRatio(col("text")))
+        .withColumn("__punct", TextAnalysis.punctRatio(col("text")))
+        .withColumn("__stopr", TextAnalysis.stopwordRatioOf(col("__ltoks")))
+        .select(col("doc_id"),
+          Portable.round4(col("__alpha")).as("alpha_ratio"),
+          Portable.round4(col("__punct")).as("punct_ratio"),
+          Portable.round4(col("__stopr")).as("stopword_ratio"),
+          Portable.round4(TextAnalysis.meanTokenLenOf(col("__toks"))).as("mean_token_len"),
+          Portable.round4(TextAnalysis.qualityFrom(
+            size(col("__toks")), col("__alpha"), col("__stopr"), col("__punct"))).as("quality"))),
 
     "q_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),

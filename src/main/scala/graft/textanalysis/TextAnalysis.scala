@@ -22,64 +22,81 @@ object TextAnalysis {
    * are a broadcast-table upgrade of the same shape: per-class evidence
    * counts → argmax).
    */
-  def langId(text: Column): Column = {
-    def hits(cls: String) = size(regexp_extract_all(text, lit(cls), lit(0)))
-    when(hits("[\\u4e00-\\u9fff]") > 0, "zh")
-      .when(hits("[äöüßÄÖÜ]") > 0, "de")
-      .when(hits("[áíóúñ¿¡]") > 0, "es")
-      .when(hits("[àâçêëîïôùûœ]") > 0, "fr")
+  def langId(text: Column): Column =
+    // rlike = single regex find with early exit — equivalent to "any match
+    // exists" without materializing every match the way regexp_extract_all
+    // would (which allocates one array element per matching char)
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(text.rlike("[äöüßÄÖÜ]"), "de")
+      .when(text.rlike("[áíóúñ¿¡]"), "es")
+      .when(text.rlike("[àâçêëîïôùûœ]"), "fr")
       .otherwise("en")
-  }
+
+  /** Whitespace tokens (Python `str.split()` semantics: empty → []). For
+    * multi-metric queries, materialize this ONCE as a real column and feed
+    * the `...Of` component forms — inlining it into several metrics
+    * re-evaluates the split per metric (interpreted HOF, no CSE across
+    * lambda-bearing expressions). */
+  def wsTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
   /** Whitespace token count (Python `str.split()` semantics: empty → 0). */
-  def wsTokenCount(text: Column): Column =
-    size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
+  def wsTokenCount(text: Column): Column = size(wsTokens(text))
 
   /** BPE-ish subword count: runs of letters, runs of digits, and single
     * non-alnum glyphs — the standard pre-tokenizer regex shape. */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Fraction of characters that are ASCII letters or space. */
+  /** Fraction of characters that are ASCII letters or space. Counted by
+    * deleting the complement class and measuring what remains — one regex
+    * pass, no per-match array allocation. */
   def alphaRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
-      size(regexp_extract_all(lower(text), lit("[a-z ]"), lit(0))).cast("double") / length(text))
+      length(regexp_replace(lower(text), "[^a-z ]", "")).cast("double") / length(text))
 
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
-      size(regexp_extract_all(text, lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0))).cast("double") / length(text))
+      length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast("double") / length(text))
 
   /** English stopword-hit ratio over whitespace tokens (tiny embedded list —
     * a quality signal: natural prose has a stable stopword mass). */
   val stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 
-  def stopwordRatio(text: Column): Column = {
-    val toks = filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
-    val hits = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
-    when(size(toks) === 0, 0.0).otherwise(hits.cast("double") / size(toks))
+  /** Stopword ratio over an already-materialized LOWERCASED token column. */
+  def stopwordRatioOf(lowerToks: Column): Column = {
+    val hits = size(filter(lowerToks, t => t.isin(stopwords.map(lit(_)): _*)))
+    when(size(lowerToks) === 0, 0.0).otherwise(hits.cast("double") / size(lowerToks))
   }
 
-  /** Mean whitespace-token length in characters (0 for empty text). */
-  def meanTokenLen(text: Column): Column = {
-    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(wsTokens(lower(text)))
+
+  /** Mean token length over an already-materialized token column. */
+  def meanTokenLenOf(toks: Column): Column =
     when(size(toks) === 0, 0.0)
       .otherwise(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / size(toks))
+
+  /** Mean whitespace-token length in characters (0 for empty text). */
+  def meanTokenLen(text: Column): Column = meanTokenLenOf(wsTokens(text))
+
+  /** Composite quality from already-computed components (see [[qualityScore]]). */
+  def qualityFrom(nTokens: Column, alpha: Column, stopr: Column, punct: Column): Column = {
+    val lenScore = least(nTokens.cast("double") / 100.0, lit(1.0))
+    greatest(least(
+      lenScore * 0.3 + alpha * 0.4 + stopr * 0.3 - punct * 0.5,
+      lit(1.0)), lit(0.0))
   }
 
   /**
    * Composite quality score in [0, 1]: length band + alpha mass + stopword
    * presence − punctuation noise. Weights are the documented heuristic, not
    * learned; the operator shape (bounded per-row score for filter thresholds)
-   * is what the pipeline needs.
+   * is what the pipeline needs. Multi-metric queries should materialize the
+   * components and call [[qualityFrom]] instead (one evaluation each).
    */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(wsTokenCount(text).cast("double") / 100.0, lit(1.0))
-    greatest(least(
-      lenScore * 0.3 + alphaRatio(text) * 0.4 + stopwordRatio(text) * 0.3
-        - punctRatio(text) * 0.5,
-      lit(1.0)), lit(0.0))
-  }
+  def qualityScore(text: Column): Column =
+    qualityFrom(wsTokenCount(text), alphaRatio(text), stopwordRatio(text), punctRatio(text))
 
   /** 128-bit content fingerprint (md5 hex of the normalized text) — exact
     * dedup / lineage key. */

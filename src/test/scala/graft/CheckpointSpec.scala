@@ -81,6 +81,22 @@ class CheckpointSpec extends SparkSpec {
     assert(fs.getFileStatus(marker).getModificationTime == t0, "stage was rewritten")
   }
 
+  test("a stage interrupted mid-write (no _SUCCESS) is rewritten on the next run") {
+    val (out, state) = freshDirs()
+    // fabricate a partial, uncommitted stage: data files but no _SUCCESS
+    val staging = s"$out.staging"
+    docs.limit(10).withColumn("bucket", CheckpointedRun.bucketOf(8))
+      .write.partitionBy("bucket").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$staging/_SUCCESS"), false)
+    val m = CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "s",
+      nBuckets = 8, groupSize = 3)
+    // the partial stage was replaced by the full one; output covers every doc
+    assert(spark.read.parquet(staging).select("doc_id").distinct().count() == 250)
+    assert(spark.read.parquet(out).select("doc_id").distinct().count() == 250)
+    assert(m.n > 0)
+  }
+
   test("full-pipeline resume: extract(pages) → noise → correct, kill-and-resume identical") {
     // the checkpointed docs input is the LAZY extraction plan over raw pages —
     // it is evaluated ONCE into the bucketed stage; group jobs read back only

@@ -225,13 +225,15 @@ object Dedup {
   def simHash32(c: Column): Column = {
     val toks = split(normalizeText(c), " ")
     val masks = array((0 until 32).map(b => lit(1L << b)): _*)
+    // hash each token ONCE via transform, then fold over the hash values —
+    // folding over raw tokens would place the md5 inside the per-lane lambda
+    // and recompute it 32× per token (lambda-bound subtrees get no CSE)
+    val hvs = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
     val lanes = aggregate(
-      toks,
+      hvs,
       array_repeat(lit(0), 32),
-      (acc, t) => {
-        val hv = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
-        zip_with(acc, masks, (a, m) => a + when(hv.bitwiseAND(m) =!= 0, 1).otherwise(-1))
-      })
+      (acc, hv) =>
+        zip_with(acc, masks, (a, m) => a + when(hv.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
     aggregate(
       zip_with(lanes, masks, (s, m) => when(s >= 0, m).otherwise(lit(0L))),
       lit(0L), (a, x) => a + x)

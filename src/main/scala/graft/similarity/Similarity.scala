@@ -65,29 +65,43 @@ object Similarity {
     TopKBySim.rank(scored, k)
   }
 
-  /** Deterministic pseudo-hyperplane component for (plane, dim): a value in
-    * [-1, 1) derived from md5 — reproducible everywhere, no RNG state. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane$plane:"), dim.cast("string"))), 1, 8), 16, 10)
-      .cast("double") / lit((1L << 32).toDouble)) * 2.0 - 1.0
+  /** Deterministic pseudo-hyperplane component for (plane, dim), computed
+    * DRIVER-SIDE: a value in [-1, 1) derived from md5 of "plane<p>:<i>" —
+    * reproducible everywhere, no RNG state. Same value the previous
+    * expression form computed per row; hoisting it to a plan literal removes
+    * nPlanes × dim md5 evaluations from EVERY corpus row. */
+  private[similarity] def planeValue(plane: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane$plane:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    (java.lang.Long.parseLong(hex, 16).toDouble / (1L << 32).toDouble) * 2.0 - 1.0
+  }
 
-  /** Sign-bit signature of a vector against `nPlanes` pseudo-hyperplanes. */
-  def lshSignature(vec: Column, nPlanes: Int): Column =
+  /** Sign-bit signature of a `dim`-dimensional vector against `nPlanes`
+    * pseudo-hyperplanes (embedded as plan literals — zero per-row hashing). */
+  def lshSignature(vec: Column, nPlanes: Int, dim: Int): Column =
     array((0 until nPlanes).map { p =>
+      val plane = array((0 until dim).map(i => lit(planeValue(p, i))): _*)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+        zip_with(vec, plane, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0.0, 1).otherwise(0)
     }: _*)
 
   /** Band keys over the sign signature (same banding idea as MinHash-LSH):
     * vectors agreeing on all bits of any band become candidates. */
-  def lshBandKeys(vec: Column, nBands: Int, bitsPerBand: Int): Column = {
-    val sig = lshSignature(vec, nBands * bitsPerBand)
+  def lshBandKeys(vec: Column, nBands: Int, bitsPerBand: Int, dim: Int): Column = {
+    val sig = lshSignature(vec, nBands * bitsPerBand, dim)
     transform(sequence(lit(0), lit(nBands - 1)),
       b => concat(lit("b"), b, lit(":"),
         array_join(slice(sig, b * bitsPerBand + 1, lit(bitsPerBand)), "")))
+  }
+
+  /** Embedding dimensionality peeked from the first row (1 if empty — the
+    * plans over an empty table produce no rows regardless). */
+  private def dimOf(vecs: DataFrame, vecCol: String): Int = {
+    val h = vecs.select(size(col(vecCol)).as("d")).head(1)
+    if (h.isEmpty) 1 else h(0).getInt(0)
   }
 
   /**
@@ -100,10 +114,11 @@ object Similarity {
               nBands: Int = 8, bitsPerBand: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               roundTo: Int = 4): DataFrame = {
+    val dim = dimOf(corpus, vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      explode(lshBandKeys(col(vecCol), nBands, bitsPerBand)).as("band_key"))
+      explode(lshBandKeys(col(vecCol), nBands, bitsPerBand, dim)).as("band_key"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      explode(lshBandKeys(col(vecCol), nBands, bitsPerBand)).as("band_key"))
+      explode(lshBandKeys(col(vecCol), nBands, bitsPerBand, dim)).as("band_key"))
     // Score on the (narrow) bucket-join output, THEN dedup across colliding
     // bands on (ids, sim) only — the distinct exchange never carries vectors
     // (a pair's sim is identical in every band, so the 3-column distinct is
@@ -242,7 +257,7 @@ object Similarity {
                                idCol: String = "vec_id", vecCol: String = "embedding",
                                roundTo: Int = 4): DataFrame = {
     val banded = vecs.select(col(idCol), col(vecCol),
-      explode(lshBandKeys(col(vecCol), nBands, bitsPerBand)).as("band_key"))
+      explode(lshBandKeys(col(vecCol), nBands, bitsPerBand, dimOf(vecs, vecCol))).as("band_key"))
     val a = banded.select(col("band_key"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = banded.select(col("band_key"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, Seq("band_key"))

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.correct.{DictionaryCorrector, NoisyChannelCorrector, NoisyChannelModel, NullCorrector}
+import graft.pipeline.CheckpointedRun
+
+/**
+ * Production entry point — the spark-submit surface of the engine
+ * (BASELINE.json north_star: "the pipeline is submitted via spark-submit"):
+ *
+ * {{{
+ * spark-submit --class graft.RunPipeline <jar> \
+ *   --input  /data/docs            # parquet, (doc_id, <spans-col>: array<struct<kind,text,media_ref,offset>>)
+ *   --output /data/corrected       # bucket-partitioned parquet
+ *   [--state /data/corrected/_state]  # checkpoint state table (resume = rerun same command)
+ *   [--clean /data/truth]          # ground-truth docs for CER (default: the input itself,
+ *                                  #   making `cer` the corrected-vs-input drift)
+ *   [--vocab /data/vocab]          # pre-trained (token, freq) parquet; else trained from --clean
+ *   [--corrector noisy|dictionary|null] [--min-freq 2]
+ *   [--run-id run1] [--spans-col spans] [--buckets 64] [--group-size 8] [--salted true]
+ * }}}
+ *
+ * The run is resumable: work is committed per bucket group with a state row
+ * `(run_id, bucket, status, rows, cer_sum, perfect, lineage)` after each
+ * atomic data commit, so re-submitting the identical command after a kill
+ * processes only the remaining buckets (see CheckpointedRun; kill-and-resume
+ * byte-identity is CI-tested). Prints ONE JSON metrics line on success.
+ *
+ * No `.master()` is set here — spark-submit provides it; running under sbt
+ * without one falls back to `local[*]` for development.
+ */
+object RunPipeline {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
+    val builder = SparkSession.builder()
+      .appName(s"graft-run-${a.getOrElse("run-id", "run1")}")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    val spark =
+      (if (sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER"))
+         builder
+       else builder.master("local[*]")
+             .config("spark.sql.shuffle.partitions", Runtime.getRuntime.availableProcessors()))
+        .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(run(spark, a)) finally spark.stop()
+  }
+
+  /** The submitted job, factored from [[main]] so tests drive it with their
+    * own session. Returns the JSON metrics line. */
+  def run(spark: SparkSession, a: Map[String, String]): String = {
+    def req(k: String): String =
+      a.getOrElse(k, sys.error(s"missing required --$k (see scaladoc)"))
+    val input = req("input")
+    val output = req("output")
+    val state = a.getOrElse("state", s"$output/_state")
+    val clean = a.getOrElse("clean", input)
+    val runId = a.getOrElse("run-id", "run1")
+    val spansCol = a.getOrElse("spans-col", "spans")
+    val minFreq = a.getOrElse("min-freq", "2").toLong
+    val nBuckets = a.getOrElse("buckets", "64").toInt
+    val groupSize = a.getOrElse("group-size", "8").toInt
+    val salted = a.getOrElse("salted", "true").toBoolean
+    val correctorName = a.getOrElse("corrector", "noisy")
+
+    val t0 = System.nanoTime()
+    val docs = spark.read.parquet(input)
+    val cleanDocs = if (clean == input) docs else spark.read.parquet(clean)
+
+    val corrector = correctorName match {
+      case "null" => NullCorrector
+      case "dictionary" | "noisy" =>
+        val vocabDf = a.get("vocab")
+          .map(spark.read.parquet(_))
+          .getOrElse(DictionaryCorrector.trainVocab(cleanDocs, "spans", splitFilter = None))
+        if (correctorName == "dictionary")
+          DictionaryCorrector.corrector(DictionaryCorrector.buildModel(spark, vocabDf, minFreq))
+        else
+          new NoisyChannelCorrector(
+            NoisyChannelModel.fromVocabDf(spark, vocabDf.filter(col("freq") >= minFreq), minFreq))
+      case other => sys.error(s"unknown --corrector $other (noisy|dictionary|null)")
+    }
+
+    val lineage = s"input=$input clean=$clean corrector=$correctorName minFreq=$minFreq " +
+      s"buckets=$nBuckets groupSize=$groupSize salted=$salted"
+    val m = CheckpointedRun.run(spark, docs, cleanDocs, corrector, output, state, runId,
+      spansCol = spansCol, nBuckets = nBuckets, groupSize = groupSize,
+      salted = salted, lineage = lineage)
+    val total = CheckpointedRun.metrics(spark, state, runId)
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    f"""{"run_id":"$runId","docs_in":${docs.count()},"spans_this_invocation":${m.n},"spans_total":${total.n},"cer":${total.avgDistance}%.4f,"pct_perfect":${total.percentPerfect}%.4f,"wall_sec":$sec%.1f,"spans_per_sec":${if (sec > 0) m.n / sec else 0.0}%.1f,"state":"$state"}"""
+  }
+}

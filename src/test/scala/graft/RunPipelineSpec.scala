@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.gen.DocGen
+
+class RunPipelineSpec extends SparkSpec {
+
+  test("spark-submit entry point: corrects an input table, resumable, CER beats null floor") {
+    val base = Files.createTempDirectory("runpipeline").toString
+    val docs = DocGen.docs(spark, 200).toDF()
+    // production-shaped input: the NOISY spans are the table's spans column;
+    // the clean table is the ground truth
+    docs.select(col("doc_id"), col("noisy_spans").as("spans")).write.parquet(s"$base/in")
+    docs.select(col("doc_id"), col("spans")).write.parquet(s"$base/truth")
+
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "clean" -> s"$base/truth",
+      "buckets" -> "8", "group-size" -> "3", "min-freq" -> "2"))
+    assert(out.contains(""""run_id":"run1""""))
+    val cer = """"cer":([0-9.]+)""".r.findFirstMatchIn(out).get.group(1).toDouble
+    assert(cer < 0.116, s"corrector should beat the ~0.116 null floor: $out")
+
+    val written = spark.read.parquet(s"$base/out")
+    assert(written.select("doc_id").distinct().count() == 200)
+
+    // re-submitting the same command is a no-op resume: all buckets done
+    val again = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "clean" -> s"$base/truth",
+      "buckets" -> "8", "group-size" -> "3", "min-freq" -> "2"))
+    assert(again.contains(""""spans_this_invocation":0"""))
+  }
+
+  test("null corrector passes spans through unchanged") {
+    val base = Files.createTempDirectory("runpipeline0").toString
+    val docs = DocGen.docs(spark, 50).toDF()
+    docs.select(col("doc_id"), col("noisy_spans").as("spans")).write.parquet(s"$base/in")
+    RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out",
+      "corrector" -> "null", "buckets" -> "4", "group-size" -> "2"))
+    val in = spark.read.parquet(s"$base/in")
+    val out = spark.read.parquet(s"$base/out").drop("bucket")
+    assert(graft.pipeline.CorrectionPipeline.spanSequenceViolations(out, in).count() == 0)
+  }
+}

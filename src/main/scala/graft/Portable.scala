@@ -17,11 +17,9 @@ import org.apache.spark.sql.functions._
  * Assumption this rests on: the double being rounded is itself bit-identical
  * on both engines. Column-expression folds (`aggregate`/`zip_with`) are
  * explicit left-to-right, and the embedding oracles (q_embed_norm,
- * q_ann_topk, q_cosine_neardup) use DuckDB `sum()` over unnest — a
- * sequential scan whose accumulation order has matched the fold on every
- * verified run, but is not contractually ordered; a sum landing exactly on a
- * x.00005 boundary after a reordered accumulation could flip the 4th digit.
- * If that ever bites, pin the oracle to `list_reduce` (explicit left fold).
+ * q_ann_topk, q_cosine_neardup) pin DuckDB to the SAME order via
+ * `list_reduce` (explicit left fold over the zipped arrays) — `sum()` over
+ * unnest happened to match but its accumulation order is not contractual.
  */
 object Portable {
   def roundAt(c: Column, digits: Int): Column = {

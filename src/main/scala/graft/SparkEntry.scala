@@ -370,6 +370,17 @@ object SparkEntry {
     val bandRows = (0 until 4).map { b =>
       raw"SELECT doc_id, $b AS band, md5('b$b:' || CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS band_key FROM sig"
     }.mkString(" UNION ALL ")
+    // Explicit LEFT-FOLD sums for the embedding math: pins DuckDB to the same
+    // accumulation order as Spark's `aggregate(zip_with(...))` expressions —
+    // `sum()` over unnest has matched on every verified run but its order is
+    // not contractual, and a sum landing exactly on a x.00005 boundary after
+    // a reordered accumulation would flip the rounded 4th digit.
+    def foldSum(products: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $products), (acc, x) -> acc + x)"
+    def dotSql(a: String, b: String) =
+      foldSum(s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))")
+    def normSql(a: String) =
+      s"sqrt(${foldSum(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
     // shared SimHash signature pipeline (token md5 votes → 32 sign bits)
     val simhashCte =
       raw"""WITH tk AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS tok FROM documents),
@@ -567,36 +578,28 @@ object SparkEntry {
            FROM documents""",
 
       "q_embed_norm" ->
-        raw"""SELECT vec_id, floor(sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 10000 + 0.5) / 10000 AS nrm
-           FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t GROUP BY vec_id""",
+        raw"""SELECT vec_id, floor(${normSql("embedding")} * 10000 + 0.5) / 10000 AS nrm
+           FROM embeddings""",
 
       "q_ann_topk" ->
-        raw"""WITH n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
-                  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t GROUP BY vec_id),
-           p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.embedding AS qv, c.embedding AS cv
+        raw"""WITH p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    q.embedding AS qv, c.embedding AS cv
                  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id WHERE q.vec_id < 10),
-           d AS (SELECT query_id, neighbor_id, sum(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE)) AS dot
-                 FROM (SELECT query_id, neighbor_id, unnest(qv) AS qx, unnest(cv) AS cx FROM p) t
-                 GROUP BY query_id, neighbor_id),
            s AS (SELECT query_id, neighbor_id,
-                 floor((dot / (nq.nrm * nc.nrm)) * 10000 + 0.5) / 10000 AS sim FROM d
-                 JOIN n nq ON nq.vec_id = query_id JOIN n nc ON nc.vec_id = neighbor_id)
+                 floor((${dotSql("qv", "cv")} / (${normSql("qv")} * ${normSql("cv")})) * 10000 + 0.5) / 10000 AS sim
+                 FROM p)
            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
              FROM s) WHERE rank <= 5""",
 
       "q_cosine_neardup" ->
         raw"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 120),
-           n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
-                 FROM (SELECT vec_id, unnest(embedding) AS x FROM e) t GROUP BY vec_id),
            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
                  FROM e a JOIN e b ON a.vec_id < b.vec_id),
-           d AS (SELECT id_a, id_b, sum(CAST(ax AS DOUBLE) * CAST(bx AS DOUBLE)) AS dot
-                 FROM (SELECT id_a, id_b, unnest(va) AS ax, unnest(vb) AS bx FROM p) t
-                 GROUP BY id_a, id_b)
-           SELECT id_a, id_b, floor((dot / (na.nrm * nb.nrm)) * 10000 + 0.5) / 10000 AS sim FROM d
-           JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
-           WHERE floor((dot / (na.nrm * nb.nrm)) * 10000 + 0.5) / 10000 >= 0.25""",
+           s AS (SELECT id_a, id_b,
+                 floor((${dotSql("va", "vb")} / (${normSql("va")} * ${normSql("vb")})) * 10000 + 0.5) / 10000 AS sim
+                 FROM p)
+           SELECT id_a, id_b, sim FROM s WHERE sim >= 0.25""",
 
       "q1_agg" ->
         raw"""SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -27,6 +27,18 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /**
+   * Bind `expr` ONCE as a lambda variable inside `body` — manual common-
+   * subexpression elimination for Column trees. HOF lambdas get fresh
+   * variable ids per construction, so Catalyst/codegen never dedups a derived
+   * expression referenced several times inside them; wrapping it as the
+   * element of a one-element `transform` makes every use in `body` read the
+   * already-evaluated lambda variable instead. (Across SEPARATE output
+   * columns, materialize a real column instead — see ngramJaccardPairs.)
+   */
+  def let(expr: Column)(body: Column => Column): Column =
+    element_at(transform(array(expr), v => body(v)), 1)
+
   /** Canonical text form shared by every dedup operator: lowercase,
     * whitespace runs collapsed, trimmed. */
   def normalizeText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
@@ -75,25 +87,30 @@ object Dedup {
         sequence(lit(0), size(toks) - k),
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
 
-  /** [[tokenShingles]] over the raw text — convenience form for per-row use;
-    * hot paths materialize the token array first (see scaladoc above). */
-  def wordShingles(c: Column, k: Int): Column = tokenShingles(tokens(c), k)
+  /** [[tokenShingles]] over the raw text — the tokenizer is bound once via
+    * [[let]] so even the per-row form tokenizes each doc exactly once. Hot
+    * relational paths still materialize the token array as a real column. */
+  def wordShingles(c: Column, k: Int): Column =
+    let(tokens(c))(t => tokenShingles(t, k))
 
   /**
-   * MinHash signature as a single array expression: for each of `nHashes`
-   * seeded hash functions, the minimum over the doc's shingle set.
-   * Narrow and shuffle-free, but the shingle subexpression is INLINED once
-   * per hash by Catalyst (CollapseProject), so codegen size grows with
-   * `nHashes` — fine for per-row use with a handful of hashes; for real
-   * signature widths use [[minHashSignatures]], whose expression tree is
-   * linear.
+   * MinHash signature as a single per-row array expression — the SAME affine
+   * family and values as [[minHashSignatures]] (equivalence-tested), shaped
+   * linearly with [[let]]: shingles and their base hashes are each bound
+   * once, then one fold updates all `nHashes` running minima per shingle.
+   * One md5 per shingle total, narrow and shuffle-free.
    */
   def minHashSignature(c: Column, shingleK: Int, nHashes: Int): Column = {
-    val sh = wordShingles(c, shingleK)
-    array((0 until nHashes).map { seed =>
-      array_min(transform(sh, s =>
-        conv(substring(md5(concat(s, lit(":" + seed))), 1, 15), 16, 10).cast("long")))
-    }: _*)
+    val ab = array((0 until nHashes).map(k =>
+      struct(lit(minHashA(k)).as("a"), lit(minHashB(k)).as("b"))): _*)
+    let(wordShingles(c, shingleK)) { sh =>
+      let(transform(sh, s =>
+        shiftright(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), 1))) { hbs =>
+        aggregate(hbs, array_repeat(lit(Long.MaxValue), nHashes),
+          (acc, hb) => zip_with(acc, ab,
+            (m, p) => least(m, pmod(hb * p("a") + p("b"), lit(MinHashP)))))
+      }
+    }
   }
 
   /** Mersenne-prime modulus of the affine MinHash family (2^61 - 1). */

@@ -44,6 +44,15 @@ class DedupSpec extends SparkSpec {
     assert(agree02 > agree04, s"near-dup should agree more: $agree02 vs $agree04")
   }
 
+  test("per-row minhash signature ≡ relational minhash signatures (same affine family)") {
+    val n = 6
+    val perRow = docs.select($"doc_id", Dedup.minHashSignature($"text", 3, n).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val rel = Dedup.minHashSignatures(docs, shingleK = 3, nHashes = n).collect()
+      .map(r => r.getLong(0) -> (1 to n).map(i => r.getLong(i)).toSeq).toMap
+    assert(perRow == rel)
+  }
+
   test("LSH candidate pairs find the exact and near duplicates, jaccard verifies") {
     val pairs = Dedup.lshCandidatePairs(docs, shingleK = 3, nBands = 8, rowsPerBand = 2)
     val got = pairs.as[(Long, Long)].collect().toSet

@@ -96,9 +96,12 @@ final class NoisyChannelModel(
   def contains(token: String): Boolean = pruned.contains(token)
 
   /** Best single-word candidate within `width`, scored by channel × prior;
-    * returns (word, score) or null. */
+    * returns (word, score) or null. A single candidate wins unscored — the
+    * score only ranks alternatives (callers never compare across calls). */
   private def bestWithin(token: String, width: Int): (String, Double) = {
     val cands = trie.searchWithin(token, width)
+    if (cands.isEmpty) return null
+    if (cands.length == 1) return (cands(0)._1, 0.0)
     var bestTok: String = null
     var bestScore = Double.MinValue
     cands.foreach { case (w, f, _) =>
@@ -107,7 +110,7 @@ final class NoisyChannelModel(
         bestScore = score; bestTok = w
       }
     }
-    if (bestTok == null) null else (bestTok, bestScore)
+    (bestTok, bestScore)
   }
 
   /**

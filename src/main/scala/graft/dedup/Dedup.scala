@@ -178,18 +178,21 @@ object Dedup {
   }
 
   /**
-   * Exact shingle-set Jaccard similarity for given (id_a, id_b) pairs — the
+   * Shingle-set Jaccard similarity for given (id_a, id_b) pairs — the
    * verification stage after LSH candidate generation. Set sizes are
-   * pre-aggregated; the intersection comes from one equi-join on the shingle
-   * value restricted to candidate docs. Shuffles scale with candidate-set
-   * shingle counts, not corpus size.
+   * pre-aggregated; the intersection comes from one equi-join restricted to
+   * candidate docs, keyed on a 60-bit md5 of each shingle rather than the
+   * shingle STRING — the shuffle carries 8 bytes per shingle instead of the
+   * k-word text (exact up to 60-bit collisions, ~n²/2⁶⁰ per doc pair).
+   * Shuffles scale with candidate-set shingle counts, not corpus size.
    */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingleK: Int = 3,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ids = pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b").as("id"))).distinct()
     val sh = docs.join(ids, col(idCol) === col("id"), "left_semi")
       .withColumn("__toks", tokens(col(textCol)))
-      .select(col(idCol).as("id"), explode(array_distinct(tokenShingles(col("__toks"), shingleK))).as("sh"))
+      .select(col(idCol).as("id"), explode(array_distinct(tokenShingles(col("__toks"), shingleK))).as("__s"))
+      .select(col("id"), conv(substring(md5(col("__s")), 1, 15), 16, 10).cast("long").as("sh"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("jb"), col("sh").as("sh_b"))

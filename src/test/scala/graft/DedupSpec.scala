@@ -24,6 +24,14 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(0L, 2L, 3L, 4L))
   }
 
+  test("let binds a derived expression without changing its value") {
+    val out = docs.select(
+      Dedup.let(Dedup.tokens($"text"))(t => size(t) * 2 + size(t)).as("v"),
+      (size(Dedup.tokens($"text")) * 3).as("w"))
+      .as[(Int, Int)].collect()
+    out.foreach { case (v, w) => assert(v == w) }
+  }
+
   test("word shingles: correct k-gram set and short-text fallback") {
     val sh = docs.filter($"doc_id" === 0)
       .select(Dedup.wordShingles($"text", 3).as("sh")).as[Seq[String]].head()

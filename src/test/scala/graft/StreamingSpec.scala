@@ -65,6 +65,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids.length == 2 && ids.contains(3L))
   }
 
+  test("dedup state is evicted past the watermark: an old fingerprint recurs") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Long)]
+    val df = stream.toDF().toDF("ts", "text", "id")
+    val q = StreamingOps.dedupStream(df, "ts", "text", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("deduped_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: the fingerprint's first appearance
+      stream.addData(Seq((ts(0), "same text", 1L)))
+      q.processAllAvailable()
+      // batch 2: advance event time far past the watermark horizon → the
+      // fingerprint's state is evicted
+      stream.addData(Seq((Timestamp.valueOf("2026-01-01 12:00:00"), "other", 2L)))
+      q.processAllAvailable()
+      // batch 3: the same text again, hours later — kept (state bounded by
+      // the watermark, unlike plain dropDuplicates which remembers forever)
+      stream.addData(Seq((Timestamp.valueOf("2026-01-01 12:01:00"), "same text", 3L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("deduped_evict").select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L),
+      s"expected the recurrence to survive eviction: ${ids.toSeq}")
+  }
+
   test("watermarked session windows close after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Double)]

@@ -1,0 +1,181 @@
+package graft.extract
+
+import scala.collection.mutable
+import graft.extract.PdfLayout.TextBox
+
+/**
+ * From-scratch byte-level PDF decode for UNCOMPRESSED documents — no
+ * libraries. Covers the subset a layout pipeline needs:
+ *
+ *  - object scan: `N 0 obj ... endobj`; every `stream ... endstream` whose
+ *    dictionary carries no `/Filter` is treated as a page content stream
+ *    (streams appear in page order; stream k = page k);
+ *  - content-stream text operators: `BT`/`ET` text blocks, `Td`/`TD`
+ *    (relative line translation, real PDF semantics), `Tm` (absolute), and
+ *    `(...) Tj` show-text with `\(`, `\)`, `\\` escapes;
+ *  - figures: `q a b c d e f cm /Name Do Q` XObject draws become figure
+ *    boxes (`media://pdfobj-<Name>`) at the translation components (e, f).
+ *
+ * Coordinates are normalized to [0,1] with y flipped (PDF y points up;
+ * [[PdfLayout.readingOrder]] expects y growing downward) against US-Letter
+ * 612×792 unless the first `/MediaBox [0 0 w h]` says otherwise.
+ *
+ * Compressed streams (`/Filter`) are skipped — inflating them needs a real
+ * codec; documents where every stream is filtered decode to no boxes and the
+ * caller falls back (same stub pattern as `Multimodal.MediaCodec`).
+ */
+object PdfCodec extends Serializable {
+
+  def isPdf(b: Array[Byte]): Boolean =
+    b.length > 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F' && b(4) == '-'
+
+  /** Parse text/figure boxes from raw PDF bytes (empty if nothing decodable). */
+  def parse(bytes: Array[Byte]): Seq[TextBox] = {
+    if (!isPdf(bytes)) return Seq.empty
+    val s = new String(bytes, "ISO-8859-1") // byte-preserving charset
+    val (pw, ph) = mediaBox(s).getOrElse((612.0, 792.0))
+    val streams = contentStreams(s)
+    streams.zipWithIndex.flatMap { case (cs, page) =>
+      parseContent(cs, page, pw, ph)
+    }
+  }
+
+  private val MediaBoxRe =
+    raw"/MediaBox\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s*\]".r
+
+  private def mediaBox(s: String): Option[(Double, Double)] =
+    MediaBoxRe.findFirstMatchIn(s).map { m =>
+      (m.group(3).toDouble - m.group(1).toDouble,
+       m.group(4).toDouble - m.group(2).toDouble)
+    }
+
+  /** All unfiltered stream bodies, in document order. */
+  private def contentStreams(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while ({ i = s.indexOf("stream", i); i >= 0 }) {
+      // dictionary = text between the previous "<<" ... ">>" pair before `stream`
+      val dictEnd = s.lastIndexOf(">>", i)
+      val dictStart = if (dictEnd >= 0) s.lastIndexOf("<<", dictEnd) else -1
+      val dict = if (dictStart >= 0) s.substring(dictStart, dictEnd + 2) else ""
+      var body = i + "stream".length
+      if (body < s.length && s.charAt(body) == '\r') body += 1
+      if (body < s.length && s.charAt(body) == '\n') body += 1
+      val end = s.indexOf("endstream", body)
+      if (end < 0) return out.toSeq
+      if (!dict.contains("/Filter")) out += s.substring(body, end)
+      i = end + "endstream".length
+    }
+    out.toSeq
+  }
+
+  private val NumRe = raw"[-+]?[0-9]*\.?[0-9]+"
+
+  /** Tokenize a content stream into PDF strings, numbers and operators. */
+  private def parseContent(cs: String, page: Int, pw: Double, ph: Double): Seq[TextBox] = {
+    val out = mutable.ArrayBuffer.empty[TextBox]
+    var tx = 0.0; var ty = 0.0           // text-line origin (PDF space)
+    var cmE = 0.0; var cmF = 0.0         // last cm translation
+    var lastName: String = null
+    val nums = mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    val n = cs.length
+    def flushNums(): Unit = nums.clear()
+    def norm(x: Double, y: Double): (Double, Double) =
+      (math.max(0.0, math.min(1.0, x / pw)), math.max(0.0, math.min(1.0, (ph - y) / ph)))
+    while (i < n) {
+      val c = cs.charAt(i)
+      if (c == '(') {
+        // PDF literal string with escapes and balanced parens
+        val sb = new StringBuilder
+        var depth = 1
+        i += 1
+        while (i < n && depth > 0) {
+          val ch = cs.charAt(i)
+          if (ch == '\\' && i + 1 < n) { sb.append(cs.charAt(i + 1)); i += 2 }
+          else if (ch == '(') { depth += 1; sb.append(ch); i += 1 }
+          else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
+          else { sb.append(ch); i += 1 }
+        }
+        // operator after the string (Tj / TJ / ')
+        val opEnd = math.min(n, i + 8)
+        val rest = cs.substring(i, opEnd).trim
+        if (rest.startsWith("Tj") || rest.startsWith("'")) {
+          val (x, y) = norm(tx, ty)
+          if (sb.nonEmpty) out += TextBox(page, x, y, sb.toString, isFigure = false)
+        }
+        flushNums()
+      } else if (c == '/') {
+        val m = i + 1
+        var j = m
+        while (j < n && !Character.isWhitespace(cs.charAt(j)) && "([<>]/".indexOf(cs.charAt(j)) < 0) j += 1
+        lastName = cs.substring(m, j)
+        i = j
+        flushNums()
+      } else if ((c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.') {
+        var j = i
+        while (j < n && "0123456789+-.eE".indexOf(cs.charAt(j)) >= 0) j += 1
+        try nums += cs.substring(i, j).toDouble catch { case _: NumberFormatException => () }
+        i = j
+      } else if (Character.isLetter(c)) {
+        var j = i
+        while (j < n && (Character.isLetter(cs.charAt(j)) || cs.charAt(j) == '*')) j += 1
+        val op = cs.substring(i, j)
+        op match {
+          case "Td" | "TD" if nums.length >= 2 => tx += nums(nums.length - 2); ty += nums.last
+          case "Tm" if nums.length >= 6        => tx = nums(nums.length - 2); ty = nums.last
+          case "BT"                            => tx = 0.0; ty = 0.0
+          case "cm" if nums.length >= 6        => cmE = nums(nums.length - 2); cmF = nums.last
+          case "Do" if lastName != null =>
+            val (x, y) = norm(cmE, cmF)
+            out += TextBox(page, x, y, s"media://pdfobj-$lastName", isFigure = true)
+          case _ => ()
+        }
+        flushNums()
+        i = j
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  // ---- minimal uncompressed single-xref encoder (round-trip tests + demos) ----
+
+  /** One page = a list of boxes: Left(text at (x, y)) or Right(figure name at
+    * (x, y)); coordinates in PDF points, y up, page 612×792. */
+  def encode(pages: Seq[Seq[(Double, Double, Either[String, String])]]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    val offsets = mutable.ArrayBuffer.empty[Int]
+    def obj(body: String): Int = {
+      offsets += sb.length
+      val id = offsets.length
+      sb.append(s"$id 0 obj\n$body\nendobj\n")
+      id
+    }
+    val pageIds = mutable.ArrayBuffer.empty[Int]
+    val contentIds = pages.map { boxes =>
+      val cs = new StringBuilder
+      boxes.foreach {
+        case (x, y, Left(text)) =>
+          val esc = text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+          cs.append(f"BT /F1 12 Tf $x%.1f $y%.1f Td ($esc) Tj ET\n")
+        case (x, y, Right(name)) =>
+          cs.append(f"q 1 0 0 1 $x%.1f $y%.1f cm /$name Do Q\n")
+      }
+      val body = cs.toString
+      obj(s"<< /Length ${body.length} >>\nstream\n$body endstream")
+    }
+    val fontId = obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    contentIds.foreach { cid =>
+      pageIds += obj(
+        s"<< /Type /Page /Parent PAGES 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 $fontId 0 R >> >> /Contents $cid 0 R >>")
+    }
+    val pagesId = obj(
+      s"<< /Type /Pages /Kids [${pageIds.map(id => s"$id 0 R").mkString(" ")}] /Count ${pageIds.length} >>")
+    val catalogId = obj(s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+    val fixed = sb.toString.replace("PAGES 0 R", s"$pagesId 0 R")
+    val tail = s"trailer\n<< /Size ${offsets.length + 1} /Root $catalogId 0 R >>\n%%EOF\n"
+    (fixed + tail).getBytes("ISO-8859-1")
+  }
+}

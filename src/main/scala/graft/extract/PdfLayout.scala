@@ -6,18 +6,23 @@ import graft.gen.DetRng
 import graft.model.{Doc, Span}
 
 /**
- * PDF/layout parse stage (north_rule). No PDF codec exists in this container,
- * so the byte-level decode is a STUB (deterministic fake text boxes derived
- * from the document ref — same pattern as `Multimodal.StubCodec`); the
- * layout LOGIC is real and tested:
+ * PDF/layout parse stage (north_rule). Two decode paths:
+ *
+ *  - **Real byte decode for uncompressed PDFs** ([[PdfCodec]]): from-scratch
+ *    object/stream scan + content-stream text operators (`BT/Td/TD/Tm/Tj`)
+ *    and XObject figure draws — no libraries. Compressed (`/Filter`) streams
+ *    need a real inflater and are skipped; a document that decodes to zero
+ *    boxes falls back to the stub.
+ *  - **Stub decode** (`stubDecode`): deterministic fake text boxes derived
+ *    from the document ref — the fixture path and the fallback.
+ *
+ * The layout LOGIC downstream of either decode is real and tested:
  *
  *  - **Reading order**: boxes are grouped per page, split into columns by
  *    x-gap clustering (two-column layouts are the common academic/scan case),
  *    columns read left→right, boxes within a column top→bottom — the
  *    standard geometric reading-order reconstruction.
  *  - Figure boxes become media spans at their in-column position.
- *
- * Swapping in a real PDF library replaces ONE function (`stubDecode`).
  */
 object PdfLayout {
 
@@ -72,5 +77,19 @@ object PdfLayout {
     import spark.implicits._
     refs.select(col(idCol).cast("string")).as[String]
       .mapPartitions(_.map(id => Doc(id, toSpans(stubDecode(id)))))
+  }
+
+  /** (doc_id, pdf binary) table → extracted `Dataset[Doc]` via the REAL
+    * uncompressed-PDF byte decode; docs that decode to zero boxes (compressed
+    * or non-PDF payloads) fall back to the deterministic stub. Narrow. */
+  def extractPdfDocs(pdfs: DataFrame, idCol: String = "doc_id",
+                     bytesCol: String = "pdf"): Dataset[Doc] = {
+    val spark = pdfs.sparkSession
+    import spark.implicits._
+    pdfs.select(col(idCol).cast("string"), col(bytesCol)).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val boxes = PdfCodec.parse(bytes)
+        Doc(id, toSpans(if (boxes.nonEmpty) boxes else stubDecode(id)))
+      })
   }
 }

@@ -1,0 +1,172 @@
+package graft.multimodal
+
+import graft.multimodal.Multimodal.{FeatureDim, MediaBlob, MediaFeatures}
+
+/**
+ * From-scratch decoders for container-free media formats — pure byte
+ * parsing, no external libraries:
+ *
+ *  - **P6 PPM** (binary portable pixmap): header `P6 <w> <h> <maxval>` with
+ *    `#` comments, then w·h·3 raw RGB bytes. Features: per-channel means,
+ *    mean luminance, an 8-bin luminance histogram, aspect ratio.
+ *  - **RIFF/PCM WAV**: chunk walk to `fmt ` (PCM, 16-bit) and `data`.
+ *    Features: RMS amplitude, mean, zero-crossing rate, per-quarter energy.
+ *    `width`/`height` carry sample rate / channel count; `n_frames` =
+ *    1024-sample windows.
+ *
+ * [[decode]] sniffs magic bytes and falls back to [[Multimodal.StubCodec]]
+ * for anything else (compressed formats need real codec libraries). Every
+ * path is deterministic in the payload bytes — re-runs and resumes agree.
+ */
+object MediaCodec extends Serializable {
+
+  def isPpm(b: Array[Byte]): Boolean =
+    b.length > 2 && b(0) == 'P' && b(1) == '6' && Character.isWhitespace(b(2))
+
+  def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Magic-sniffing decode; unknown/corrupt payloads fall back to the stub. */
+  def decode(blob: MediaBlob): MediaFeatures =
+    try {
+      if (isPpm(blob.bytes)) decodePpm(blob)
+      else if (isWav(blob.bytes)) decodeWav(blob)
+      else Multimodal.StubCodec.decode(blob)
+    } catch {
+      case _: IllegalArgumentException => Multimodal.StubCodec.decode(blob)
+    }
+
+  // ---- P6 PPM ----
+
+  private def parseHeaderInts(b: Array[Byte], from: Int, n: Int): (Array[Int], Int) = {
+    val out = new Array[Int](n)
+    var i = from
+    var k = 0
+    while (k < n) {
+      // skip whitespace and '#' comments
+      var go = true
+      while (go) {
+        while (i < b.length && Character.isWhitespace(b(i))) i += 1
+        if (i < b.length && b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else go = false
+      }
+      require(i < b.length && b(i) >= '0' && b(i) <= '9', s"bad PPM header at byte $i")
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      out(k) = v
+      k += 1
+    }
+    (out, i)
+  }
+
+  def decodePpm(blob: MediaBlob): MediaFeatures = {
+    val b = blob.bytes
+    val (hdr, afterHdr) = parseHeaderInts(b, 2, 3)
+    val (w, h, maxval) = (hdr(0), hdr(1), hdr(2))
+    require(w > 0 && h > 0 && maxval > 0 && maxval < 256, "unsupported PPM")
+    val start = afterHdr + 1 // single whitespace byte after maxval
+    val nPx = w * h
+    require(b.length >= start + nPx * 3, "truncated PPM payload")
+    var (sr, sg, sb2, sl) = (0L, 0L, 0L, 0.0)
+    val hist = new Array[Long](8)
+    var p = 0
+    while (p < nPx) {
+      val o = start + p * 3
+      val r = b(o) & 0xFF; val g = b(o + 1) & 0xFF; val bl = b(o + 2) & 0xFF
+      sr += r; sg += g; sb2 += bl
+      val lum = 0.299 * r + 0.587 * g + 0.114 * bl
+      sl += lum
+      hist(math.min(7, (lum * 8 / 256).toInt)) += 1
+      p += 1
+    }
+    val m = maxval.toFloat
+    val feats = new Array[Float](FeatureDim)
+    feats(0) = sr.toFloat / nPx / m
+    feats(1) = sg.toFloat / nPx / m
+    feats(2) = sb2.toFloat / nPx / m
+    feats(3) = (sl / nPx / m).toFloat
+    var k = 0
+    while (k < 8) { feats(4 + k) = hist(k).toFloat / nPx; k += 1 }
+    feats(12) = w.toFloat / h
+    MediaFeatures(blob.media_ref, "image", w, h, 1, feats)
+  }
+
+  /** Minimal deterministic P6 encoder (the synthesis side of the round-trip
+    * tests and the generator). */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "pixel buffer size mismatch")
+    val hdr = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](hdr.length + rgb.length)
+    System.arraycopy(hdr, 0, out, 0, hdr.length)
+    System.arraycopy(rgb, 0, out, hdr.length, rgb.length)
+    out
+  }
+
+  // ---- RIFF/PCM WAV ----
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+  private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+
+  def decodeWav(blob: MediaBlob): MediaFeatures = {
+    val b = blob.bytes
+    var i = 12 // after RIFF size + WAVE
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val sz = le32(b, i + 4)
+      if (id == "fmt ") {
+        require(i + 8 + 16 <= b.length, "truncated fmt chunk")
+        require(le16(b, i + 8) == 1, "not PCM")
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (id == "data") { dataOff = i + 8; dataLen = math.min(sz, b.length - dataOff) }
+      i += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && channels > 0 && bits == 16 && dataOff >= 0, "unsupported WAV")
+    val nSamples = dataLen / 2
+    var sum = 0.0; var sumSq = 0.0; var crossings = 0L
+    val quarters = new Array[Double](4)
+    var prevSign = 0
+    var s = 0
+    while (s < nSamples) {
+      val v = le16(b, dataOff + s * 2).toShort.toInt / 32768.0
+      sum += v; sumSq += v * v
+      val sign = java.lang.Integer.signum(java.lang.Double.compare(v, 0.0))
+      if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+      if (sign != 0) prevSign = sign
+      quarters(math.min(3, s * 4 / math.max(1, nSamples))) += v * v
+      s += 1
+    }
+    val feats = new Array[Float](FeatureDim)
+    if (nSamples > 0) {
+      feats(0) = math.sqrt(sumSq / nSamples).toFloat          // RMS
+      feats(1) = (sum / nSamples).toFloat                     // DC offset
+      feats(2) = crossings.toFloat / nSamples                 // zero-crossing rate
+      var q = 0
+      while (q < 4) { feats(3 + q) = (quarters(q) / math.max(1, nSamples / 4)).toFloat; q += 1 }
+      feats(7) = nSamples.toFloat / sampleRate                // duration (sec)
+    }
+    MediaFeatures(blob.media_ref, "audio", sampleRate, channels,
+      (nSamples + 1023) / 1024, feats)
+  }
+
+  /** Minimal deterministic PCM16 mono WAV encoder. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put4(i: Int, s: String): Unit = { val x = s.getBytes("US-ASCII"); System.arraycopy(x, 0, out, i, 4) }
+    def putLe32(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte; out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte }
+    def putLe16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    put4(0, "RIFF"); putLe32(4, 36 + dataLen); put4(8, "WAVE")
+    put4(12, "fmt "); putLe32(16, 16); putLe16(20, 1); putLe16(22, 1)
+    putLe32(24, sampleRate); putLe32(28, sampleRate * 2); putLe16(32, 2); putLe16(34, 16)
+    put4(36, "data"); putLe32(40, dataLen)
+    var s = 0
+    while (s < samples.length) { putLe16(44 + s * 2, samples(s).toInt); s += 1 }
+    out
+  }
+}

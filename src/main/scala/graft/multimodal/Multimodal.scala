@@ -8,12 +8,13 @@ import graft.gen.DetRng
  * Multimodal column handling: image/audio/video payloads as opaque `binary`
  * columns with typed metadata, processed by batched `mapPartitions` kernels.
  *
- * The Spark-side plumbing — schemas, typed Datasets, partition-level
- * batching, deterministic synthesis of blobs from `media_ref`s — is real and
- * tested. The codec itself is a STUB (`StubCodec`): this container has no
- * image/audio libraries, so decode/feature-extraction derive deterministic
- * fake values from the payload bytes. Swapping in a real codec changes ONE
- * function (`StubCodec.decode`) and nothing in the dataflow.
+ * Decode is REAL for container-free formats — [[MediaCodec]] sniffs the
+ * payload's magic bytes and parses P6 PPM images and RIFF/PCM WAV audio from
+ * scratch (dimensions, channel statistics, amplitude features; no external
+ * libraries). Compressed formats (JPEG/MP4/...) fall back to the
+ * deterministic [[StubCodec]] — this container has no codec libraries; a
+ * real deployment adds cases to `MediaCodec.decode` and nothing in the
+ * dataflow changes.
  *
  * Scale notes: blobs never pass through wide operators — kernels are narrow
  * mapPartitions; joining features back to documents happens on `media_ref`
@@ -67,8 +68,10 @@ object Multimodal {
   }
 
   /** Deterministic media table for the `media_ref`s appearing in a docs
-    * table: kind derived from the ref hash (images/audio/video mix), payload
-    * synthesized by the stub. Narrow — one pass over exploded spans. */
+    * table: kind derived from the ref hash (images/audio/video mix). Image
+    * and audio payloads are REAL encoded files (P6 PPM / PCM WAV — parsed
+    * back by [[MediaCodec]]); video payloads are opaque bytes (stub path).
+    * Narrow — one pass over exploded spans. */
   def mediaTable(docs: DataFrame, spansCol: String = "spans"): Dataset[MediaBlob] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -82,8 +85,18 @@ object Multimodal {
         val rng = DetRng.forKey(ref, 0x6B696E64L)
         val kinds = Array("image", "audio", "video")
         val kind = kinds(rng.nextInt(3))
-        val n = 256 + rng.nextInt(2048)
-        MediaBlob(ref, kind, StubCodec.fakeBytes(ref, n), n)
+        val bytes = kind match {
+          case "image" =>
+            val w = 8 + rng.nextInt(24); val h = 8 + rng.nextInt(24)
+            MediaCodec.encodePpm(w, h, Array.fill(w * h * 3)(rng.nextInt(256).toByte))
+          case "audio" =>
+            val n = 512 + rng.nextInt(4096)
+            MediaCodec.encodeWav(16000,
+              Array.fill(n)((rng.nextInt(65536) - 32768).toShort))
+          case _ =>
+            StubCodec.fakeBytes(ref, 256 + rng.nextInt(2048))
+        }
+        MediaBlob(ref, kind, bytes, bytes.length)
       }
   }
 
@@ -98,8 +111,9 @@ object Multimodal {
     import spark.implicits._
     blobs.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // a real codec would decode the whole batch in one native call here
-        batch.iterator.map(StubCodec.decode)
+        // container-free formats decode for real; compressed kinds hit the
+        // stub — a native codec would decode the whole batch in one call here
+        batch.iterator.map(MediaCodec.decode)
       }
     }
   }

@@ -94,4 +94,41 @@ class ExtractSpec extends SparkSpec {
       PdfLayout.TextBox(0, 0.12, 0.1, "first", isFigure = false))
     assert(PdfLayout.readingOrder(boxes).map(_.text) == Seq("first", "second"))
   }
+
+  test("pdf codec: encode → parse round-trips text, order, escapes, figures, pages") {
+    import graft.extract.PdfCodec
+    // two-column page (PDF y points UP: y=700 is near the top) + a figure,
+    // plus a second page — encoded, parsed back, run through reading order
+    val pdf = PdfCodec.encode(Seq(
+      Seq(
+        (306.0, 700.0, Left("right top")),
+        (50.0, 300.0, Left("left (bottom) \\ special")),
+        (50.0, 700.0, Left("left top")),
+        (306.0, 300.0, Right("Im7"))),
+      Seq((50.0, 700.0, Left("page two")))))
+    val boxes = PdfCodec.parse(pdf)
+    assert(boxes.length == 5)
+    val spans = PdfLayout.toSpans(boxes)
+    assert(spans.map(s => if (s.kind == Span.KindMedia) s.media_ref else s.text) == Vector(
+      "left top", "left (bottom) \\ special", "right top", "media://pdfobj-Im7", "page two"))
+    assert(spans.map(_.offset) == spans.indices.toVector)
+
+    val viaDs = PdfLayout.extractPdfDocs(
+      Seq(("d1", pdf)).toDF("doc_id", "pdf")).collect().head
+    assert(viaDs.spans == spans)
+  }
+
+  test("pdf codec: filtered streams and non-PDF bytes decode to nothing (stub fallback)") {
+    import graft.extract.PdfCodec
+    val filtered =
+      ("%PDF-1.4\n1 0 obj\n<< /Length 10 /Filter /FlateDecode >>\nstream\n" +
+        "xxxxxxxxxx\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfCodec.parse(filtered).isEmpty)
+    assert(PdfCodec.parse("not a pdf at all".getBytes("ISO-8859-1")).isEmpty)
+    // extractPdfDocs falls back to the deterministic stub
+    val doc = PdfLayout.extractPdfDocs(Seq(("d9", filtered)).toDF("doc_id", "pdf"))
+      .collect().head
+    val stub = PdfLayout.toSpans(PdfLayout.stubDecode("d9"))
+    assert(doc.spans == stub)
+  }
 }

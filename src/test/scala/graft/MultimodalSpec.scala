@@ -33,7 +33,8 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == media.count())
     rows.foreach { f =>
       assert(f.features.length == Multimodal.FeatureDim)
-      if (f.media_kind == "image") assert(f.n_frames == 1 && f.width >= 64)
+      if (f.media_kind == "image") assert(f.n_frames == 1 && f.width >= 8 && f.height >= 8)
+      if (f.media_kind == "audio") assert(f.width == 16000 && f.height == 1) // sample rate / channels
       if (f.media_kind == "video") assert(f.n_frames >= 1)
     }
     val again = Multimodal.extractFeatures(media, batchSize = 64).collect()
@@ -41,6 +42,48 @@ class MultimodalSpec extends SparkSpec {
       .sameElements(again.map(f => (f.media_ref, f.features.toSeq)).sortBy(_._1)),
       "decode must not depend on batch size or partitioning")
     media.unpersist()
+  }
+
+  test("PPM codec: encode → decode round-trips dimensions and channel means") {
+    import graft.multimodal.{MediaCodec, Multimodal => M}
+    // solid red 10×4 image
+    val rgb = Array.tabulate(10 * 4 * 3)(i => if (i % 3 == 0) 255.toByte else 0.toByte)
+    val bytes = MediaCodec.encodePpm(10, 4, rgb)
+    val f = MediaCodec.decode(M.MediaBlob("r1", "image", bytes, bytes.length))
+    assert(f.width == 10 && f.height == 4 && f.n_frames == 1 && f.media_kind == "image")
+    assert(f.features(0) == 1.0f && f.features(1) == 0.0f && f.features(2) == 0.0f)
+    assert(math.abs(f.features(3) - 0.299f) < 1e-3) // luminance of pure red
+    assert(math.abs(f.features(12) - 2.5f) < 1e-6)  // aspect ratio
+    // header comments are skipped
+    val withComment = ("P6\n# a comment\n10 4\n255\n".getBytes("US-ASCII") ++ rgb)
+    val g = MediaCodec.decode(M.MediaBlob("r2", "image", withComment, withComment.length))
+    assert(g.width == 10 && g.height == 4 && g.features(0) == 1.0f)
+  }
+
+  test("WAV codec: encode → decode round-trips rate, channels, duration, RMS") {
+    import graft.multimodal.{MediaCodec, Multimodal => M}
+    val samples = Array.fill(2048)(16384.toShort) // constant 0.5 amplitude
+    val bytes = MediaCodec.encodeWav(16000, samples)
+    val f = MediaCodec.decode(M.MediaBlob("a1", "audio", bytes, bytes.length))
+    assert(f.media_kind == "audio" && f.width == 16000 && f.height == 1)
+    assert(f.n_frames == 2) // 2048 samples / 1024-sample windows
+    assert(math.abs(f.features(0) - 0.5f) < 1e-3) // RMS
+    assert(math.abs(f.features(1) - 0.5f) < 1e-3) // mean
+    assert(f.features(2) == 0.0f)                 // no zero crossings
+    assert(math.abs(f.features(7) - 0.128f) < 1e-3) // duration sec
+  }
+
+  test("unknown/corrupt payloads fall back to the stub codec") {
+    import graft.multimodal.{MediaCodec, Multimodal => M}
+    def key(f: M.MediaFeatures) =
+      (f.media_ref, f.media_kind, f.width, f.height, f.n_frames, f.features.toSeq)
+    val junk = Array.tabulate(300)(i => (i * 7).toByte)
+    val blob = M.MediaBlob("x1", "image", junk, junk.length)
+    assert(key(MediaCodec.decode(blob)) == key(M.StubCodec.decode(blob)))
+    // a PPM magic with a truncated body must not throw — stub fallback
+    val truncated = "P6\n100 100\n255\n".getBytes("US-ASCII")
+    val blob2 = M.MediaBlob("x2", "image", truncated, truncated.length)
+    assert(key(MediaCodec.decode(blob2)) == key(M.StubCodec.decode(blob2)))
   }
 
   test("frame sampling: stride and cap respected") {

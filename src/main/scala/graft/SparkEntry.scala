@@ -292,6 +292,15 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(
         tbl(s, dir, "embeddings").filter(col("vec_id") < 120), threshold = 0.25)),
 
+    // random-hyperplane LSH band keys (ANN candidate generation) — SQL-
+    // expressible because the hyperplane matrix is driver-computed literals;
+    // the oracle re-states the same plane values and fold order.
+    "q_lsh_ann_bands" -> ((s, dir) =>
+      tbl(s, dir, "embeddings").select(col("vec_id"),
+        posexplode(Similarity.lshBandKeys(col("embedding"), nBands = 4, bitsPerBand = 2, dim = 64))
+          .as(Seq("band", "band_key")))
+        .select(col("vec_id"), col("band").cast("long").as("band"), col("band_key"))),
+
     // ---- relational spine (scan/filter/agg/join/window health) ----
     "q1_agg" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -591,6 +600,23 @@ object SparkEntry {
            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
              FROM s) WHERE rank <= 5""",
+
+      "q_lsh_ann_bands" -> {
+        // the same driver-computed hyperplane literals as the Spark plan
+        // (java.lang.Double.toString round-trips exactly through DuckDB's
+        // decimal parser), folded in the same left-to-right order
+        def dotPlane(p: Int) = {
+          val lits = (0 until 64).map(i =>
+            java.lang.Double.toString(Similarity.planeValue(p, i))).mkString(", ")
+          foldSum(s"list_transform(list_zip(embedding, [$lits]), pr -> CAST(pr[1] AS DOUBLE) * pr[2])")
+        }
+        val signs = (0 until 8).map(p =>
+          s"CASE WHEN ${dotPlane(p)} >= 0 THEN '1' ELSE '0' END AS s$p").mkString(", ")
+        val arms = (0 until 4).map(b =>
+          s"SELECT vec_id, CAST($b AS BIGINT) AS band, 'b$b:' || s${2 * b} || s${2 * b + 1} AS band_key FROM s")
+          .mkString(" UNION ALL ")
+        raw"""WITH s AS (SELECT vec_id, $signs FROM embeddings) $arms"""
+      },
 
       "q_cosine_neardup" ->
         raw"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 120),

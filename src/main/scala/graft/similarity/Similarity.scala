@@ -70,7 +70,7 @@ object Similarity {
     * reproducible everywhere, no RNG state. Same value the previous
     * expression form computed per row; hoisting it to a plan literal removes
     * nPlanes × dim md5 evaluations from EVERY corpus row. */
-  private[similarity] def planeValue(plane: Int, i: Int): Double = {
+  def planeValue(plane: Int, i: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"plane$plane:$i".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 8)

@@ -29,16 +29,21 @@ object PdfCodec extends Serializable {
   def isPdf(b: Array[Byte]): Boolean =
     b.length > 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F' && b(4) == '-'
 
-  /** Parse text/figure boxes from raw PDF bytes (empty if nothing decodable). */
-  def parse(bytes: Array[Byte]): Seq[TextBox] = {
-    if (!isPdf(bytes)) return Seq.empty
-    val s = new String(bytes, "ISO-8859-1") // byte-preserving charset
-    val (pw, ph) = mediaBox(s).getOrElse((612.0, 792.0))
-    val streams = contentStreams(s)
-    streams.zipWithIndex.flatMap { case (cs, page) =>
-      parseContent(cs, page, pw, ph)
+  /** Parse text/figure boxes from raw PDF bytes (empty if nothing decodable).
+    * Never throws — malformed bytes are routine at web scale and must not
+    * kill a task; anything unparseable decodes to no boxes. */
+  def parse(bytes: Array[Byte]): Seq[TextBox] =
+    try {
+      if (!isPdf(bytes)) return Seq.empty
+      val s = new String(bytes, "ISO-8859-1") // byte-preserving charset
+      val (pw, ph) = mediaBox(s).getOrElse((612.0, 792.0))
+      val streams = contentStreams(s)
+      streams.zipWithIndex.flatMap { case (cs, page) =>
+        parseContent(cs, page, pw, ph)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => Seq.empty
     }
-  }
 
   private val MediaBoxRe =
     raw"/MediaBox\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s*\]".r

@@ -27,14 +27,16 @@ object MediaCodec extends Serializable {
     b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
-  /** Magic-sniffing decode; unknown/corrupt payloads fall back to the stub. */
+  /** Magic-sniffing decode; unknown/corrupt payloads fall back to the stub.
+    * ANY parse failure falls back — at web scale malformed payloads are
+    * routine and must never kill a task. */
   def decode(blob: MediaBlob): MediaFeatures =
     try {
       if (isPpm(blob.bytes)) decodePpm(blob)
       else if (isWav(blob.bytes)) decodeWav(blob)
       else Multimodal.StubCodec.decode(blob)
     } catch {
-      case _: IllegalArgumentException => Multimodal.StubCodec.decode(blob)
+      case scala.util.control.NonFatal(_) => Multimodal.StubCodec.decode(blob)
     }
 
   // ---- P6 PPM ----
@@ -65,6 +67,8 @@ object MediaCodec extends Serializable {
     val (hdr, afterHdr) = parseHeaderInts(b, 2, 3)
     val (w, h, maxval) = (hdr(0), hdr(1), hdr(2))
     require(w > 0 && h > 0 && maxval > 0 && maxval < 256, "unsupported PPM")
+    // long arithmetic: crafted dims like 100000×100000 overflow w*h*3 in Int
+    require(w.toLong * h * 3 <= b.length.toLong, "truncated PPM payload")
     val start = afterHdr + 1 // single whitespace byte after maxval
     val nPx = w * h
     require(b.length >= start + nPx * 3, "truncated PPM payload")
@@ -117,6 +121,7 @@ object MediaCodec extends Serializable {
     while (i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
       val sz = le32(b, i + 4)
+      require(sz >= 0, "negative chunk size") // crafted sizes must not loop/underflow
       if (id == "fmt ") {
         require(i + 8 + 16 <= b.length, "truncated fmt chunk")
         require(le16(b, i + 8) == 1, "not PCM")
@@ -124,7 +129,8 @@ object MediaCodec extends Serializable {
         sampleRate = le32(b, i + 12)
         bits = le16(b, i + 22)
       } else if (id == "data") { dataOff = i + 8; dataLen = math.min(sz, b.length - dataOff) }
-      i += 8 + sz + (sz & 1) // chunks are word-aligned
+      val next = i.toLong + 8L + sz.toLong + (sz & 1) // word-aligned; Long: no overflow
+      if (next > b.length) i = b.length else i = next.toInt
     }
     require(sampleRate > 0 && channels > 0 && bits == 16 && dataOff >= 0, "unsupported WAV")
     val nSamples = dataLen / 2

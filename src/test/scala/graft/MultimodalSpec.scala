@@ -84,6 +84,16 @@ class MultimodalSpec extends SparkSpec {
     val truncated = "P6\n100 100\n255\n".getBytes("US-ASCII")
     val blob2 = M.MediaBlob("x2", "image", truncated, truncated.length)
     assert(key(MediaCodec.decode(blob2)) == key(M.StubCodec.decode(blob2)))
+    // crafted dims whose w*h*3 overflows Int must not pass the length check
+    val overflow = ("P6\n100000 100000\n255\n" + "x" * 64).getBytes("US-ASCII")
+    val blob3 = M.MediaBlob("x3", "image", overflow, overflow.length)
+    assert(key(MediaCodec.decode(blob3)) == key(M.StubCodec.decode(blob3)))
+    // a negative RIFF chunk size must neither loop nor underflow
+    val badWav = MediaCodec.encodeWav(16000, Array.fill(64)(1.toShort))
+    badWav(16 + 0) = 0xFF.toByte; badWav(17) = 0xFF.toByte
+    badWav(18) = 0xFF.toByte; badWav(19) = 0xFF.toByte // fmt size = -1
+    val blob4 = M.MediaBlob("x4", "audio", badWav, badWav.length)
+    assert(key(MediaCodec.decode(blob4)) == key(M.StubCodec.decode(blob4)))
   }
 
   test("frame sampling: stride and cap respected") {

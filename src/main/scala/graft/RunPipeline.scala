@@ -19,7 +19,8 @@ import graft.pipeline.CheckpointedRun
  *                                  #   making `cer` the corrected-vs-input drift)
  *   [--vocab /data/vocab]          # pre-trained (token, freq) parquet; else trained from --clean
  *   [--corrector noisy|dictionary|null] [--min-freq 2]
- *   [--run-id run1] [--spans-col spans] [--buckets 64] [--group-size 8] [--salted true]
+ *   [--run-id run1] [--spans-col spans] [--clean-spans-col spans]
+ *   [--buckets 64] [--group-size 8] [--salted true]
  * }}}
  *
  * The run is resumable: work is committed per bucket group with a state row
@@ -65,6 +66,10 @@ object RunPipeline {
     val clean = a.getOrElse("clean", input)
     val runId = a.getOrElse("run-id", "run1")
     val spansCol = a.getOrElse("spans-col", "spans")
+    // when no separate clean table is given, the clean side IS the input —
+    // its spans live in the same (possibly non-default) column
+    val cleanSpansCol = a.getOrElse("clean-spans-col",
+      if (a.contains("clean")) "spans" else spansCol)
     val minFreq = a.getOrElse("min-freq", "2").toLong
     val nBuckets = a.getOrElse("buckets", "64").toInt
     val groupSize = a.getOrElse("group-size", "8").toInt
@@ -80,7 +85,7 @@ object RunPipeline {
       case "dictionary" | "noisy" =>
         val vocabDf = a.get("vocab")
           .map(spark.read.parquet(_))
-          .getOrElse(DictionaryCorrector.trainVocab(cleanDocs, "spans", splitFilter = None))
+          .getOrElse(DictionaryCorrector.trainVocab(cleanDocs, cleanSpansCol, splitFilter = None))
         if (correctorName == "dictionary")
           DictionaryCorrector.corrector(DictionaryCorrector.buildModel(spark, vocabDf, minFreq))
         else
@@ -93,7 +98,7 @@ object RunPipeline {
       s"buckets=$nBuckets groupSize=$groupSize salted=$salted"
     val m = CheckpointedRun.run(spark, docs, cleanDocs, corrector, output, state, runId,
       spansCol = spansCol, nBuckets = nBuckets, groupSize = groupSize,
-      salted = salted, lineage = lineage)
+      salted = salted, lineage = lineage, cleanSpansCol = cleanSpansCol)
     val total = CheckpointedRun.metrics(spark, state, runId)
     val sec = (System.nanoTime() - t0) / 1e9
 

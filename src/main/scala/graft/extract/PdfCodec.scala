@@ -58,11 +58,13 @@ object PdfCodec extends Serializable {
   private def contentStreams(s: String): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     var i = 0
+    var prevEnd = 0 // end of the previous stream body — dicts never precede it
     while ({ i = s.indexOf("stream", i); i >= 0 }) {
-      // dictionary = text between the previous "<<" ... ">>" pair before `stream`
-      val dictEnd = s.lastIndexOf(">>", i)
-      val dictStart = if (dictEnd >= 0) s.lastIndexOf("<<", dictEnd) else -1
-      val dict = if (dictStart >= 0) s.substring(dictStart, dictEnd + 2) else ""
+      // dictionary region = from the object header ("N 0 obj") to `stream`;
+      // taking the innermost "<<" would miss a /Filter declared in the OUTER
+      // dict when it nests sub-dictionaries (e.g. /DecodeParms << ... >>)
+      val objStart = math.max(prevEnd, s.lastIndexOf("obj", i))
+      val dict = if (objStart >= 0 && objStart < i) s.substring(objStart, i) else ""
       var body = i + "stream".length
       if (body < s.length && s.charAt(body) == '\r') body += 1
       if (body < s.length && s.charAt(body) == '\n') body += 1
@@ -70,6 +72,7 @@ object PdfCodec extends Serializable {
       if (end < 0) return out.toSeq
       if (!dict.contains("/Filter")) out += s.substring(body, end)
       i = end + "endstream".length
+      prevEnd = i
     }
     out.toSeq
   }
@@ -148,17 +151,20 @@ object PdfCodec extends Serializable {
   /** One page = a list of boxes: Left(text at (x, y)) or Right(figure name at
     * (x, y)); coordinates in PDF points, y up, page 612×792. */
   def encode(pages: Seq[Seq[(Double, Double, Either[String, String])]]): Array[Byte] = {
+    // object ids assigned up front (contents, font, pages, page tree,
+    // catalog) so every reference — including each page's /Parent — is
+    // emitted directly; a post-hoc placeholder substitution would also
+    // rewrite matching byte runs inside page TEXT
+    val n = pages.length
+    val contentIds = (1 to n)
+    val fontId = n + 1
+    val pageIds = (n + 2 until n + 2 + n)
+    val pagesId = 2 * n + 2
+    val catalogId = 2 * n + 3
     val sb = new StringBuilder
     sb.append("%PDF-1.4\n")
-    val offsets = mutable.ArrayBuffer.empty[Int]
-    def obj(body: String): Int = {
-      offsets += sb.length
-      val id = offsets.length
-      sb.append(s"$id 0 obj\n$body\nendobj\n")
-      id
-    }
-    val pageIds = mutable.ArrayBuffer.empty[Int]
-    val contentIds = pages.map { boxes =>
+    def obj(id: Int, body: String): Unit = { sb.append(s"$id 0 obj\n$body\nendobj\n"); () }
+    pages.zip(contentIds).foreach { case (boxes, cid) =>
       val cs = new StringBuilder
       boxes.foreach {
         case (x, y, Left(text)) =>
@@ -168,19 +174,18 @@ object PdfCodec extends Serializable {
           cs.append(f"q 1 0 0 1 $x%.1f $y%.1f cm /$name Do Q\n")
       }
       val body = cs.toString
-      obj(s"<< /Length ${body.length} >>\nstream\n$body endstream")
+      obj(cid, s"<< /Length ${body.length} >>\nstream\n$body endstream")
     }
-    val fontId = obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    contentIds.foreach { cid =>
-      pageIds += obj(
-        s"<< /Type /Page /Parent PAGES 0 R /MediaBox [0 0 612 792] " +
+    obj(fontId, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    pageIds.zip(contentIds).foreach { case (pid, cid) =>
+      obj(pid,
+        s"<< /Type /Page /Parent $pagesId 0 R /MediaBox [0 0 612 792] " +
           s"/Resources << /Font << /F1 $fontId 0 R >> >> /Contents $cid 0 R >>")
     }
-    val pagesId = obj(
-      s"<< /Type /Pages /Kids [${pageIds.map(id => s"$id 0 R").mkString(" ")}] /Count ${pageIds.length} >>")
-    val catalogId = obj(s"<< /Type /Catalog /Pages $pagesId 0 R >>")
-    val fixed = sb.toString.replace("PAGES 0 R", s"$pagesId 0 R")
-    val tail = s"trailer\n<< /Size ${offsets.length + 1} /Root $catalogId 0 R >>\n%%EOF\n"
-    (fixed + tail).getBytes("ISO-8859-1")
+    obj(pagesId,
+      s"<< /Type /Pages /Kids [${pageIds.map(id => s"$id 0 R").mkString(" ")}] /Count $n >>")
+    obj(catalogId, s"<< /Type /Catalog /Pages $pagesId 0 R >>")
+    sb.append(s"trailer\n<< /Size ${catalogId + 1} /Root $catalogId 0 R >>\n%%EOF\n")
+    sb.toString.getBytes("ISO-8859-1")
   }
 }

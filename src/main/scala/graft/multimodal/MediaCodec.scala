@@ -133,31 +133,36 @@ object MediaCodec extends Serializable {
       if (next > b.length) i = b.length else i = next.toInt
     }
     require(sampleRate > 0 && channels > 0 && bits == 16 && dataOff >= 0, "unsupported WAV")
+    // multi-channel PCM is interleaved: one FRAME per time step; statistics
+    // run over channel 0 so duration, windows and zero crossings are in
+    // frame time, not interleaved-sample time (2× off for stereo otherwise)
     val nSamples = dataLen / 2
+    val nFrames = nSamples / channels
     var sum = 0.0; var sumSq = 0.0; var crossings = 0L
     val quarters = new Array[Double](4)
     var prevSign = 0
-    var s = 0
-    while (s < nSamples) {
-      val v = le16(b, dataOff + s * 2).toShort.toInt / 32768.0
+    var f0 = 0
+    while (f0 < nFrames) {
+      val v = le16(b, dataOff + f0 * channels * 2).toShort.toInt / 32768.0
       sum += v; sumSq += v * v
       val sign = java.lang.Integer.signum(java.lang.Double.compare(v, 0.0))
       if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
       if (sign != 0) prevSign = sign
-      quarters(math.min(3, s * 4 / math.max(1, nSamples))) += v * v
-      s += 1
+      // Long arithmetic: f0*4 wraps negative past 2^29 interleaved samples
+      quarters(math.min(3L, f0.toLong * 4 / math.max(1, nFrames)).toInt) += v * v
+      f0 += 1
     }
     val feats = new Array[Float](FeatureDim)
-    if (nSamples > 0) {
-      feats(0) = math.sqrt(sumSq / nSamples).toFloat          // RMS
-      feats(1) = (sum / nSamples).toFloat                     // DC offset
-      feats(2) = crossings.toFloat / nSamples                 // zero-crossing rate
+    if (nFrames > 0) {
+      feats(0) = math.sqrt(sumSq / nFrames).toFloat          // RMS (channel 0)
+      feats(1) = (sum / nFrames).toFloat                     // DC offset
+      feats(2) = crossings.toFloat / nFrames                 // zero-crossing rate
       var q = 0
-      while (q < 4) { feats(3 + q) = (quarters(q) / math.max(1, nSamples / 4)).toFloat; q += 1 }
-      feats(7) = nSamples.toFloat / sampleRate                // duration (sec)
+      while (q < 4) { feats(3 + q) = (quarters(q) / math.max(1, nFrames / 4)).toFloat; q += 1 }
+      feats(7) = nFrames.toFloat / sampleRate                // duration (sec)
     }
     MediaFeatures(blob.media_ref, "audio", sampleRate, channels,
-      (nSamples + 1023) / 1024, feats)
+      (nFrames + 1023) / 1024, feats)
   }
 
   /** Minimal deterministic PCM16 mono WAV encoder. */

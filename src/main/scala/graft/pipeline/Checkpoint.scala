@@ -43,6 +43,22 @@ object CheckpointedRun {
     }
   }
 
+  /** Stage the clean tables's exploded TEXT spans `(doc_id, offset,
+    * text_clean)` partitioned by bucket — the CER-metrics side of the same
+    * once-not-per-group rule as [[stageBucketed]]. */
+  def stageCleanSpans(spark: SparkSession, cleanDocs: DataFrame, stagingDir: String,
+                      nBuckets: Int, cleanSpansCol: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      CorrectionPipeline.explodeSpans(cleanDocs, cleanSpansCol)
+        .filter(col("kind") === graft.model.Span.KindText)
+        .select(col("doc_id"), col("offset"), col("text").as("text_clean"))
+        .withColumn("bucket", bucketOf(nBuckets))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(stagingDir)
+    }
+  }
+
   /** Buckets already committed for this run. */
   def doneBuckets(spark: SparkSession, stateDir: String, runId: String): Set[Int] = {
     val path = new org.apache.hadoop.fs.Path(stateDir)
@@ -76,6 +92,7 @@ object CheckpointedRun {
           groupSize: Int = 4,
           salted: Boolean = false,
           lineage: String = "",
+          cleanSpansCol: String = "spans",
           failAfterGroups: Option[Int] = None): CerMetrics = {
     import spark.implicits._
 
@@ -93,9 +110,18 @@ object CheckpointedRun {
     // each group job into a partition-pruned read of only its buckets.
     // The stage is committed atomically (_SUCCESS) and the upstream plan is
     // deterministic, so a resumed run reuses or identically rewrites it.
-    val stagingDir = s"$outDir.staging"
+    // nBuckets is part of the directory name: a resume with a DIFFERENT
+    // bucketing must not filter a stage built under the old one (it would
+    // silently drop every bucket id the old stage never produced). The clean
+    // side is staged the same way — its exploded text spans would otherwise
+    // be re-derived once per group by the metrics join. Both stages are
+    // deleted once every bucket is committed.
+    val stagingDir = s"$outDir.staging-b$nBuckets"
+    val cleanStagingDir = s"$outDir.staging-clean-b$nBuckets"
     stageBucketed(spark, docs, stagingDir, nBuckets)
+    stageCleanSpans(spark, cleanDocs, cleanStagingDir, nBuckets, cleanSpansCol)
     val staged = spark.read.parquet(stagingDir)
+    val cleanStaged = spark.read.parquet(cleanStagingDir)
 
     groups.zipWithIndex.foreach { case (group, gi) =>
       failAfterGroups.foreach(k => if (gi >= k) throw new KilledException(s"injected kill before group $gi"))
@@ -111,10 +137,9 @@ object CheckpointedRun {
         // data commit (atomic at job level)
         assembled.write.mode(SaveMode.Append).partitionBy("bucket").parquet(outDir)
 
-        // per-bucket metrics vs clean, then the state commit
-        val clean = CorrectionPipeline.explodeSpans(cleanDocs, "spans")
-          .filter(col("kind") === "text")
-          .select(col("doc_id"), col("offset"), col("text").as("text_clean"))
+        // per-bucket metrics vs the staged clean spans (partition-pruned)
+        val clean = cleanStaged.filter(col("bucket").isin(group: _*))
+          .select(col("doc_id"), col("offset"), col("text_clean"))
         val perBucket = corrected.toDF()
           .filter(col("kind") === "text")
           .join(clean, Seq("doc_id", "offset"))
@@ -139,7 +164,17 @@ object CheckpointedRun {
           totals.sumNormDist + stateRows.map(_.cer_sum).sum)
       } finally corrected.unpersist()
     }
+    // every bucket is committed — the stages are dead weight now (a kill
+    // before this point leaves them for the resume to reuse)
+    deleteDir(spark, stagingDir)
+    deleteDir(spark, cleanStagingDir)
     totals
+  }
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   /** Aggregate metrics for a completed run from its state table. */

@@ -78,12 +78,17 @@ object Similarity {
   }
 
   /** Sign-bit signature of a `dim`-dimensional vector against `nPlanes`
-    * pseudo-hyperplanes (embedded as plan literals — zero per-row hashing). */
+    * pseudo-hyperplanes (embedded as plan literals — zero per-row hashing).
+    * A vector whose length differs from `dim` is zero-padded/truncated: the
+    * `coalesce` turns the nulls `zip_with` pads mismatched lengths with into
+    * zero contributions instead of null-poisoning the whole projection (which
+    * would give every mismatched vector the identical all-zero signature and
+    * collapse LSH buckets). */
   def lshSignature(vec: Column, nPlanes: Int, dim: Int): Column =
     array((0 until nPlanes).map { p =>
       val plane = array((0 until dim).map(i => lit(planeValue(p, i))): _*)
       val proj = aggregate(
-        zip_with(vec, plane, (x, w) => x.cast("double") * w),
+        zip_with(vec, plane, (x, w) => coalesce(x.cast("double") * w, lit(0.0))),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0.0, 1).otherwise(0)
     }: _*)

@@ -60,11 +60,16 @@ class CheckpointSpec extends SparkSpec {
     assert(math.abs(mA.sumNormDist - mB.sumNormDist) < 1e-9)
   }
 
-  test("staged input: bucketed stage written once, per-group reads prune partitions") {
+  test("staged input: written once, pruned group reads, reused on resume, deleted on completion") {
     val (out, state) = freshDirs()
-    CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "p",
-      nBuckets = 8, groupSize = 3)
-    val staged = spark.read.parquet(s"$out.staging")
+    val staging = s"$out.staging-b8"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // kill after 1 of 3 groups — the committed stage survives for the resume
+    intercept[CheckpointedRun.KilledException] {
+      CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "p",
+        nBuckets = 8, groupSize = 3, failAfterGroups = Some(1))
+    }
+    val staged = spark.read.parquet(staging)
     assert(staged.select("doc_id").distinct().count() == 250)
     // a group read filters on the PARTITION column → pruned scan, not a full
     // re-derivation of the upstream plan per group
@@ -72,29 +77,57 @@ class CheckpointSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       s"group read does not prune partitions:\n$plan")
-    // resume reuses the committed stage (no rewrite): record mtime, re-run
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(s"$out.staging/_SUCCESS")
+    // a partial resume REUSES the stage (same _SUCCESS mtime — no rewrite)
+    val marker = new org.apache.hadoop.fs.Path(s"$staging/_SUCCESS")
     val t0 = fs.getFileStatus(marker).getModificationTime
-    CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "p2",
-      nBuckets = 8, groupSize = 3)
+    intercept[CheckpointedRun.KilledException] {
+      CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "p",
+        nBuckets = 8, groupSize = 3, failAfterGroups = Some(1))
+    }
     assert(fs.getFileStatus(marker).getModificationTime == t0, "stage was rewritten")
+    // completing the run deletes both stages (no permanent input copy)
+    CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "p",
+      nBuckets = 8, groupSize = 3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out.staging-clean-b8")))
+    assert(spark.read.parquet(out).select("doc_id").distinct().count() == 250)
   }
 
   test("a stage interrupted mid-write (no _SUCCESS) is rewritten on the next run") {
     val (out, state) = freshDirs()
     // fabricate a partial, uncommitted stage: data files but no _SUCCESS
-    val staging = s"$out.staging"
+    val staging = s"$out.staging-b8"
     docs.limit(10).withColumn("bucket", CheckpointedRun.bucketOf(8))
       .write.partitionBy("bucket").parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$staging/_SUCCESS"), false)
+    // kill mid-run so the (rewritten) stage is still observable
+    intercept[CheckpointedRun.KilledException] {
+      CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "s",
+        nBuckets = 8, groupSize = 3, failAfterGroups = Some(1))
+    }
+    // the partial stage was replaced by the full one
+    assert(spark.read.parquet(staging).select("doc_id").distinct().count() == 250)
     val m = CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "s",
       nBuckets = 8, groupSize = 3)
-    // the partial stage was replaced by the full one; output covers every doc
-    assert(spark.read.parquet(staging).select("doc_id").distinct().count() == 250)
     assert(spark.read.parquet(out).select("doc_id").distinct().count() == 250)
     assert(m.n > 0)
+  }
+
+  test("re-running with a different bucketing builds its own stage (no stale reuse)") {
+    val (out, state) = freshDirs()
+    intercept[CheckpointedRun.KilledException] {
+      CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "b16",
+        nBuckets = 16, groupSize = 8, failAfterGroups = Some(1))
+    }
+    // a resume under nBuckets=4 must not filter the 16-bucket stage
+    val m = CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "b4",
+      nBuckets = 4, groupSize = 2)
+    assert(m.n > 0)
+    val written = spark.read.parquet(out)
+    // the b4 run alone covers every doc (b16's partial output appends extra
+    // rows for its 8 done buckets — distinct doc coverage is the invariant)
+    assert(written.select("doc_id").distinct().count() == 250)
   }
 
   test("full-pipeline resume: extract(pages) → noise → correct, kill-and-resume identical") {

@@ -125,6 +125,16 @@ class ExtractSpec extends SparkSpec {
         "xxxxxxxxxx\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
     assert(PdfCodec.parse(filtered).isEmpty)
     assert(PdfCodec.parse("not a pdf at all".getBytes("ISO-8859-1")).isEmpty)
+    // /Filter in the OUTER dict must be seen even when a sub-dictionary nests
+    // after it (the innermost "<<" is the wrong dict to inspect)
+    val nested =
+      ("%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /DecodeParms << /Predictor 12 >> >>\nstream\n" +
+        "(fake) Tj\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfCodec.parse(nested).isEmpty, "nested DecodeParms hid the outer /Filter")
+    // text containing object-reference-shaped bytes must round-trip intact
+    val tricky = PdfCodec.encode(Seq(Seq((50.0, 700.0, Left("see PAGES 0 R and 4 0 obj")))))
+    val boxes = PdfCodec.parse(tricky)
+    assert(boxes.map(_.text) == Seq("see PAGES 0 R and 4 0 obj"))
     // extractPdfDocs falls back to the deterministic stub
     val doc = PdfLayout.extractPdfDocs(Seq(("d9", filtered)).toDF("doc_id", "pdf"))
       .collect().head

@@ -73,6 +73,23 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.features(7) - 0.128f) < 1e-3) // duration sec
   }
 
+  test("stereo WAV: duration, windows and ZCR are in frame time, not interleaved-sample time") {
+    import graft.multimodal.{MediaCodec, Multimodal => M}
+    val mono = Array.fill(2048)(16384.toShort)
+    // hand-build a stereo file: same signal duplicated L/R (4096 interleaved samples)
+    val stereoBytes = {
+      val b = MediaCodec.encodeWav(16000, Array.fill(4096)(16384.toShort))
+      b(22) = 2 // numChannels = 2
+      b
+    }
+    val monoF = MediaCodec.decode(M.MediaBlob("m", "audio", MediaCodec.encodeWav(16000, mono), 0))
+    val stF = MediaCodec.decode(M.MediaBlob("s", "audio", stereoBytes, 0))
+    assert(stF.height == 2 && monoF.height == 1)
+    assert(stF.n_frames == monoF.n_frames)               // 2048 frames each
+    assert(stF.features(7) == monoF.features(7))         // same duration
+    assert(math.abs(stF.features(0) - 0.5f) < 1e-3)      // channel-0 RMS
+  }
+
   test("unknown/corrupt payloads fall back to the stub codec") {
     import graft.multimodal.{MediaCodec, Multimodal => M}
     def key(f: M.MediaFeatures) =

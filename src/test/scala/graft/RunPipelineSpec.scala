@@ -31,6 +31,17 @@ class RunPipelineSpec extends SparkSpec {
     assert(again.contains(""""spans_this_invocation":0"""))
   }
 
+  test("non-default --spans-col works without a clean table") {
+    val base = Files.createTempDirectory("runpipeline2").toString
+    DocGen.docs(spark, 40).toDF()
+      .select(col("doc_id"), col("noisy_spans")).write.parquet(s"$base/in")
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out",
+      "spans-col" -> "noisy_spans", "buckets" -> "4", "group-size" -> "2"))
+    assert(out.contains(""""docs_in":40"""))
+    assert(spark.read.parquet(s"$base/out").select("doc_id").distinct().count() == 40)
+  }
+
   test("null corrector passes spans through unchanged") {
     val base = Files.createTempDirectory("runpipeline0").toString
     val docs = DocGen.docs(spark, 50).toDF()

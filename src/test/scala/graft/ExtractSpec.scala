@@ -118,6 +118,35 @@ class ExtractSpec extends SparkSpec {
     assert(viaDs.spans == spans)
   }
 
+  test("pdf codec property: random texts with parens/backslashes round-trip exactly") {
+    import graft.extract.PdfCodec
+    val r = new scala.util.Random(7)
+    val glyphs = "abc XYZ09()\\/<>[]{}#%.,'\"!?-"
+    (0 until 60).foreach { trial =>
+      val nPages = 1 + r.nextInt(3)
+      val pages = (0 until nPages).map { _ =>
+        (0 until 1 + r.nextInt(5)).map { b =>
+          val y = 700.0 - b * 40 // top-down within the page
+          if (r.nextDouble() < 0.2) (50.0, y, Right(s"Im${r.nextInt(99)}"))
+          else {
+            val text = (0 until 1 + r.nextInt(30))
+              .map(_ => glyphs(r.nextInt(glyphs.length))).mkString
+            (50.0, y, Left(text))
+          }
+        }
+      }
+      val parsed = PdfCodec.parse(PdfCodec.encode(pages))
+      val want = pages.zipWithIndex.flatMap { case (boxes, p) =>
+        boxes.collect {
+          case (_, _, Left(t)) if t.nonEmpty => (p, t, false)
+          case (_, _, Right(n))              => (p, s"media://pdfobj-$n", true)
+        }
+      }
+      val got = parsed.map(b => (b.page, b.text, b.isFigure))
+      assert(got == want, s"trial $trial: $got != $want")
+    }
+  }
+
   test("pdf codec: filtered streams and non-PDF bytes decode to nothing (stub fallback)") {
     import graft.extract.PdfCodec
     val filtered =

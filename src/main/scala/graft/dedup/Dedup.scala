@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
  *    classic candidate-generation/verification split that keeps the O(n²)
  *    pair space off the cluster.
  *  - SimHash: a 32-bit signature per doc via one explode + two aggregations;
- *    near-dup candidates = equal signature (or banded sub-keys for hamming
- *    tolerance).
+ *    near-dup candidates = equal signature ([[simHashGroups]]) or banded
+ *    sub-keys for Hamming tolerance ([[simHashNearDupPairs]], pigeonhole-
+ *    complete candidate generation + bit_count verification).
  */
 object Dedup {
 

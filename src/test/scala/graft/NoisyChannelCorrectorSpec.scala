@@ -26,6 +26,21 @@ class NoisyChannelCorrectorSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: hostile unicode (astral plane, combining, huge tokens) never throws, deterministic") {
+    val vocab = DocGen.lexicon.take(300).zipWithIndex.map { case (w, i) => w -> (i + 1).toLong }.toMap
+    val m = new NoisyChannelModel(vocab, 1L, 30)
+    val r = new scala.util.Random(5)
+    val pools = Seq("abcxyz", "😀🧪𝔘𝔫", "ж╬ñçü", "éä", " \t")
+    (0 until 150).foreach { trial =>
+      val s = (0 until r.nextInt(40)).map { _ =>
+        val p = pools(r.nextInt(pools.length)); p.charAt(r.nextInt(p.length))
+      }.mkString + (if (trial % 17 == 0) "x" * 300 else "") // occasional huge token
+      val a = m.inferSentence(s)
+      val b = m.inferSentence(s)
+      assert(a == b, s"nondeterministic on ${s.take(40)}…")
+    }
+  }
+
   test("channel log-prob: identity beats any single edit; edits ranked by channel weights") {
     val m = new NoisyChannelModel(Map("abc" -> 1L), 1L, goodCharsCount = 30)
     val id = m.channelLogProb("abc", "abc")

@@ -66,10 +66,10 @@ object RunPipeline {
     val clean = a.getOrElse("clean", input)
     val runId = a.getOrElse("run-id", "run1")
     val spansCol = a.getOrElse("spans-col", "spans")
-    // when no separate clean table is given, the clean side IS the input —
-    // its spans live in the same (possibly non-default) column
+    // when the clean side IS the input (omitted, or explicitly the same
+    // path), its spans live in the same (possibly non-default) column
     val cleanSpansCol = a.getOrElse("clean-spans-col",
-      if (a.contains("clean")) "spans" else spansCol)
+      if (clean == input) spansCol else "spans")
     val minFreq = a.getOrElse("min-freq", "2").toLong
     val nBuckets = a.getOrElse("buckets", "64").toInt
     val groupSize = a.getOrElse("group-size", "8").toInt
@@ -96,9 +96,16 @@ object RunPipeline {
 
     val lineage = s"input=$input clean=$clean corrector=$correctorName minFreq=$minFreq " +
       s"buckets=$nBuckets groupSize=$groupSize salted=$salted"
+    // stage token fingerprints the SOURCES: a resume of this output dir with
+    // a different input/clean table (or spans columns) must rebuild its
+    // stages instead of silently reusing the previous source's rows
+    val stageToken = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$input|$clean|$spansCol|$cleanSpansCol".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
     val m = CheckpointedRun.run(spark, docs, cleanDocs, corrector, output, state, runId,
       spansCol = spansCol, nBuckets = nBuckets, groupSize = groupSize,
-      salted = salted, lineage = lineage, cleanSpansCol = cleanSpansCol)
+      salted = salted, lineage = lineage, cleanSpansCol = cleanSpansCol,
+      stageToken = stageToken)
     val total = CheckpointedRun.metrics(spark, state, runId)
     val sec = (System.nanoTime() - t0) / 1e9
 

@@ -7,9 +7,11 @@ import graft.extract.PdfLayout.TextBox
  * From-scratch byte-level PDF decode for UNCOMPRESSED documents — no
  * libraries. Covers the subset a layout pipeline needs:
  *
- *  - object scan: `N 0 obj ... endobj`; every `stream ... endstream` whose
- *    dictionary carries no `/Filter` is treated as a page content stream
- *    (streams appear in page order; stream k = page k);
+ *  - object scan: `N 0 obj ... endobj`; every unfiltered stream (no
+ *    `/Filter` in its object dict), delimited by its declared `/Length`
+ *    (fallback: `endstream` scan), is parsed for content; the page index is
+ *    the stream's ordinal among BOX-PRODUCING streams, so uncompressed
+ *    non-content streams (XMP metadata etc.) don't shift page numbering;
  *  - content-stream text operators: `BT`/`ET` text blocks, `Td`/`TD`
  *    (relative line translation, real PDF semantics), `Tm` (absolute), and
  *    `(...) Tj` show-text with `\(`, `\)`, `\\` escapes;
@@ -37,10 +39,14 @@ object PdfCodec extends Serializable {
       if (!isPdf(bytes)) return Seq.empty
       val s = new String(bytes, "ISO-8859-1") // byte-preserving charset
       val (pw, ph) = mediaBox(s).getOrElse((612.0, 792.0))
-      val streams = contentStreams(s)
-      streams.zipWithIndex.flatMap { case (cs, page) =>
-        parseContent(cs, page, pw, ph)
-      }
+      // page index = ordinal among streams that produce boxes: uncompressed
+      // NON-content streams (XMP metadata is conventionally unfiltered) must
+      // not consume a page slot and shift every later page
+      contentStreams(s)
+        .map(cs => parseContent(cs, 0, pw, ph))
+        .filter(_.nonEmpty)
+        .zipWithIndex
+        .flatMap { case (boxes, p) => boxes.map(_.copy(page = p)) }
     } catch {
       case scala.util.control.NonFatal(_) => Seq.empty
     }
@@ -68,14 +74,28 @@ object PdfCodec extends Serializable {
       var body = i + "stream".length
       if (body < s.length && s.charAt(body) == '\r') body += 1
       if (body < s.length && s.charAt(body) == '\n') body += 1
-      val end = s.indexOf("endstream", body)
-      if (end < 0) return out.toSeq
+      // delimit by the dict's /Length when available — scanning for the
+      // literal "endstream" would truncate a stream whose CONTENT contains
+      // that word (e.g. page text about PDFs); fall back to the scan only
+      // when no usable length is declared
+      val declared = LengthRe.findFirstMatchIn(dict).map(_.group(1).toLong)
+      val end = declared match {
+        case Some(len) if len >= 0 && body + len <= s.length => body + len.toInt
+        case _ =>
+          val e = s.indexOf("endstream", body)
+          if (e < 0) return out.toSeq
+          e
+      }
       if (!dict.contains("/Filter")) out += s.substring(body, end)
-      i = end + "endstream".length
+      val after = s.indexOf("endstream", end)
+      if (after < 0) return out.toSeq
+      i = after + "endstream".length
       prevEnd = i
     }
     out.toSeq
   }
+
+  private val LengthRe = raw"/Length\s+(\d+)\b".r
 
   private val NumRe = raw"[-+]?[0-9]*\.?[0-9]+"
 
@@ -166,12 +186,15 @@ object PdfCodec extends Serializable {
     def obj(id: Int, body: String): Unit = { sb.append(s"$id 0 obj\n$body\nendobj\n"); () }
     pages.zip(contentIds).foreach { case (boxes, cid) =>
       val cs = new StringBuilder
+      // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+      // on de_DE/fr_FR prints comma decimals the parser would split in two
+      def num(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
       boxes.foreach {
         case (x, y, Left(text)) =>
           val esc = text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-          cs.append(f"BT /F1 12 Tf $x%.1f $y%.1f Td ($esc) Tj ET\n")
+          cs.append(s"BT /F1 12 Tf ${num(x)} ${num(y)} Td ($esc) Tj ET\n")
         case (x, y, Right(name)) =>
-          cs.append(f"q 1 0 0 1 $x%.1f $y%.1f cm /$name Do Q\n")
+          cs.append(s"q 1 0 0 1 ${num(x)} ${num(y)} cm /$name Do Q\n")
       }
       val body = cs.toString
       obj(cid, s"<< /Length ${body.length} >>\nstream\n$body endstream")

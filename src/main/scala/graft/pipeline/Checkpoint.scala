@@ -93,6 +93,7 @@ object CheckpointedRun {
           salted: Boolean = false,
           lineage: String = "",
           cleanSpansCol: String = "spans",
+          stageToken: String = "",
           failAfterGroups: Option[Int] = None): CerMetrics = {
     import spark.implicits._
 
@@ -100,7 +101,7 @@ object CheckpointedRun {
     val remaining = (0 until nBuckets).filterNot(done)
     val groups = remaining.grouped(groupSize).toSeq
     var totals = CerMetrics(0, 0, 0.0)
-    if (groups.isEmpty) return totals
+    if (groups.isEmpty) { cleanupStages(spark, outDir); return totals }
 
     // Stage the bucketed input ONCE, partitioned by bucket. The bucket
     // predicate is a derived column (pmod(xxhash64(doc_id))) that can never
@@ -110,17 +111,24 @@ object CheckpointedRun {
     // each group job into a partition-pruned read of only its buckets.
     // The stage is committed atomically (_SUCCESS) and the upstream plan is
     // deterministic, so a resumed run reuses or identically rewrites it.
-    // nBuckets is part of the directory name: a resume with a DIFFERENT
-    // bucketing must not filter a stage built under the old one (it would
-    // silently drop every bucket id the old stage never produced). The clean
-    // side is staged the same way — its exploded text spans would otherwise
-    // be re-derived once per group by the metrics join. Both stages are
-    // deleted once every bucket is committed.
-    val stagingDir = s"$outDir.staging-b$nBuckets"
-    val cleanStagingDir = s"$outDir.staging-clean-b$nBuckets"
+    // nBuckets and the caller-supplied stageToken are part of the directory
+    // names: a resume with a DIFFERENT bucketing must not filter a stage
+    // built under the old one (it would silently drop every bucket id the
+    // old stage never produced), and a resume against a DIFFERENT input or
+    // clean table (identified by the token — see RunPipeline) must not reuse
+    // the previous source's staged rows. The clean side is staged the same
+    // way — its exploded text spans would otherwise be re-derived once per
+    // group by the metrics join. All stages under this outDir are deleted
+    // once every bucket is committed.
+    val suffix = s"b$nBuckets" + (if (stageToken.isEmpty) "" else s"-$stageToken")
+    val stagingDir = s"$outDir.staging-$suffix"
+    val cleanStagingDir = s"$outDir.staging-clean-$suffix"
     stageBucketed(spark, docs, stagingDir, nBuckets)
-    stageCleanSpans(spark, cleanDocs, cleanStagingDir, nBuckets, cleanSpansCol)
     val staged = spark.read.parquet(stagingDir)
+    // when the clean side IS the input plan, derive its spans from the
+    // already-staged parquet instead of re-evaluating the upstream a 2nd time
+    val cleanSource = if (cleanDocs eq docs) staged.drop("bucket") else cleanDocs
+    stageCleanSpans(spark, cleanSource, cleanStagingDir, nBuckets, cleanSpansCol)
     val cleanStaged = spark.read.parquet(cleanStagingDir)
 
     groups.zipWithIndex.foreach { case (group, gi) =>
@@ -165,16 +173,25 @@ object CheckpointedRun {
       } finally corrected.unpersist()
     }
     // every bucket is committed — the stages are dead weight now (a kill
-    // before this point leaves them for the resume to reuse)
-    deleteDir(spark, stagingDir)
-    deleteDir(spark, cleanStagingDir)
+    // before this point leaves them for the resume to reuse). Sweeping all
+    // `<outDir>.staging*` siblings also reclaims stages abandoned under a
+    // different bucketing/token, and covers the resume-after-kill-between-
+    // last-commit-and-cleanup path (groups.isEmpty calls this too).
+    cleanupStages(spark, outDir)
     totals
   }
 
-  private def deleteDir(spark: SparkSession, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) { fs.delete(p, true); () }
+  /** Delete every staging directory belonging to `outDir`. */
+  def cleanupStages(spark: SparkSession, outDir: String): Unit = {
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = out.getParent
+    if (parent != null && fs.exists(parent)) {
+      val prefix = s"${out.getName}.staging"
+      fs.listStatus(parent).foreach { st =>
+        if (st.getPath.getName.startsWith(prefix)) { fs.delete(st.getPath, true); () }
+      }
+    }
   }
 
   /** Aggregate metrics for a completed run from its state table. */

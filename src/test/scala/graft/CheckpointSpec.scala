@@ -114,6 +114,20 @@ class CheckpointSpec extends SparkSpec {
     assert(m.n > 0)
   }
 
+  test("a fully-resumed run (nothing remaining) still sweeps leftover stages") {
+    val (out, state) = freshDirs()
+    CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "z",
+      nBuckets = 4, groupSize = 2)
+    // simulate a kill between the last commit and the cleanup: a stale stage
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(s"$out.staging-b4")
+    fs.mkdirs(stale)
+    val m = CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "z",
+      nBuckets = 4, groupSize = 2)
+    assert(m.n == 0, "resume must not reprocess done buckets")
+    assert(!fs.exists(stale), "groups.isEmpty path must sweep stages")
+  }
+
   test("re-running with a different bucketing builds its own stage (no stale reuse)") {
     val (out, state) = freshDirs()
     intercept[CheckpointedRun.KilledException] {

@@ -40,6 +40,12 @@ class RunPipelineSpec extends SparkSpec {
       "spans-col" -> "noisy_spans", "buckets" -> "4", "group-size" -> "2"))
     assert(out.contains(""""docs_in":40"""))
     assert(spark.read.parquet(s"$base/out").select("doc_id").distinct().count() == 40)
+    // --clean explicitly set to the SAME path must behave identically to
+    // omitting it (clean-spans-col keys off clean == input, not flag presence)
+    val out2 = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out2", "clean" -> s"$base/in",
+      "spans-col" -> "noisy_spans", "buckets" -> "4", "group-size" -> "2"))
+    assert(out2.contains(""""docs_in":40"""))
   }
 
   test("null corrector passes spans through unchanged") {

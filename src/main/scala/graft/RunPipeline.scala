@@ -60,10 +60,12 @@ object RunPipeline {
   def run(spark: SparkSession, a: Map[String, String]): String = {
     def req(k: String): String =
       a.getOrElse(k, sys.error(s"missing required --$k (see scaladoc)"))
-    val input = req("input")
-    val output = req("output")
+    // trailing slashes normalized so path equality (clean == input) and the
+    // stage-directory naming don't depend on how the operator typed the path
+    val input = req("input").stripSuffix("/")
+    val output = req("output").stripSuffix("/")
     val state = a.getOrElse("state", s"$output/_state")
-    val clean = a.getOrElse("clean", input)
+    val clean = a.getOrElse("clean", input).stripSuffix("/")
     val runId = a.getOrElse("run-id", "run1")
     val spansCol = a.getOrElse("spans-col", "spans")
     // when the clean side IS the input (omitted, or explicitly the same
@@ -109,6 +111,12 @@ object RunPipeline {
     val total = CheckpointedRun.metrics(spark, state, runId)
     val sec = (System.nanoTime() - t0) / 1e9
 
-    f"""{"run_id":"$runId","docs_in":${docs.count()},"spans_this_invocation":${m.n},"spans_total":${total.n},"cer":${total.avgDistance}%.4f,"pct_perfect":${total.percentPerfect}%.4f,"wall_sec":$sec%.1f,"spans_per_sec":${if (sec > 0) m.n / sec else 0.0}%.1f,"state":"$state"}"""
+    // Locale.ROOT: the f-interpolator formats doubles with the JVM default
+    // locale — comma decimals would make the one JSON output line unparseable
+    def num(fmt: String, v: Double) = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    s"""{"run_id":"$runId","docs_in":${docs.count()},"spans_this_invocation":${m.n},""" +
+      s""""spans_total":${total.n},"cer":${num("%.4f", total.avgDistance)},""" +
+      s""""pct_perfect":${num("%.4f", total.percentPerfect)},"wall_sec":${num("%.1f", sec)},""" +
+      s""""spans_per_sec":${num("%.1f", if (sec > 0) m.n / sec else 0.0)},"state":"$state"}"""
   }
 }

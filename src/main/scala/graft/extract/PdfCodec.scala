@@ -8,10 +8,12 @@ import graft.extract.PdfLayout.TextBox
  * libraries. Covers the subset a layout pipeline needs:
  *
  *  - object scan: `N 0 obj ... endobj`; every unfiltered stream (no
- *    `/Filter` in its object dict), delimited by its declared `/Length`
- *    (fallback: `endstream` scan), is parsed for content; the page index is
- *    the stream's ordinal among BOX-PRODUCING streams, so uncompressed
- *    non-content streams (XMP metadata etc.) don't shift page numbering;
+ *    `/Filter` in its object dict), delimited by its declared direct
+ *    `/Length` (fallback: `endstream` scan, also for indirect lengths), is
+ *    parsed for content; pages resolve through `/Type /Page` objects'
+ *    `/Contents` references when present (blank pages and interleaved
+ *    non-content streams handled exactly), else by ordinal among
+ *    box-producing streams;
  *  - content-stream text operators: `BT`/`ET` text blocks, `Td`/`TD`
  *    (relative line translation, real PDF semantics), `Tm` (absolute), and
  *    `(...) Tj` show-text with `\(`, `\)`, `\\` escapes;
@@ -39,14 +41,19 @@ object PdfCodec extends Serializable {
       if (!isPdf(bytes)) return Seq.empty
       val s = new String(bytes, "ISO-8859-1") // byte-preserving charset
       val (pw, ph) = mediaBox(s).getOrElse((612.0, 792.0))
-      // page index = ordinal among streams that produce boxes: uncompressed
-      // NON-content streams (XMP metadata is conventionally unfiltered) must
-      // not consume a page slot and shift every later page
-      contentStreams(s)
-        .map(cs => parseContent(cs, 0, pw, ph))
-        .filter(_.nonEmpty)
-        .zipWithIndex
-        .flatMap { case (boxes, p) => boxes.map(_.copy(page = p)) }
+      val streams = contentStreams(s) // (object id, body) in document order
+      // Page resolution, best first:
+      //  1. /Type /Page objects' /Contents references, in document order —
+      //     handles blank pages and interleaved non-content streams exactly;
+      //  2. fallback (no parseable page objects): ordinal among streams that
+      //     produce boxes, so uncompressed NON-content streams (XMP metadata
+      //     is conventionally unfiltered) don't consume page slots.
+      val byId = streams.toMap
+      val contentsIds = pageContentsIds(s).filter(byId.contains)
+      val ordered: Seq[Seq[TextBox]] =
+        if (contentsIds.nonEmpty) contentsIds.map(id => parseContent(byId(id), pw, ph))
+        else streams.map { case (_, cs) => parseContent(cs, pw, ph) }.filter(_.nonEmpty)
+      ordered.zipWithIndex.flatMap { case (boxes, p) => boxes.map(_.copy(page = p)) }
     } catch {
       case scala.util.control.NonFatal(_) => Seq.empty
     }
@@ -60,9 +67,29 @@ object PdfCodec extends Serializable {
        m.group(4).toDouble - m.group(2).toDouble)
     }
 
-  /** All unfiltered stream bodies, in document order. */
-  private def contentStreams(s: String): Seq[String] = {
-    val out = mutable.ArrayBuffer.empty[String]
+  private val ObjHeaderRe = raw"(\d+)\s+\d+\s+obj".r
+  private val PageTypeRe = raw"/Type\s*/Page\b(?!s)".r
+  private val ContentsRe = raw"/Contents\s+(\d+)\s+\d+\s+R".r
+
+  /** /Contents object ids of the /Type /Page objects, in document order. */
+  private def pageContentsIds(s: String): Seq[Int] =
+    PageTypeRe.findAllMatchIn(s).toSeq.flatMap { m =>
+      val window = s.substring(m.start, math.min(s.length, m.start + 600))
+      ContentsRe.findFirstMatchIn(window).map(_.group(1).toInt)
+    }
+
+  /** All unfiltered (object id, stream body) pairs, in document order. */
+  private def contentStreams(s: String): Seq[(Int, String)] = {
+    val headers = ObjHeaderRe.findAllMatchIn(s).map(m => (m.start, m.group(1).toInt)).toArray
+    def owningObj(pos: Int): Int = {
+      var lo = 0; var hi = headers.length - 1; var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (headers(mid)._1 < pos) { best = headers(mid)._2; lo = mid + 1 } else hi = mid - 1
+      }
+      best
+    }
+    val out = mutable.ArrayBuffer.empty[(Int, String)]
     var i = 0
     var prevEnd = 0 // end of the previous stream body — dicts never precede it
     while ({ i = s.indexOf("stream", i); i >= 0 }) {
@@ -86,7 +113,7 @@ object PdfCodec extends Serializable {
           if (e < 0) return out.toSeq
           e
       }
-      if (!dict.contains("/Filter")) out += s.substring(body, end)
+      if (!dict.contains("/Filter")) out += ((owningObj(i), s.substring(body, end)))
       val after = s.indexOf("endstream", end)
       if (after < 0) return out.toSeq
       i = after + "endstream".length
@@ -95,12 +122,15 @@ object PdfCodec extends Serializable {
     out.toSeq
   }
 
-  private val LengthRe = raw"/Length\s+(\d+)\b".r
+  /** Direct /Length only — a negative lookahead rejects the INDIRECT form
+    * `/Length N 0 R` (capturing N as a byte count would truncate the stream
+    * to a handful of bytes); indirect lengths fall back to the scan. */
+  private val LengthRe = raw"/Length\s+(\d+)(?!\s+\d+\s+R)".r
 
   private val NumRe = raw"[-+]?[0-9]*\.?[0-9]+"
 
   /** Tokenize a content stream into PDF strings, numbers and operators. */
-  private def parseContent(cs: String, page: Int, pw: Double, ph: Double): Seq[TextBox] = {
+  private def parseContent(cs: String, pw: Double, ph: Double): Seq[TextBox] = { // page stamped by the caller
     val out = mutable.ArrayBuffer.empty[TextBox]
     var tx = 0.0; var ty = 0.0           // text-line origin (PDF space)
     var cmE = 0.0; var cmF = 0.0         // last cm translation
@@ -130,7 +160,7 @@ object PdfCodec extends Serializable {
         val rest = cs.substring(i, opEnd).trim
         if (rest.startsWith("Tj") || rest.startsWith("'")) {
           val (x, y) = norm(tx, ty)
-          if (sb.nonEmpty) out += TextBox(page, x, y, sb.toString, isFigure = false)
+          if (sb.nonEmpty) out += TextBox(0, x, y, sb.toString, isFigure = false)
         }
         flushNums()
       } else if (c == '/') {
@@ -156,7 +186,7 @@ object PdfCodec extends Serializable {
           case "cm" if nums.length >= 6        => cmE = nums(nums.length - 2); cmF = nums.last
           case "Do" if lastName != null =>
             val (x, y) = norm(cmE, cmF)
-            out += TextBox(page, x, y, s"media://pdfobj-$lastName", isFigure = true)
+            out += TextBox(0, x, y, s"media://pdfobj-$lastName", isFigure = true)
           case _ => ()
         }
         flushNums()

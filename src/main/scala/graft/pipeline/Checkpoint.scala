@@ -84,7 +84,7 @@ object CheckpointedRun {
           docs: DataFrame,
           cleanDocs: DataFrame,
           corrector: Corrector,
-          outDir: String,
+          outDir0: String,
           stateDir: String,
           runId: String,
           spansCol: String = "noisy_spans",
@@ -97,6 +97,10 @@ object CheckpointedRun {
           failAfterGroups: Option[Int] = None): CerMetrics = {
     import spark.implicits._
 
+    // normalize: stage dirs are SIBLINGS of outDir by string concatenation —
+    // a trailing slash would nest them inside the output and break the
+    // prefix-based cleanup sweep
+    val outDir = outDir0.stripSuffix("/")
     val done = doneBuckets(spark, stateDir, runId)
     val remaining = (0 until nBuckets).filterNot(done)
     val groups = remaining.grouped(groupSize).toSeq
@@ -182,8 +186,8 @@ object CheckpointedRun {
   }
 
   /** Delete every staging directory belonging to `outDir`. */
-  def cleanupStages(spark: SparkSession, outDir: String): Unit = {
-    val out = new org.apache.hadoop.fs.Path(outDir)
+  def cleanupStages(spark: SparkSession, outDir0: String): Unit = {
+    val out = new org.apache.hadoop.fs.Path(outDir0.stripSuffix("/"))
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = out.getParent
     if (parent != null && fs.exists(parent)) {

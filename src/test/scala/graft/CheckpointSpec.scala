@@ -114,6 +114,18 @@ class CheckpointSpec extends SparkSpec {
     assert(m.n > 0)
   }
 
+  test("trailing-slash output dir: stages still land as siblings and get swept") {
+    val (out, state) = freshDirs()
+    CheckpointedRun.run(spark, docs, docs, NullCorrector, s"$out/", state, "t",
+      nBuckets = 4, groupSize = 4)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out.staging-b4")),
+      "completed run left its stage behind")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/.staging-b4")),
+      "stage nested inside the output dir")
+    assert(spark.read.parquet(out).select("doc_id").distinct().count() == 250)
+  }
+
   test("a fully-resumed run (nothing remaining) still sweeps leftover stages") {
     val (out, state) = freshDirs()
     CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "z",

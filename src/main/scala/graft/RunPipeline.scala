@@ -104,19 +104,35 @@ object RunPipeline {
     val stageToken = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$input|$clean|$spansCol|$cleanSpansCol".getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
+    // docs_in comes from the staged bucketed copy WHILE it exists (an
+    // empty-projection parquet count — footers only), inside the timed run;
+    // a post-run docs.count() would re-execute the whole upstream plan a
+    // second time outside wall_sec. 0 when an already-complete run resumes
+    // (nothing staged, nothing processed).
+    var docsIn = 0L
     val m = CheckpointedRun.run(spark, docs, cleanDocs, corrector, output, state, runId,
       spansCol = spansCol, nBuckets = nBuckets, groupSize = groupSize,
       salted = salted, lineage = lineage, cleanSpansCol = cleanSpansCol,
-      stageToken = stageToken)
+      stageToken = stageToken, onStaged = staged => docsIn = staged.count())
     val total = CheckpointedRun.metrics(spark, state, runId)
     val sec = (System.nanoTime() - t0) / 1e9
 
     // Locale.ROOT: the f-interpolator formats doubles with the JVM default
     // locale — comma decimals would make the one JSON output line unparseable
     def num(fmt: String, v: Double) = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
-    s"""{"run_id":"$runId","docs_in":${docs.count()},"spans_this_invocation":${m.n},""" +
+    s"""{"run_id":${jsonStr(runId)},"docs_in":$docsIn,"spans_this_invocation":${m.n},""" +
       s""""spans_total":${total.n},"cer":${num("%.4f", total.avgDistance)},""" +
       s""""pct_perfect":${num("%.4f", total.percentPerfect)},"wall_sec":${num("%.1f", sec)},""" +
-      s""""spans_per_sec":${num("%.1f", if (sec > 0) m.n / sec else 0.0)},"state":"$state"}"""
+      s""""spans_per_sec":${num("%.1f", if (sec > 0) m.n / sec else 0.0)},"state":${jsonStr(state)}}"""
   }
+
+  /** JSON string literal (quotes included): a run id or path containing a
+    * quote/backslash/control char must not yield an unparseable metrics line. */
+  private def jsonStr(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }.mkString("\"", "", "\"")
 }

@@ -186,6 +186,13 @@ object Dedup {
    * shingle STRING — the shuffle carries 8 bytes per shingle instead of the
    * k-word text (exact up to 60-bit collisions, ~n²/2⁶⁰ per doc pair).
    * Shuffles scale with candidate-set shingle counts, not corpus size.
+   *
+   * Mega-cluster caveat: a doc appearing in p candidate pairs replicates its
+   * shingle set p times through the join — a boilerplate cluster of k
+   * near-identical docs is ~k²/2 pairs. For DEDUP (rather than an exhaustive
+   * pair list) use [[dedupNearLsh]], which verifies O(k) star pairs per
+   * cluster; for pair-level workloads run [[dedupExact]] first so exact
+   * mega-clusters collapse to one representative before LSH.
    */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingleK: Int = 3,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -205,6 +212,49 @@ object Dedup {
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  /** Star reduction of a candidate-pair set: one row `(id_a, id_b)` per
+    * non-minimal member, where `id_a` is the member's SMALLEST candidate
+    * partner. A k-member near-dup clique collapses from k(k-1)/2 pairs to
+    * k-1 star pairs — the piece that keeps verification volume linear in
+    * cluster size. One hash-agg shuffle on bare ids. */
+  def starPairs(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("id_b")).agg(min(col("id_a")).as("id_a"))
+      .select(col("id_a"), col("id_b"))
+
+  /**
+   * Scale-safe near-duplicate DEDUP: exact-collapse → LSH candidates →
+   * star-wise Jaccard verification → survivors.
+   *
+   *  1. [[dedupExact]] first: an exact boilerplate mega-cluster of k docs
+   *     collapses to its min-id representative BEFORE any pair generation
+   *     (k²/2 candidate pairs → 0).
+   *  2. [[lshCandidatePairs]] over the representatives.
+   *  3. [[starPairs]]: each doc is verified once against its smallest
+   *     candidate partner, not against every partner — a near-identical
+   *     (non-exact) cluster of k docs costs O(k·|shingles|) verification
+   *     join rows instead of O(k²·|shingles|).
+   *  4. A doc is dropped when its star pair verifies at `jaccard >=
+   *     threshold`; output is the surviving doc rows.
+   *
+   * Star semantics: clusters are formed greedily around min-id
+   * representatives (the same survivor rule as [[dedupExact]]/
+   * [[exactGroups]]). For genuine near-dup clusters this keeps exactly the
+   * min-id doc; a chain a~b~c where jaccard(a, c) < threshold keeps {a, c}
+   * (b verifies against a) — pairwise-greedy would decide b via (a, b) too,
+   * so survivors agree; only exhaustive-pair workloads need [[jaccardVerify]]
+   * on the full pair set.
+   */
+  def dedupNearLsh(docs: DataFrame, threshold: Double, shingleK: Int = 3,
+                   nBands: Int = 4, rowsPerBand: Int = 2,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val reps = dedupExact(docs, idCol, textCol)
+    val stars = starPairs(lshCandidatePairs(reps, shingleK, nBands, rowsPerBand, idCol, textCol))
+    val removed = jaccardVerify(reps, stars, shingleK, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as(idCol))
+    reps.join(removed, Seq(idCol), "left_anti")
   }
 
   /** Distinct word `k`-shingle set of a text column. */

@@ -80,8 +80,23 @@ object HtmlParser {
           val end = html.indexOf("-->", i + 4)
           i = if (end < 0) n else end + 3
         } else {
-          val end = html.indexOf('>', i + 1)
-          if (end < 0) { i = n } // unterminated tag: discard the tail
+          // quote-aware tag terminator: a bare indexOf('>') would cut
+          // `<a href="x>y">` at the `>` INSIDE the quoted attribute value,
+          // spilling `y">` into the text and mis-parsing the attribute
+          val end = {
+            var j = i + 1
+            var quote: Char = 0
+            var e = -1
+            while (j < n && e < 0) {
+              val ch = html.charAt(j)
+              if (quote != 0) { if (ch == quote) quote = 0 }
+              else if (ch == '"' || ch == '\'') quote = ch
+              else if (ch == '>') e = j
+              j += 1
+            }
+            e
+          }
+          if (end < 0) { i = n } // unterminated tag (or unclosed quote): discard the tail
           else {
             val rawTag = html.substring(i + 1, end)
             val closing = rawTag.startsWith("/")

@@ -4,29 +4,33 @@ import scala.collection.mutable
 import graft.extract.PdfLayout.TextBox
 
 /**
- * From-scratch byte-level PDF decode for UNCOMPRESSED documents — no
- * libraries. Covers the subset a layout pipeline needs:
+ * From-scratch byte-level PDF decode — no external libraries. Covers the
+ * subset a layout pipeline needs:
  *
- *  - object scan: `N 0 obj ... endobj`; every unfiltered stream (no
- *    `/Filter` in its object dict), delimited by its declared direct
- *    `/Length` (fallback: `endstream` scan, also for indirect lengths), is
- *    parsed for content; pages resolve through `/Type /Page` objects'
- *    `/Contents` references when present (blank pages and interleaved
- *    non-content streams handled exactly), else by ordinal among
- *    box-producing streams;
+ *  - object scan: `N 0 obj ... endobj`; every stream, delimited by its
+ *    declared direct `/Length` (fallback: `endstream` scan, also for
+ *    indirect lengths), is parsed for content; pages resolve through
+ *    `/Type /Page` objects' `/Contents` references when present (blank
+ *    pages and interleaved non-content streams handled exactly), else by
+ *    ordinal among box-producing streams;
+ *  - `/Filter /FlateDecode` streams (the real-world common case) are
+ *    inflated with JDK-built-in `java.util.zip.Inflater` when no
+ *    incompatible `/DecodeParms` predictor is declared; inflation is capped
+ *    at 64 MiB per stream so a hostile zip-bomb page cannot OOM an executor
+ *    task. Other filters (DCT, LZW, predictor rows) are skipped — those
+ *    need real codecs; documents where every stream is undecodable decode
+ *    to no boxes and the caller falls back;
  *  - content-stream text operators: `BT`/`ET` text blocks, `Td`/`TD`
- *    (relative line translation, real PDF semantics), `Tm` (absolute), and
- *    `(...) Tj` show-text with `\(`, `\)`, `\\` escapes;
+ *    (relative line translation, real PDF semantics), `Tm` (absolute),
+ *    `(...) Tj` show-text with `\(`, `\)`, `\\` escapes, `<hex> Tj` hex
+ *    strings, kerned `[(a) -120 (b)] TJ` arrays (kern numbers dropped),
+ *    and the `'` / `"` show-text shorthands;
  *  - figures: `q a b c d e f cm /Name Do Q` XObject draws become figure
  *    boxes (`media://pdfobj-<Name>`) at the translation components (e, f).
  *
  * Coordinates are normalized to [0,1] with y flipped (PDF y points up;
  * [[PdfLayout.readingOrder]] expects y growing downward) against US-Letter
  * 612×792 unless the first `/MediaBox [0 0 w h]` says otherwise.
- *
- * Compressed streams (`/Filter`) are skipped — inflating them needs a real
- * codec; documents where every stream is filtered decode to no boxes and the
- * caller falls back (same stub pattern as `Multimodal.MediaCodec`).
  */
 object PdfCodec extends Serializable {
 
@@ -113,7 +117,12 @@ object PdfCodec extends Serializable {
           if (e < 0) return out.toSeq
           e
       }
-      if (!dict.contains("/Filter")) out += ((owningObj(i), s.substring(body, end)))
+      val raw = s.substring(body, end)
+      if (!dict.contains("/Filter")) out += ((owningObj(i), raw))
+      else if (isPlainFlate(dict))
+        inflate(raw.getBytes("ISO-8859-1")).foreach { b =>
+          out += ((owningObj(i), new String(b, "ISO-8859-1")))
+        }
       val after = s.indexOf("endstream", end)
       if (after < 0) return out.toSeq
       i = after + "endstream".length
@@ -122,25 +131,76 @@ object PdfCodec extends Serializable {
     out.toSeq
   }
 
-  /** Direct /Length only — a negative lookahead rejects the INDIRECT form
+  /** Direct /Length only — `(?!\d)` pins the match to the WHOLE number so
+    * backtracking cannot split `/Length 123 0 R` into group(1)="12" + a
+    * non-R tail, and the second lookahead rejects the INDIRECT form
     * `/Length N 0 R` (capturing N as a byte count would truncate the stream
     * to a handful of bytes); indirect lengths fall back to the scan. */
-  private val LengthRe = raw"/Length\s+(\d+)(?!\s+\d+\s+R)".r
+  private val LengthRe = raw"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)".r
+
+  private val FlateFilterRe = raw"/Filter\s*(?:\[\s*)?/FlateDecode\s*\]?".r
+  private val DecodeParmsOkRe =
+    raw"/DecodeParms\s*(?:null|<<\s*/Predictor\s+1\s*>>)".r
+
+  /** Stream we can inflate: single FlateDecode filter, no predictor (absent,
+    * null, or explicit Predictor 1). PNG/TIFF row predictors (>1) need a
+    * second decode pass we don't implement — those streams are skipped. */
+  private def isPlainFlate(dict: String): Boolean =
+    FlateFilterRe.findFirstIn(dict).isDefined &&
+      (!dict.contains("/DecodeParms") || DecodeParmsOkRe.findFirstIn(dict).isDefined)
+
+  /** Inflate cap: a content stream that expands past this is a zip bomb, not
+    * a page — 64 MiB of text operators is ~3 orders of magnitude beyond any
+    * real page. At 10^12-doc scale hostile payloads are routine; the cap
+    * bounds per-task memory instead of trusting the input. */
+  private val MaxInflatedBytes = 1 << 26
+
+  private def inflate(compressed: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(compressed)
+      val out = new java.io.ByteArrayOutputStream(math.min(MaxInflatedBytes, math.max(64, compressed.length * 4)))
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!inf.finished() && total <= MaxInflatedBytes) {
+        val k = inf.inflate(buf)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return None // truncated / preset-dict
+        out.write(buf, 0, k)
+        total += k
+      }
+      if (inf.finished() && total <= MaxInflatedBytes) Some(out.toByteArray) else None
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
 
   private val NumRe = raw"[-+]?[0-9]*\.?[0-9]+"
 
-  /** Tokenize a content stream into PDF strings, numbers and operators. */
+  /** Tokenize a content stream into PDF strings, numbers and operators.
+    * String tokens (literal, hex, array elements) accumulate until a
+    * show-text operator (`Tj`, `TJ`, `'`, `"`) consumes them — for a kerned
+    * `[(w) -120 (orld)] TJ` array that concatenates the string elements and
+    * drops the kern numbers, which is exactly the text a layout pipeline
+    * wants. */
   private def parseContent(cs: String, pw: Double, ph: Double): Seq[TextBox] = { // page stamped by the caller
     val out = mutable.ArrayBuffer.empty[TextBox]
     var tx = 0.0; var ty = 0.0           // text-line origin (PDF space)
     var cmE = 0.0; var cmF = 0.0         // last cm translation
     var lastName: String = null
     val nums = mutable.ArrayBuffer.empty[Double]
+    val strs = mutable.ArrayBuffer.empty[String] // string tokens since last operator
     var i = 0
     val n = cs.length
-    def flushNums(): Unit = nums.clear()
+    def flush(): Unit = { nums.clear(); strs.clear() }
     def norm(x: Double, y: Double): (Double, Double) =
       (math.max(0.0, math.min(1.0, x / pw)), math.max(0.0, math.min(1.0, (ph - y) / ph)))
+    def emitShow(): Unit = {
+      val text = strs.mkString
+      if (text.nonEmpty) {
+        val (x, y) = norm(tx, ty)
+        out += TextBox(0, x, y, text, isFigure = false)
+      }
+    }
     while (i < n) {
       val c = cs.charAt(i)
       if (c == '(') {
@@ -155,21 +215,40 @@ object PdfCodec extends Serializable {
           else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
           else { sb.append(ch); i += 1 }
         }
-        // operator after the string (Tj / TJ / ')
-        val opEnd = math.min(n, i + 8)
-        val rest = cs.substring(i, opEnd).trim
-        if (rest.startsWith("Tj") || rest.startsWith("'")) {
-          val (x, y) = norm(tx, ty)
-          if (sb.nonEmpty) out += TextBox(0, x, y, sb.toString, isFigure = false)
+        strs += sb.toString
+      } else if (c == '<') {
+        if (i + 1 < n && cs.charAt(i + 1) == '<') i += 2 // dict open — contents tokenize normally
+        else {
+          // hex string: pairs of hex digits, whitespace ignored, odd final
+          // digit implicitly padded with 0 (PDF 32000-1 §7.3.4.3)
+          var j = i + 1
+          val sb = new StringBuilder
+          var hi = -1
+          while (j < n && cs.charAt(j) != '>') {
+            val d = Character.digit(cs.charAt(j), 16)
+            if (d >= 0) {
+              if (hi < 0) hi = d
+              else { sb.append(((hi << 4) | d).toChar); hi = -1 }
+            }
+            j += 1
+          }
+          if (hi >= 0) sb.append((hi << 4).toChar)
+          strs += sb.toString
+          i = if (j < n) j + 1 else j
         }
-        flushNums()
+      } else if (c == '[' || c == ']') {
+        i += 1 // TJ array brackets: elements accumulate in strs/nums as-is
+      } else if (c == '\'' || c == '"') {
+        emitShow() // show-text shorthands (move-show / aw-ac-show)
+        flush()
+        i += 1
       } else if (c == '/') {
         val m = i + 1
         var j = m
         while (j < n && !Character.isWhitespace(cs.charAt(j)) && "([<>]/".indexOf(cs.charAt(j)) < 0) j += 1
         lastName = cs.substring(m, j)
         i = j
-        flushNums()
+        nums.clear()
       } else if ((c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.') {
         var j = i
         while (j < n && "0123456789+-.eE".indexOf(cs.charAt(j)) >= 0) j += 1
@@ -184,12 +263,13 @@ object PdfCodec extends Serializable {
           case "Tm" if nums.length >= 6        => tx = nums(nums.length - 2); ty = nums.last
           case "BT"                            => tx = 0.0; ty = 0.0
           case "cm" if nums.length >= 6        => cmE = nums(nums.length - 2); cmF = nums.last
+          case "Tj" | "TJ"                     => emitShow()
           case "Do" if lastName != null =>
             val (x, y) = norm(cmE, cmF)
             out += TextBox(0, x, y, s"media://pdfobj-$lastName", isFigure = true)
           case _ => ()
         }
-        flushNums()
+        flush()
         i = j
       } else i += 1
     }
@@ -199,8 +279,16 @@ object PdfCodec extends Serializable {
   // ---- minimal uncompressed single-xref encoder (round-trip tests + demos) ----
 
   /** One page = a list of boxes: Left(text at (x, y)) or Right(figure name at
-    * (x, y)); coordinates in PDF points, y up, page 612×792. */
-  def encode(pages: Seq[Seq[(Double, Double, Either[String, String])]]): Array[Byte] = {
+    * (x, y)); coordinates in PDF points, y up, page 612×792.
+    *
+    * `compress` emits each content stream `/Filter /FlateDecode` via
+    * `java.util.zip.Deflater` (round-trip exercise for [[inflate]]);
+    * `textOp` selects the show-text form: 0 = `(s) Tj` literal, 1 =
+    * kerned `[(a) -120 (b)] TJ` array, 2 = `<hex> Tj` hex string. */
+  def encode(
+      pages: Seq[Seq[(Double, Double, Either[String, String])]],
+      compress: Boolean = false,
+      textOp: Int = 0): Array[Byte] = {
     // object ids assigned up front (contents, font, pages, page tree,
     // catalog) so every reference — including each page's /Parent — is
     // emitted directly; a post-hoc placeholder substitution would also
@@ -219,15 +307,37 @@ object PdfCodec extends Serializable {
       // Locale.ROOT: the f-interpolator uses the JVM default locale, which
       // on de_DE/fr_FR prints comma decimals the parser would split in two
       def num(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      def lit(t: String) =
+        "(" + t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)") + ")"
+      def hex(t: String) =
+        "<" + t.getBytes("ISO-8859-1").map(b => f"${b & 0xff}%02X").mkString + ">"
       boxes.foreach {
         case (x, y, Left(text)) =>
-          val esc = text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-          cs.append(s"BT /F1 12 Tf ${num(x)} ${num(y)} Td ($esc) Tj ET\n")
+          val show = textOp match {
+            case 1 => // kerned array: split midway, kern number between halves
+              val mid = text.length / 2
+              s"[${lit(text.substring(0, mid))} -120 ${lit(text.substring(mid))}] TJ"
+            case 2 => s"${hex(text)} Tj"
+            case _ => s"${lit(text)} Tj"
+          }
+          cs.append(s"BT /F1 12 Tf ${num(x)} ${num(y)} Td $show ET\n")
         case (x, y, Right(name)) =>
           cs.append(s"q 1 0 0 1 ${num(x)} ${num(y)} cm /$name Do Q\n")
       }
-      val body = cs.toString
-      obj(cid, s"<< /Length ${body.length} >>\nstream\n$body endstream")
+      val body =
+        if (!compress) cs.toString
+        else {
+          val defl = new java.util.zip.Deflater()
+          defl.setInput(cs.toString.getBytes("ISO-8859-1"))
+          defl.finish()
+          val out = new java.io.ByteArrayOutputStream(cs.length)
+          val buf = new Array[Byte](8192)
+          while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+          defl.end()
+          new String(out.toByteArray, "ISO-8859-1")
+        }
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      obj(cid, s"<< /Length ${body.length}$filter >>\nstream\n$body\nendstream")
     }
     obj(fontId, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     pageIds.zip(contentIds).foreach { case (pid, cid) =>

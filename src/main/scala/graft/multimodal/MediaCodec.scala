@@ -13,9 +13,16 @@ import graft.multimodal.Multimodal.{FeatureDim, MediaBlob, MediaFeatures}
  *    Features: RMS amplitude, mean, zero-crossing rate, per-quarter energy.
  *    `width`/`height` carry sample rate / channel count; `n_frames` =
  *    1024-sample windows.
+ *  - **JPEG / PNG / GIF / BMP** via JDK-built-in `javax.imageio` (no
+ *    external libraries): magic-sniffed, decoded to the same image feature
+ *    vector as PPM. Hostile-dims guard: the header's width×height is read
+ *    BEFORE pixel decode and payloads past 64 Mpx are rejected (a 1-KB PNG
+ *    can declare a 4-GB canvas; the cap bounds per-task memory). Pixels are
+ *    sampled on a deterministic stride grid (≤ ~262k samples) so features
+ *    cost O(1) regardless of image size.
  *
  * [[decode]] sniffs magic bytes and falls back to [[Multimodal.StubCodec]]
- * for anything else (compressed formats need real codec libraries). Every
+ * for anything else (video containers need real codec libraries). Every
  * path is deterministic in the payload bytes — re-runs and resumes agree.
  */
 object MediaCodec extends Serializable {
@@ -27,13 +34,28 @@ object MediaCodec extends Serializable {
     b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A
+
+  def isGif(b: Array[Byte]): Boolean =
+    b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  def isBmp(b: Array[Byte]): Boolean =
+    b.length > 2 && b(0) == 'B' && b(1) == 'M'
+
   /** Magic-sniffing decode; unknown/corrupt payloads fall back to the stub.
     * ANY parse failure falls back — at web scale malformed payloads are
     * routine and must never kill a task. */
   def decode(blob: MediaBlob): MediaFeatures =
     try {
-      if (isPpm(blob.bytes)) decodePpm(blob)
-      else if (isWav(blob.bytes)) decodeWav(blob)
+      val b = blob.bytes
+      if (isPpm(b)) decodePpm(blob)
+      else if (isWav(b)) decodeWav(blob)
+      else if (isJpeg(b) || isPng(b) || isGif(b) || isBmp(b)) decodeImageIo(blob)
       else Multimodal.StubCodec.decode(blob)
     } catch {
       case scala.util.control.NonFatal(_) => Multimodal.StubCodec.decode(blob)
@@ -105,6 +127,68 @@ object MediaCodec extends Serializable {
     System.arraycopy(hdr, 0, out, 0, hdr.length)
     System.arraycopy(rgb, 0, out, hdr.length, rgb.length)
     out
+  }
+
+  // ---- JPEG/PNG/GIF/BMP via JDK javax.imageio ----
+
+  /** Pixel-count decode cap: a crafted header can declare a multi-GB canvas
+    * from a tiny payload; reading dims from the header BEFORE `reader.read`
+    * and rejecting > 64 Mpx bounds the decoded buffer (≤ ~256 MB ARGB). */
+  private val MaxImagePixels = 1L << 26
+
+  /** Pixel sampling budget: features are computed on a deterministic stride
+    * grid of at most ~262k pixels so cost is O(1) in image size. */
+  private val SamplePixelBudget = 1 << 18
+
+  // ImageIO's default scratch cache writes temp FILES per decode — per-row
+  // disk churn in an executor task; in-memory cache instead.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  def decodeImageIo(blob: MediaBlob): MediaFeatures = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(blob.bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      require(readers.hasNext, "no ImageIO reader for payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(in, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        require(w > 0 && h > 0 && w.toLong * h <= MaxImagePixels, "image dims out of bounds")
+        val img = reader.read(0)
+        val step = math.max(1, math.ceil(math.sqrt(w.toLong * h / SamplePixelBudget.toDouble)).toInt)
+        var (sr, sg, sb2, sl) = (0L, 0L, 0L, 0.0)
+        val hist = new Array[Long](8)
+        var n = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val argb = img.getRGB(x, y)
+            val r = (argb >> 16) & 0xFF; val g = (argb >> 8) & 0xFF; val bl = argb & 0xFF
+            sr += r; sg += g; sb2 += bl
+            val lum = 0.299 * r + 0.587 * g + 0.114 * bl
+            sl += lum
+            hist(math.min(7, (lum * 8 / 256).toInt)) += 1
+            n += 1
+            x += step
+          }
+          y += step
+        }
+        val feats = new Array[Float](FeatureDim)
+        if (n > 0) {
+          feats(0) = sr.toFloat / n / 255f
+          feats(1) = sg.toFloat / n / 255f
+          feats(2) = sb2.toFloat / n / 255f
+          feats(3) = (sl / n / 255.0).toFloat
+          var k = 0
+          while (k < 8) { feats(4 + k) = hist(k).toFloat / n; k += 1 }
+        }
+        feats(12) = w.toFloat / h
+        MediaFeatures(blob.media_ref, "image", w, h, 1, feats)
+      } finally reader.dispose()
+    } finally in.close()
   }
 
   // ---- RIFF/PCM WAV ----

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.correct.Corrector
 import graft.model.CerMetrics
@@ -30,6 +30,31 @@ object CheckpointedRun {
   final class KilledException(msg: String) extends RuntimeException(msg)
 
   def bucketOf(nBuckets: Int) = pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int")
+
+  /** Fingerprint of a frame's CANONICALIZED logical plan + schema — the
+    * default stage token. Canonicalization normalizes expression ids, so the
+    * same rebuilt plan fingerprints identically on resume (stage reused),
+    * while a different source/shape with the same outDir/nBuckets gets a
+    * different staging directory instead of silently reusing stale rows. */
+  def planToken(df: DataFrame): String = {
+    val s = df.queryExecution.logical.canonicalized.toString + "\n" + df.schema.treeString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Normalized DL distance as a NATIVE column expression — the column form
+    * of [[graft.text.DamerauLevenshtein.normalized]] (same equality shortcut
+    * and empty-`clean` guard) built on the codegen'd `dl_distance`
+    * expression instead of a ScalaUDF, so per-bucket metrics stay inside the
+    * whole-stage-codegen span with no per-row serde. Requires
+    * [[org.apache.spark.sql.graft.DamerauLevenshteinExpr.register]]
+    * (idempotent; [[run]] calls it). `length()` counts code points
+    * (UTF8String.numChars), matching the kernel's codePointCount. */
+  def normalizedDistCol(noisy: Column, clean: Column): Column =
+    when(noisy === clean, 0.0)
+      .when(length(clean) === 0, 1.0) // unequal (first branch) + empty clean
+      .otherwise(
+        call_function("dl_distance", noisy, clean).cast("double") / length(clean))
 
   /** Write `docs` + bucket column partitioned by `bucket`, exactly once:
     * skipped when a committed (_SUCCESS) stage already exists — a stage
@@ -78,6 +103,8 @@ object CheckpointedRun {
    * @param docs        input table `(doc_id, <spansCol>, ...)` — noisy spans in
    * @param cleanDocs   clean table for CER metrics (may be the same table)
    * @param failAfterGroups  test hook: throw KilledException after N groups commit
+   * @param onStaged  invoked once with the staged bucketed input (cheap
+   *                  metrics reads; not called when nothing remains to do)
    * @return per-run metrics summed over the buckets THIS invocation processed
    */
   def run(spark: SparkSession,
@@ -94,8 +121,10 @@ object CheckpointedRun {
           lineage: String = "",
           cleanSpansCol: String = "spans",
           stageToken: String = "",
-          failAfterGroups: Option[Int] = None): CerMetrics = {
+          failAfterGroups: Option[Int] = None,
+          onStaged: DataFrame => Unit = _ => ()): CerMetrics = {
     import spark.implicits._
+    org.apache.spark.sql.graft.DamerauLevenshteinExpr.register(spark)
 
     // normalize: stage dirs are SIBLINGS of outDir by string concatenation —
     // a trailing slash would nest them inside the output and break the
@@ -115,20 +144,29 @@ object CheckpointedRun {
     // each group job into a partition-pruned read of only its buckets.
     // The stage is committed atomically (_SUCCESS) and the upstream plan is
     // deterministic, so a resumed run reuses or identically rewrites it.
-    // nBuckets and the caller-supplied stageToken are part of the directory
-    // names: a resume with a DIFFERENT bucketing must not filter a stage
-    // built under the old one (it would silently drop every bucket id the
-    // old stage never produced), and a resume against a DIFFERENT input or
-    // clean table (identified by the token — see RunPipeline) must not reuse
-    // the previous source's staged rows. The clean side is staged the same
-    // way — its exploded text spans would otherwise be re-derived once per
-    // group by the metrics join. All stages under this outDir are deleted
-    // once every bucket is committed.
-    val suffix = s"b$nBuckets" + (if (stageToken.isEmpty) "" else s"-$stageToken")
+    // nBuckets and the stage token are part of the directory names: a resume
+    // with a DIFFERENT bucketing must not filter a stage built under the old
+    // one (it would silently drop every bucket id the old stage never
+    // produced), and a resume against a DIFFERENT input or clean table must
+    // not reuse the previous source's staged rows. Callers may pass an
+    // explicit token (RunPipeline fingerprints its paths); by DEFAULT the
+    // token is a fingerprint of the input plans themselves, so a stage left
+    // by a killed run over a different source with the same outDir/nBuckets
+    // is never silently reused. The clean side is staged the same way — its
+    // exploded text spans would otherwise be re-derived once per group by
+    // the metrics join. All stages under this outDir are deleted once every
+    // bucket is committed.
+    val token = if (stageToken.nonEmpty) stageToken
+                else planToken(docs) + (if (cleanDocs eq docs) "" else planToken(cleanDocs))
+    val suffix = s"b$nBuckets-$token"
     val stagingDir = s"$outDir.staging-$suffix"
     val cleanStagingDir = s"$outDir.staging-clean-$suffix"
     stageBucketed(spark, docs, stagingDir, nBuckets)
     val staged = spark.read.parquet(stagingDir)
+    // metrics hook: callers that want an input count read it off the staged
+    // copy (footer-level, no column materialization) instead of re-scanning
+    // the original upstream plan after the run
+    onStaged(staged)
     // when the clean side IS the input plan, derive its spans from the
     // already-staged parquet instead of re-evaluating the upstream a 2nd time
     val cleanSource = if (cleanDocs eq docs) staged.drop("bucket") else cleanDocs
@@ -156,9 +194,7 @@ object CheckpointedRun {
           .filter(col("kind") === "text")
           .join(clean, Seq("doc_id", "offset"))
           .withColumn("bucket", bucketOf(nBuckets))
-          .withColumn("dist", when(col("text") === col("text_clean"), 0.0)
-            .otherwise(udf((a: String, b: String) => graft.text.DamerauLevenshtein.normalized(a, b))
-              .apply(col("text"), col("text_clean"))))
+          .withColumn("dist", normalizedDistCol(col("text"), col("text_clean")))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("rows"),
             sum(col("dist")).as("cer_sum"),

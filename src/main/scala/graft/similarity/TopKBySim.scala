@@ -18,13 +18,21 @@ final case class ScoredId(sim: Double, id: Long)
  * the common-case insert is one comparison against the current k-th best.
  *
  * Deterministic: the result is the true top-k of the input multiset under the
- * total order (sim desc, id asc), independent of partitioning and merge order
- * (callers round `sim` BEFORE aggregation so float tie order is portable —
- * see graft.Portable).
+ * total order (sim desc, NaN worst, id asc), independent of partitioning and
+ * merge order (callers round `sim` BEFORE aggregation so float tie order is
+ * portable — see graft.Portable).
  */
 final class TopKBySim(k: Int) extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]] {
-  private def better(a: ScoredId, b: ScoredId): Boolean =
-    a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+  /** Total order: sim desc, id asc — with NaN explicitly WORST. A bare
+    * `a.sim > b.sim` is false both ways for NaN, so a NaN (e.g. cosine of a
+    * zero-norm vector) sitting at the tail of a full buffer would reject
+    * every later candidate and make results merge-order dependent. */
+  private def better(a: ScoredId, b: ScoredId): Boolean = {
+    val an = java.lang.Double.isNaN(a.sim)
+    val bn = java.lang.Double.isNaN(b.sim)
+    if (an || bn) (!an && bn) || (an && bn && a.id < b.id)
+    else a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+  }
 
   private def insert(sorted: List[ScoredId], x: ScoredId): List[ScoredId] =
     if (sorted.lengthCompare(k) >= 0 && !better(x, sorted.last)) sorted

@@ -65,14 +65,18 @@ object DamerauLevenshteinExpr {
     ("dl_distance_full", "full-matrix restricted (OSA) Damerau-Levenshtein", 1),
     ("dl_distance_true", "unrestricted Damerau-Levenshtein (matches DuckDB)", 2))
 
-  /** Idempotent per-session registration (usable without extensions config). */
+  /** Idempotent per-session registration (usable without extensions config).
+    * Skips names already present — re-registering is a no-op, not a WARN. */
   def register(spark: SparkSession): Unit = functions.foreach { case (name, usage, v) =>
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name), info(name, usage),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, s"$name expects 2 arguments")
-        DamerauLevenshteinExpr(children(0), children(1), v)
-      })
+    val id = FunctionIdentifier(name)
+    if (!spark.sessionState.functionRegistry.functionExists(id)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        id, info(name, usage),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, s"$name expects 2 arguments")
+          DamerauLevenshteinExpr(children(0), children(1), v)
+        })
+    }
   }
 }
 

@@ -16,6 +16,10 @@ class CheckpointSpec extends SparkSpec {
     (s"$base/out", s"$base/state")
   }
 
+  // default stage token for runs over `docs` (clean side eq input side)
+  private def stagingOf(out: String, n: Int) =
+    s"$out.staging-b$n-${CheckpointedRun.planToken(docs)}"
+
   test("clean run: all buckets committed, output covers every doc, metrics match direct pipeline") {
     val (out, state) = freshDirs()
     val m = CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "run1",
@@ -62,7 +66,7 @@ class CheckpointSpec extends SparkSpec {
 
   test("staged input: written once, pruned group reads, reused on resume, deleted on completion") {
     val (out, state) = freshDirs()
-    val staging = s"$out.staging-b8"
+    val staging = stagingOf(out, 8)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     // kill after 1 of 3 groups — the committed stage survives for the resume
     intercept[CheckpointedRun.KilledException] {
@@ -89,14 +93,15 @@ class CheckpointSpec extends SparkSpec {
     CheckpointedRun.run(spark, docs, docs, NullCorrector, out, state, "p",
       nBuckets = 8, groupSize = 3)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out.staging-clean-b8")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      staging.replace(".staging-", ".staging-clean-"))))
     assert(spark.read.parquet(out).select("doc_id").distinct().count() == 250)
   }
 
   test("a stage interrupted mid-write (no _SUCCESS) is rewritten on the next run") {
     val (out, state) = freshDirs()
     // fabricate a partial, uncommitted stage: data files but no _SUCCESS
-    val staging = s"$out.staging-b8"
+    val staging = stagingOf(out, 8)
     docs.limit(10).withColumn("bucket", CheckpointedRun.bucketOf(8))
       .write.partitionBy("bucket").parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -119,9 +124,10 @@ class CheckpointSpec extends SparkSpec {
     CheckpointedRun.run(spark, docs, docs, NullCorrector, s"$out/", state, "t",
       nBuckets = 4, groupSize = 4)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out.staging-b4")),
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stagingOf(out, 4))),
       "completed run left its stage behind")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/.staging-b4")),
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$out/.staging-b4-${CheckpointedRun.planToken(docs)}")),
       "stage nested inside the output dir")
     assert(spark.read.parquet(out).select("doc_id").distinct().count() == 250)
   }
@@ -181,6 +187,42 @@ class CheckpointSpec extends SparkSpec {
     assert(CP.spanSequenceViolations(a, b).count() == 0)
     assert(a.count() == 120 && b.count() == 120)
     pages.unpersist()
+  }
+
+  test("default stage token: a stage left by a run over a DIFFERENT input is never reused") {
+    val (out, state) = freshDirs()
+    val docsA = DocGen.docs(spark, 60).toDF()
+    val docsB = DocGen.docs(spark, 90).toDF()
+    // kill a run over input A — its committed stage survives under out/
+    intercept[CheckpointedRun.KilledException] {
+      CheckpointedRun.run(spark, docsA, docsA, NullCorrector, out, state, "ra",
+        nBuckets = 4, groupSize = 1, failAfterGroups = Some(1))
+    }
+    // a fresh run over input B with the same outDir/nBuckets must stage B,
+    // not filter A's stale 60-doc stage (the empty-token failure mode)
+    val m = CheckpointedRun.run(spark, docsB, docsB, NullCorrector, out, state, "rb",
+      nBuckets = 4, groupSize = 2)
+    val direct = CP.cer(CP.correct(CP.explodeSpans(docsB, "noisy_spans"), NullCorrector), docsB)
+    assert(m.n == direct.n && m.nPerfect == direct.nPerfect,
+      s"run over B processed ${m.n} rows, expected ${direct.n} — stale stage reused?")
+    // and the two inputs fingerprint differently in the first place
+    assert(CheckpointedRun.planToken(docsA) != CheckpointedRun.planToken(docsB))
+  }
+
+  test("per-bucket metrics: native dl_distance column ≡ kernel, no ScalaUDF in the plan") {
+    org.apache.spark.sql.graft.DamerauLevenshteinExpr.register(spark)
+    val df = Seq(
+      ("abc", "abc"), ("abcd", "abdc"), ("kitten", "sitting"),
+      ("", "x"), ("x", ""), ("", ""), ("héllo😀", "hello😀"))
+      .toDF("text", "text_clean")
+      .withColumn("dist", CheckpointedRun.normalizedDistCol(col("text"), col("text_clean")))
+    assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"),
+      "checkpoint metrics must use the codegen'd expression, not a ScalaUDF")
+    df.collect().foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val want = graft.text.DamerauLevenshtein.normalized(a, b)
+      assert(math.abs(r.getDouble(2) - want) < 1e-12, s"($a, $b)")
+    }
   }
 
   test("checkpointed dictionary run produces the same CER as the direct pipeline") {

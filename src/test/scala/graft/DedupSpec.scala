@@ -73,6 +73,45 @@ class DedupSpec extends SparkSpec {
     verified.get((0L, 2L)).foreach(j => assert(j > 0.3 && j < 1.0))
   }
 
+  test("near-dup dedup: a k=50 cluster verifies O(k) star pairs, not O(k²); survivors ≡ pairwise") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // 50 NEAR-identical docs (unique tail token → not exact dups): pairwise
+    // shingle jaccard = 8/14 ≈ 0.571, above the 0.5 threshold
+    val cluster = (0 until 50).map(i => (i.toLong, s"$base tail$i"))
+    val others = Seq(
+      (100L, "totally unrelated prose about query planners and shuffle exchanges"),
+      (101L, "another independent document with zero vocabulary overlap anywhere"),
+      (200L, "verbatim boilerplate repeated byte for byte across the crawl"),
+      (201L, "verbatim boilerplate repeated byte for byte across the crawl")) // exact dup of 200
+    val df = (cluster ++ others).toDF("doc_id", "text")
+
+    val reps = Dedup.dedupExact(df)
+    val pairs = Dedup.lshCandidatePairs(reps, shingleK = 3, nBands = 4, rowsPerBand = 2)
+    val stars = Dedup.starPairs(pairs)
+    val (nPairs, nStars) = (pairs.count(), stars.count())
+    // candidate pairs are quadratic in the cluster; star pairs are linear —
+    // this is what keeps the verification join O(k·|shingles|)
+    assert(nStars <= 53, s"star pairs must be ≤ one per non-minimal member, got $nStars")
+    assert(nPairs > 5 * nStars, s"expected quadratic pairs vs linear stars: $nPairs vs $nStars")
+    // star pairs cover every doc the full pair set covers as a dedup target
+    assert(stars.select("id_b").distinct().count() == pairs.select("id_b").distinct().count())
+
+    val survivors = Dedup.dedupNearLsh(df, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // baseline: FULL pairwise verification, drop every id_b in a passing pair
+    val dropped = Dedup.jaccardVerify(reps, pairs).filter($"jaccard" >= 0.5)
+      .select($"id_b".as("doc_id")).distinct()
+    val baseline = reps.join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == baseline, s"star survivors $survivors != pairwise $baseline")
+    // the cluster keeps its min id; unrelated docs survive; the exact dup
+    // (201) was collapsed by the pre-step before LSH ever saw it
+    assert(survivors.contains(0L) && survivors.contains(100L) &&
+      survivors.contains(101L) && survivors.contains(200L))
+    assert(!survivors.contains(201L))
+    assert(survivors.count(_ < 50L) < 10, s"cluster was not deduplicated: $survivors")
+  }
+
   test("ngram jaccard on explicit pairs: identity = 1, disjoint = 0") {
     val pairs = Seq(
       ("the quick brown fox", "the quick brown fox", "same"),

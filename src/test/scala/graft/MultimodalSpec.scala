@@ -90,6 +90,76 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(stF.features(0) - 0.5f) < 1e-3)      // channel-0 RMS
   }
 
+  test("PNG/JPEG/BMP via javax.imageio: decode matches the PPM feature semantics") {
+    import graft.multimodal.{MediaCodec, Multimodal => M}
+    // deterministic 12×8 gradient image, built pixel-identically as PPM and PNG
+    val (w, h) = (12, 8)
+    val rgb = new Array[Byte](w * h * 3)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255) / (w - 1); val g = (y * 255) / (h - 1); val b = 128
+      val o = (y * w + x) * 3
+      rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = b.toByte
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    def pngBytes(fmt: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bo)
+      bo.toByteArray
+    }
+    val fromPpm = {
+      val b = MediaCodec.encodePpm(w, h, rgb)
+      MediaCodec.decode(M.MediaBlob("ppm", "image", b, b.length))
+    }
+    // PNG and BMP are lossless: identical pixels → identical features
+    for (fmt <- Seq("png", "bmp")) {
+      val b = pngBytes(fmt)
+      val f = MediaCodec.decode(M.MediaBlob(fmt, "image", b, b.length))
+      assert(f.media_kind == "image" && f.width == w && f.height == h && f.n_frames == 1, fmt)
+      (0 until 13).foreach(i =>
+        assert(math.abs(f.features(i) - fromPpm.features(i)) < 1e-6f, s"$fmt feat $i"))
+    }
+    // JPEG is lossy: dims exact, channel means close
+    val jb = pngBytes("jpg")
+    val jf = MediaCodec.decode(M.MediaBlob("jpg", "image", jb, jb.length))
+    assert(jf.width == w && jf.height == h)
+    (0 until 4).foreach(i =>
+      assert(math.abs(jf.features(i) - fromPpm.features(i)) < 0.05f, s"jpg feat $i"))
+    // decode is deterministic in the payload bytes
+    val again = MediaCodec.decode(M.MediaBlob("png", "image", pngBytes("png"), 0))
+    val first = MediaCodec.decode(M.MediaBlob("png", "image", pngBytes("png"), 0))
+    assert(again.features.toSeq == first.features.toSeq)
+  }
+
+  test("imageio hostile payloads: garbage after magic and oversized dims fall back") {
+    import graft.multimodal.{MediaCodec, Multimodal => M}
+    def key(f: M.MediaFeatures) =
+      (f.media_ref, f.media_kind, f.width, f.height, f.n_frames, f.features.toSeq)
+    // valid PNG magic, garbage body → ImageIO throws → stub fallback
+    val fakePng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      Array.tabulate(64)(i => (i * 13).toByte)
+    val b1 = M.MediaBlob("hp1", "image", fakePng, fakePng.length)
+    assert(key(MediaCodec.decode(b1)) == key(M.StubCodec.decode(b1)))
+    // JPEG magic, truncated body → fallback
+    val fakeJpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+    val b2 = M.MediaBlob("hp2", "image", fakeJpg, fakeJpg.length)
+    assert(key(MediaCodec.decode(b2)) == key(M.StubCodec.decode(b2)))
+    // a BMP header declaring a canvas past the 64 Mpx cap must be rejected
+    // BEFORE pixel decode (tiny payload, multi-GB declared buffer)
+    val bigBmp = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      javax.imageio.ImageIO.write(img, "bmp", bo)
+      val b = bo.toByteArray
+      // BITMAPINFOHEADER width/height at offsets 18/22 (LE): declare 65536×65536
+      b(18) = 0; b(19) = 0; b(20) = 1; b(21) = 0
+      b(22) = 0; b(23) = 0; b(24) = 1; b(25) = 0
+      b
+    }
+    val b3 = M.MediaBlob("hp3", "image", bigBmp, bigBmp.length)
+    assert(key(MediaCodec.decode(b3)) == key(M.StubCodec.decode(b3)))
+  }
+
   test("unknown/corrupt payloads fall back to the stub codec") {
     import graft.multimodal.{MediaCodec, Multimodal => M}
     def key(f: M.MediaFeatures) =

@@ -48,6 +48,20 @@ class RunPipelineSpec extends SparkSpec {
     assert(out2.contains(""""docs_in":40"""))
   }
 
+  test("metrics line stays valid JSON for hostile run ids (quotes/backslashes escaped)") {
+    val base = Files.createTempDirectory("runpipeline3").toString
+    DocGen.docs(spark, 10).toDF()
+      .select(col("doc_id"), col("noisy_spans").as("spans")).write.parquet(s"$base/in")
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "run-id" -> "we\"ird\\id", "buckets" -> "2", "group-size" -> "2"))
+    assert(out.contains(""""run_id":"we\"ird\\id""""), out)
+    // the whole line must parse as JSON (jackson ships with Spark)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+    assert(node.get("run_id").asText() == "we\"ird\\id")
+    assert(node.get("docs_in").asLong() == 10L)
+  }
+
   test("null corrector passes spans through unchanged") {
     val base = Files.createTempDirectory("runpipeline0").toString
     val docs = DocGen.docs(spark, 50).toDF()

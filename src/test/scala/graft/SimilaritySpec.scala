@@ -96,6 +96,35 @@ class SimilaritySpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("top-k aggregator: NaN sims rank worst, never block candidates, merge-order independent") {
+    import graft.similarity.{ScoredId, TopKBySim}
+    val agg = new TopKBySim(3)
+    // NaN arrives FIRST and fills the buffer tail — later real candidates
+    // must still displace it (a naive `>` comparator rejects them all)
+    val xs = Seq(ScoredId(Double.NaN, 9L), ScoredId(0.1, 5L), ScoredId(0.2, 4L),
+      ScoredId(Double.NaN, 8L), ScoredId(0.3, 3L), ScoredId(0.15, 6L))
+    val direct = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(direct) == Seq(ScoredId(0.3, 3L), ScoredId(0.2, 4L), ScoredId(0.15, 6L)))
+    // every partition split + merge order yields the same result
+    for (cut <- 1 until xs.length) {
+      val (l, r) = xs.splitAt(cut)
+      val lb = l.foldLeft(agg.zero)(agg.reduce)
+      val rb = r.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(lb, rb)) == agg.finish(direct), s"cut $cut")
+      assert(agg.finish(agg.merge(rb, lb)) == agg.finish(direct), s"cut $cut reversed")
+    }
+    // all-NaN input: deterministic id-ascending order, no crash
+    val allNaN = Seq(ScoredId(Double.NaN, 3L), ScoredId(Double.NaN, 1L), ScoredId(Double.NaN, 2L))
+    assert(agg.finish(allNaN.foldLeft(agg.zero)(agg.reduce)).map(_.id) == Seq(1L, 2L, 3L))
+    // distributed path: a zero-norm vector's NaN must not suppress real rows
+    val scored = Seq(
+      (1L, 10L, Double.NaN), (1L, 11L, 0.9), (1L, 12L, 0.8),
+      (1L, 13L, 0.7), (1L, 14L, 0.6)).toDF("query_id", "neighbor_id", "sim")
+    val got = TopKBySim.rank(scored.repartition(4), 3)
+      .orderBy($"rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1, 11L, 0.9), (1L, 2, 12L, 0.8), (1L, 3, 13L, 0.7)))
+  }
+
   test("cosine near-dup pairs: in-cluster pairs pass the threshold, cross-cluster don't") {
     val pairs = Similarity.cosineNearDupPairs(vecs.filter($"vec_id" < 20), threshold = 0.9)
       .collect()

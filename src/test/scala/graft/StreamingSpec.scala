@@ -49,6 +49,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamOut == viaPipeline)
   }
 
+  test("correctDocs routes span texts through the BATCHED corrector hook") {
+    StreamingBatchProbe.calls.set(0)
+    StreamingBatchProbe.texts.set(0)
+    val noisy = DocGen.docs(spark, 40).collect()
+      .map(d => Doc(d.doc_id, d.noisy_spans)).toSeq
+    val out = StreamingOps.correctDocs(noisy.toDS().repartition(2),
+      StreamingBatchProbe.ProbeCorrector).collect()
+    // correctness: every text span uppercased, media untouched, order kept
+    val want = noisy.map(d => d.doc_id -> d.spans.map(s =>
+      if (s.kind == graft.model.Span.KindText) s.copy(text = s.text.toUpperCase) else s)).toMap
+    assert(out.map(d => d.doc_id -> d.spans).toMap == want)
+    // batching: far fewer correctTexts calls than texts (one per ≤256-doc
+    // group, not one per span) — the per-span form would give calls == texts
+    val (calls, texts) = (StreamingBatchProbe.calls.get, StreamingBatchProbe.texts.get)
+    assert(texts > 40, s"expected many text spans, saw $texts")
+    assert(calls <= 4, s"correctTexts called $calls times for $texts texts — not batched")
+  }
+
   test("streaming dedup drops repeated fingerprints") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Long)]
@@ -111,5 +129,20 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 2L, 3.0))) // first burst: 2 events
     assert(rows.contains((1L, 1L, 3.0))) // second burst
     assert(rows.contains((2L, 1L, 4.0)))
+  }
+}
+
+/** Top-level (no spec outer reference → serializable) corrector that counts
+  * batched-hook invocations; local[*] shares the JVM so statics observe
+  * executor-side calls. */
+object StreamingBatchProbe {
+  val calls = new java.util.concurrent.atomic.AtomicInteger
+  val texts = new java.util.concurrent.atomic.AtomicInteger
+  object ProbeCorrector extends graft.correct.Corrector {
+    override def correctText(t: String): String = t.toUpperCase
+    override def correctTexts(ts: Iterator[String]): Iterator[String] = {
+      calls.incrementAndGet()
+      ts.map { t => texts.incrementAndGet(); t.toUpperCase }
+    }
   }
 }

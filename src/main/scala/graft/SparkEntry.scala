@@ -167,6 +167,22 @@ object SparkEntry {
     "q_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairs(tbl(s, dir, "documents"), shingleK = 3, nBands = 4, rowsPerBand = 2)),
 
+    // star reduction of the LSH candidate pairs: each doc paired with its
+    // SMALLEST candidate partner only — the linear-volume verification form
+    // dedupNearLsh runs per near-dup cluster
+    "q_star_pairs" -> ((s, dir) =>
+      Dedup.starPairs(
+        Dedup.lshCandidatePairs(tbl(s, dir, "documents"), shingleK = 3, nBands = 4, rowsPerBand = 2))),
+
+    // exact shingle-Jaccard verification of the LSH candidates — the full
+    // candidate-generation → verification split, end to end
+    "q_lsh_verify" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val pairs = Dedup.lshCandidatePairs(d, shingleK = 3, nBands = 4, rowsPerBand = 2)
+      Dedup.jaccardVerify(d, pairs, shingleK = 3)
+        .select(col("id_a"), col("id_b"), Portable.round4(col("jaccard")).as("jaccard"))
+    }),
+
     "q_simhash" -> ((s, dir) =>
       Dedup.simHash32Relational(tbl(s, dir, "documents"))),
 
@@ -206,7 +222,8 @@ object SparkEntry {
     "q_encode_roundtrip" -> ((s, dir) => {
       val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
       tbl(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.decode(TextFunctions.encode(col("text"), alphabet), alphabet).as("text"))
+        TextFunctions.decodeNative(s,
+          TextFunctions.encodeNative(s, col("text"), alphabet), alphabet).as("text"))
     }),
 
     // F9 stop-at-INT_EMPTY: appending the padding sentinel plus trailing
@@ -215,10 +232,10 @@ object SparkEntry {
     // is again the raw text.
     "q_decode_stop" -> ((s, dir) => {
       val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
-      val padded = concat(TextFunctions.encode(col("text"), alphabet),
+      val padded = concat(TextFunctions.encodeNative(s, col("text"), alphabet),
         array(lit(TextFunctions.IntEmpty.toLong), lit(0L), lit(999L)))
       tbl(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.decode(padded, alphabet).as("text"))
+        TextFunctions.decodeNative(s, padded, alphabet).as("text"))
     }),
 
     // ---- main-content extraction (HTML boilerplate strip) ----
@@ -488,6 +505,38 @@ object SparkEntry {
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id""",
+
+      "q_star_pairs" ->
+        raw"""$minhash8, bands AS ($bandRows),
+           pairs AS (
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id)
+           SELECT min(id_a) AS id_a, id_b FROM pairs GROUP BY id_b""",
+
+      // mirrors Dedup.jaccardVerify exactly: DISTINCT shingle STRINGS first,
+      // then the 60-bit md5 key, inner joins drop zero-intersection pairs
+      "q_lsh_verify" ->
+        raw"""$minhash8, bands AS ($bandRows),
+           pairs AS (
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+           dsh AS (
+             SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15))::UBIGINT AS BIGINT) AS shh
+             FROM (SELECT DISTINCT doc_id, sh FROM sh) d),
+           sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY 1),
+           inter AS (
+             SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS ni
+             FROM pairs p
+             JOIN dsh a ON a.doc_id = p.id_a
+             JOIN dsh b ON b.doc_id = p.id_b AND b.shh = a.shh
+             GROUP BY 1, 2)
+           SELECT i.id_a, i.id_b,
+             floor(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) * 10000 + 0.5) / 10000 AS jaccard
+           FROM inter i
+           JOIN sizes sa ON sa.doc_id = i.id_a
+           JOIN sizes sb ON sb.doc_id = i.id_b""",
 
       "q_simhash" ->
         raw"""$simhashCte SELECT doc_id, simhash FROM sim""",

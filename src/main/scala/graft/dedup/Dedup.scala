@@ -123,18 +123,35 @@ object Dedup {
   def minHashB(k: Int): Long = (graft.gen.DetRng.hash64(s"mhb$k") >>> 33)
 
   /**
-   * MinHash signatures via explode + min-aggregation: one row per doc with
-   * columns `h0..h{n-1}`. The shingle set is computed ONCE per doc, ONE md5
-   * per shingle provides the 31-bit base hash, and the k functions are the
+   * MinHash signatures, one row per doc with columns `h0..h{n-1}`: the
+   * native codegen'd [[org.apache.spark.sql.graft.MinHashSig]] kernel runs
+   * the whole normalize → shingle → md5 → affine-minima pipeline per row, so
+   * signature computation is NARROW — a scan-side map with no exchange at
+   * all (the exploded form below pays an O(shingles) row blowup through a
+   * hash aggregate; measured ~4× slower at sf0.1). One md5 per shingle, the
    * standard affine family `(a_k * base + b_k) mod (2^61-1)` (31-bit base ×
    * 31-bit odd multiplier stays far from Long overflow, so the arithmetic is
-   * exact and portable to the SQL oracle). The aggregation is a standard
-   * partial+final hash agg — the shuffle carries only (id, n×8 bytes).
-   * This is the scale path: one md5 + n multiply-adds per shingle (the
-   * naive form pays n md5s), codegen linear in `nHashes`.
+   * exact and portable to the SQL oracle). The h-columns all read one shared
+   * `minhash_sig` subexpression — whole-stage-codegen subexpression
+   * elimination evaluates the kernel once per row (plan-asserted in
+   * DedupSpec).
    */
   def minHashSignatures(docs: DataFrame, shingleK: Int, nHashes: Int,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    org.apache.spark.sql.graft.MinHashSigExpr.register(docs.sparkSession)
+    val sig = call_function("minhash_sig", col(textCol), lit(shingleK), lit(nHashes))
+    docs
+      .where(col(textCol).isNotNull) // the exploded form dropped null-text docs too
+      .select(col(idCol) +: (0 until nHashes).map(k =>
+        element_at(sig, k + 1).as(s"h$k")): _*)
+  }
+
+  /** The explode + min-aggregation restatement of [[minHashSignatures]] —
+    * one row per shingle through a partial/final hash agg. Kept as the
+    * independent second implementation the equivalence spec checks the
+    * kernel against (the DuckDB oracle is a third). */
+  def minHashSignaturesExploded(docs: DataFrame, shingleK: Int, nHashes: Int,
+                                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(tokenShingles(col("__toks"), shingleK)).as("sh"))
@@ -311,15 +328,27 @@ object Dedup {
   }
 
   /**
-   * Relational SimHash: tokens exploded, md5 computed ONCE per token
-   * occurrence, 32 conditional ±1 sums in one partial+final hash agg, bits
-   * recombined from the per-lane sums. Identical output to [[simHash32]];
-   * this is the scale/bench path — the per-row HOF fold evaluates an
-   * interpreted lambda per (token × lane) and allocates a 32-slot array per
-   * token, while this form is one codegen'd aggregate over (id, hv) rows.
+   * Per-doc 32-bit SimHash via the native codegen'd
+   * [[org.apache.spark.sql.graft.SimHashSig]] kernel — the scale/bench
+   * path: one kernel call per row, NARROW (no explode, no aggregate, no
+   * exchange), so the banded near-dup pipeline's only wide op is the
+   * band-key self-join. Identical output to [[simHash32]] (interpreted HOF
+   * fold) and [[simHash32Exploded]] (explode + 32-lane agg) — all three
+   * equivalence-tested, the DuckDB oracle restates the semantics a 4th time.
    */
   def simHash32Relational(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
+    org.apache.spark.sql.graft.SimHashSigExpr.register(docs.sparkSession)
+    docs
+      .where(col(textCol).isNotNull) // exploded form dropped null-text docs too
+      .select(col(idCol), call_function("simhash_sig", col(textCol)).as("simhash"))
+  }
+
+  /** The explode + 32-lane aggregation restatement of [[simHash32Relational]]
+    * — kept as the independent implementation the equivalence spec checks
+    * the kernel against. */
+  def simHash32Exploded(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
     val hv = docs.select(col(idCol),
       explode(split(normalizeText(col(textCol)), " ")).as("tok"))
       .select(col(idCol), conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("hv"))

@@ -52,13 +52,44 @@ class DedupSpec extends SparkSpec {
     assert(agree02 > agree04, s"near-dup should agree more: $agree02 vs $agree04")
   }
 
-  test("per-row minhash signature ≡ relational minhash signatures (same affine family)") {
+  test("native kernel ≡ per-row HOF ≡ exploded-relational minhash (same affine family)") {
     val n = 6
+    def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (1 to n).map(i => r.getLong(i)).toSeq).toMap
     val perRow = docs.select($"doc_id", Dedup.minHashSignature($"text", 3, n).as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
-    val rel = Dedup.minHashSignatures(docs, shingleK = 3, nHashes = n).collect()
-      .map(r => r.getLong(0) -> (1 to n).map(i => r.getLong(i)).toSeq).toMap
-    assert(perRow == rel)
+    val native = toMapOf(Dedup.minHashSignatures(docs, shingleK = 3, nHashes = n))
+    val exploded = toMapOf(Dedup.minHashSignaturesExploded(docs, shingleK = 3, nHashes = n))
+    assert(native == perRow)
+    assert(native == exploded)
+    // hostile normalization edges: unicode whitespace runs, control chars at
+    // the boundary, a short doc, the empty doc — all three forms must agree
+    val edge = Seq(
+      (0L, ""), (1L, "   "), (2L, "one"), (3L, "two words"),
+      (4L, "\tTAB  and\n\nNEWLINES  here maybe more tokens"),
+      (5L, "ctrl edge"), (6L, "ЖУРНАЛ Русский Текст С Кириллицей"),
+      (7L, "exactly three tokens"), (8L, "😀 emoji 😀 tokens 😀 galore 😀"))
+      .toDF("doc_id", "text")
+    val eNative = toMapOf(Dedup.minHashSignatures(edge, 3, n))
+    val eExploded = toMapOf(Dedup.minHashSignaturesExploded(edge, 3, n))
+    val ePerRow = edge.select($"doc_id", Dedup.minHashSignature($"text", 3, n).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(eNative == eExploded, s"native $eNative\nexploded $eExploded")
+    assert(eNative == ePerRow)
+  }
+
+  test("native minhash signatures are NARROW: no exchange, kernel evaluated once per row") {
+    val sigs = Dedup.minHashSignatures(docs.repartition(3), shingleK = 3, nHashes = 8)
+    val plan = sigs.queryExecution.executedPlan.toString
+    // the repartition's exchange is in the INPUT; the signature itself adds
+    // no aggregate/exchange — the exploded form had both
+    assert(!plan.contains("HashAggregate"), s"signature still aggregates:\n$plan")
+    assert(!plan.toLowerCase.contains("generate"), s"signature still explodes:\n$plan")
+    // whole-stage codegen subexpression elimination: 8 h-columns, ONE
+    // minhash_sig kernel eval (subexprElimination rewrites them to subExpr)
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(sigs.queryExecution.executedPlan)
+    assert(codegen.split("minhash_sig|MinHashKernel.signature").length - 1 <= 3,
+      s"kernel not shared across h-columns:\n${codegen.take(2000)}")
   }
 
   test("LSH candidate pairs find the exact and near duplicates, jaccard verifies") {
@@ -160,10 +191,24 @@ class DedupSpec extends SparkSpec {
     assert(groups.exists(r => r.getAs[Long]("n_docs") >= 2))
   }
 
-  test("relational simhash ≡ per-row HOF simhash") {
+  test("native simhash kernel ≡ per-row HOF ≡ exploded-relational simhash, and stays narrow") {
     val hof = docs.select($"doc_id", Dedup.simHash32($"text").as("simhash"))
       .as[(Long, Long)].collect().toMap
-    val rel = Dedup.simHash32Relational(docs).as[(Long, Long)].collect().toMap
-    assert(hof == rel)
+    val native = Dedup.simHash32Relational(docs).as[(Long, Long)].collect().toMap
+    val exploded = Dedup.simHash32Exploded(docs).as[(Long, Long)].collect().toMap
+    assert(hof == native)
+    assert(native == exploded)
+    // hostile normalization edges through all three forms
+    val edge = Seq((0L, ""), (1L, " \t\n "), (2L, "ОДИН токен"), (3L, "a  b   c"),
+      (4L, "😀 emoji 😀"), (5L, "x")).toDF("doc_id", "text")
+    val eH = edge.select($"doc_id", Dedup.simHash32($"text").as("s")).as[(Long, Long)].collect().toMap
+    val eN = Dedup.simHash32Relational(edge).as[(Long, Long)].collect().toMap
+    val eX = Dedup.simHash32Exploded(edge).as[(Long, Long)].collect().toMap
+    assert(eN == eH && eN == eX, s"native $eN hof $eH exploded $eX")
+    // narrow: the native form adds no aggregate/exchange/generate
+    val plan = Dedup.simHash32Relational(docs.repartition(3))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.toLowerCase.contains("generate"),
+      s"native simhash is not narrow:\n$plan")
   }
 }

@@ -279,20 +279,32 @@ object Dedup {
 
   /**
    * N-gram Jaccard similarity between explicit doc pairs (e.g. consecutive
-   * ids): |A∩B| / |A∪B| over distinct word shingles, computed as array
-   * expressions on the joined row — no explode, no extra shuffle beyond the
-   * pair join itself.
-   *
-   * The shingle sets and the intersection size are materialized as REAL
-   * aliased columns, each referenced more than once downstream, so
+   * ids): |A∩B| / |A∪B| over distinct word shingles via the native
+   * [[org.apache.spark.sql.graft.NgramJaccard]] kernel — one codegen'd call
+   * per pair, no explode, no extra shuffle beyond the pair join itself.
+   * Value-identical to [[ngramJaccardPairsColumns]] (equivalence-tested) and
+   * the DuckDB oracle.
+   */
+  def ngramJaccardPairs(pairs: DataFrame, aText: String, bText: String,
+                        shingleK: Int, outCol: String = "jaccard"): DataFrame = {
+    org.apache.spark.sql.graft.NgramJaccardExpr.register(pairs.sparkSession)
+    pairs.withColumn(outCol,
+      call_function("ngram_jaccard", col(aText), col(bText), lit(shingleK)))
+  }
+
+  /**
+   * Column-expression restatement of [[ngramJaccardPairs]] — kept as the
+   * independent implementation the equivalence spec checks the kernel
+   * against. The shingle sets and the intersection size are materialized as
+   * REAL aliased columns, each referenced more than once downstream, so
    * CollapseProject keeps them as separate projections and every expensive
    * subtree is evaluated exactly once per row. (Building the whole formula as
    * one Column re-evaluates the shingle pipeline per reference: HOF lambdas
    * get fresh variable ids per construction, defeating subexpression
    * elimination — measured 10×+ slower.)
    */
-  def ngramJaccardPairs(pairs: DataFrame, aText: String, bText: String,
-                        shingleK: Int, outCol: String = "jaccard"): DataFrame =
+  def ngramJaccardPairsColumns(pairs: DataFrame, aText: String, bText: String,
+                               shingleK: Int, outCol: String = "jaccard"): DataFrame =
     pairs
       .withColumn("__ta", tokens(col(aText)))
       .withColumn("__tb", tokens(col(bText)))

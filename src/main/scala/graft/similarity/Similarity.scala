@@ -37,10 +37,22 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either side has zero norm. */
+  /** Cosine similarity; 0 when either side has zero norm. Pure-Column HOF
+    * form — portable, but the lambdas evaluate INTERPRETED per element; hot
+    * paths use [[cosineNative]] (bit-identical, equivalence-tested). */
   def cosine(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  }
+
+  /** [[cosine]] as the native codegen'd kernel
+    * ([[org.apache.spark.sql.graft.CosineSim]]): one static call per pair
+    * with the same left-to-right fold order, zero-norm and null semantics.
+    * Every similarity operator below uses this — the cosine IS the inner
+    * loop of brute-force ANN and of candidate re-ranking. */
+  def cosineNative(s: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    org.apache.spark.sql.graft.CosineSimExpr.register(s)
+    call_function("cosine_sim", a, b)
   }
 
   /**
@@ -61,7 +73,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
-        Portable.roundAt(cosine(col("q_vec"), col("c_vec")), roundTo).as("sim"))
+        Portable.roundAt(cosineNative(queries.sparkSession, col("q_vec"), col("c_vec")), roundTo).as("sim"))
     TopKBySim.rank(scored, k)
   }
 
@@ -131,7 +143,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("band_key"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
-        Portable.roundAt(cosine(col("q_vec"), col("c_vec")), roundTo).as("sim"))
+        Portable.roundAt(cosineNative(queries.sparkSession, col("q_vec"), col("c_vec")), roundTo).as("sim"))
       .distinct()
     TopKBySim.rank(scored, k)
   }
@@ -218,7 +230,7 @@ object Similarity {
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .join(broadcast(centroids), lit(true))
-      .withColumn("csim", cosine(col("q_vec"), col("centroid")))
+      .withColumn("csim", cosineNative(queries.sparkSession, col("q_vec"), col("centroid")))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nProbes)
       .select(col("query_id"), col("q_vec"), col("centroid_id"))
@@ -227,7 +239,7 @@ object Similarity {
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
-        Portable.roundAt(cosine(col("q_vec"), col("c_vec")), roundTo).as("sim"))
+        Portable.roundAt(cosineNative(queries.sparkSession, col("q_vec"), col("c_vec")), roundTo).as("sim"))
     TopKBySim.rank(scored, k)
   }
 
@@ -242,7 +254,7 @@ object Similarity {
     val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", Portable.roundAt(cosine(col("vec_a"), col("vec_b")), roundTo))
+      .withColumn("sim", Portable.roundAt(cosineNative(vecs.sparkSession, col("vec_a"), col("vec_b")), roundTo))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
@@ -268,7 +280,7 @@ object Similarity {
     a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Portable.roundAt(cosine(col("vec_a"), col("vec_b")), roundTo).as("sim"))
+        Portable.roundAt(cosineNative(vecs.sparkSession, col("vec_a"), col("vec_b")), roundTo).as("sim"))
       .filter(col("sim") >= threshold)
       .distinct()
   }

@@ -143,6 +143,23 @@ class DedupSpec extends SparkSpec {
     assert(survivors.count(_ < 50L) < 10, s"cluster was not deduplicated: $survivors")
   }
 
+  test("native ngram-jaccard kernel ≡ column form on random and edge pairs") {
+    val r = new scala.util.Random(31)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "Ж", "😀", "x1")
+    def text() = (0 until r.nextInt(12)).map(_ => words(r.nextInt(words.length))).mkString(" ")
+    val pairs = ((0 until 150).map(i => (i.toLong, text(), text())) ++ Seq(
+      (900L, "", ""), (901L, "", "one two three"), (902L, "same text", "same text"),
+      (903L, "two words", "two words extra here"), (904L, " \t padded \n ", "padded")))
+      .toDF("id", "ta", "tb")
+    for (k <- Seq(2, 3)) {
+      val nat = Dedup.ngramJaccardPairs(pairs, "ta", "tb", k)
+        .select($"id", $"jaccard").as[(Long, Double)].collect().toMap
+      val cols = Dedup.ngramJaccardPairsColumns(pairs, "ta", "tb", k)
+        .select($"id", $"jaccard").as[(Long, Double)].collect().toMap
+      assert(nat == cols, s"k=$k")
+    }
+  }
+
   test("ngram jaccard on explicit pairs: identity = 1, disjoint = 0") {
     val pairs = Seq(
       ("the quick brown fox", "the quick brown fox", "same"),

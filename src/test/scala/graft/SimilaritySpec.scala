@@ -96,6 +96,26 @@ class SimilaritySpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("native cosine kernel ≡ HOF cosine: values bit-identical, nulls/zero-norms/mismatches agree") {
+    val r = new scala.util.Random(23)
+    def vec(n: Int): Seq[Option[Float]] = Seq.fill(n)(Some((r.nextFloat() - 0.5f) * 4f))
+    val rows: Seq[(Seq[Option[Float]], Seq[Option[Float]])] =
+      (0 until 150).map(_ => (vec(8), vec(8))) ++ Seq(
+        (Seq.fill(8)(Some(0.0f)), vec(8)),                     // zero norm → 0.0
+        (Seq.fill(8)(Some(0.0f)), Seq.fill(8)(Some(0.0f))),    // both zero → 0.0
+        (vec(8), vec(5)),                                      // length mismatch → null
+        (Seq.fill(5)(Some(0.0f)), vec(8)),                     // mismatch + zero norm → 0.0
+        (vec(8).updated(3, None), vec(8)),                     // null element → null
+        (Seq.empty[Option[Float]], Seq.empty[Option[Float]]))  // empty → 0.0
+    val df = rows.toDF("a", "b")
+    val hof = df.select(Similarity.cosine($"a", $"b")).as[Option[Double]].collect().toSeq
+    val nat = df.select(Similarity.cosineNative(spark, $"a", $"b")).as[Option[Double]].collect().toSeq
+    assert(nat.length == hof.length)
+    nat.zip(hof).zipWithIndex.foreach { case ((n, h), i) =>
+      assert(n == h, s"row $i: native $n != hof $h") // exact, incl. None
+    }
+  }
+
   test("top-k aggregator: NaN sims rank worst, never block candidates, merge-order independent") {
     import graft.similarity.{ScoredId, TopKBySim}
     val agg = new TopKBySim(3)

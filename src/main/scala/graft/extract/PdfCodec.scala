@@ -53,9 +53,14 @@ object PdfCodec extends Serializable {
       //     produce boxes, so uncompressed NON-content streams (XMP metadata
       //     is conventionally unfiltered) don't consume page slots.
       val byId = streams.toMap
-      val contentsIds = pageContentsIds(s).filter(byId.contains)
+      // a page keeps its slot if ANY of its content refs decoded; its
+      // decodable streams concatenate in array order (one content stream
+      // split across objects, §7.7.3.3)
+      val contentsIds = pageContentsIds(s)
+        .map(_.filter(byId.contains)).filter(_.nonEmpty)
       val ordered: Seq[Seq[TextBox]] =
-        if (contentsIds.nonEmpty) contentsIds.map(id => parseContent(byId(id), pw, ph))
+        if (contentsIds.nonEmpty)
+          contentsIds.map(ids => parseContent(ids.map(byId).mkString("\n"), pw, ph))
         else streams.map { case (_, cs) => parseContent(cs, pw, ph) }.filter(_.nonEmpty)
       ordered.zipWithIndex.flatMap { case (boxes, p) => boxes.map(_.copy(page = p)) }
     } catch {
@@ -73,13 +78,21 @@ object PdfCodec extends Serializable {
 
   private val ObjHeaderRe = raw"(\d+)\s+\d+\s+obj".r
   private val PageTypeRe = raw"/Type\s*/Page\b(?!s)".r
-  private val ContentsRe = raw"/Contents\s+(\d+)\s+\d+\s+R".r
+  // single ref `/Contents 3 0 R` or array `/Contents [3 0 R 4 0 R]` — real
+  // generators split one page's content across several streams
+  private val ContentsRe = raw"/Contents\s+(?:(\d+)\s+\d+\s+R|\[([^\]]*)\])".r
+  private val RefRe = raw"(\d+)\s+\d+\s+R".r
 
-  /** /Contents object ids of the /Type /Page objects, in document order. */
-  private def pageContentsIds(s: String): Seq[Int] =
+  /** /Contents object-id GROUPS of the /Type /Page objects, in document
+    * order: one inner Seq per page (an array of refs is one page whose
+    * streams concatenate, PDF 32000-1 §7.7.3.3). */
+  private def pageContentsIds(s: String): Seq[Seq[Int]] =
     PageTypeRe.findAllMatchIn(s).toSeq.flatMap { m =>
       val window = s.substring(m.start, math.min(s.length, m.start + 600))
-      ContentsRe.findFirstMatchIn(window).map(_.group(1).toInt)
+      ContentsRe.findFirstMatchIn(window).map { c =>
+        if (c.group(1) != null) Seq(c.group(1).toInt)
+        else RefRe.findAllMatchIn(c.group(2)).map(_.group(1).toInt).toSeq
+      }
     }
 
   /** All unfiltered (object id, stream body) pairs, in document order. */

@@ -314,7 +314,7 @@ object SparkEntry {
     // the oracle re-states the same plane values and fold order.
     "q_lsh_ann_bands" -> ((s, dir) =>
       tbl(s, dir, "embeddings").select(col("vec_id"),
-        posexplode(Similarity.lshBandKeys(col("embedding"), nBands = 4, bitsPerBand = 2, dim = 64))
+        posexplode(Similarity.lshBandKeysNative(s, col("embedding"), nBands = 4, bitsPerBand = 2, dim = 64))
           .as(Seq("band", "band_key")))
         .select(col("vec_id"), col("band").cast("long").as("band"), col("band_key"))),
 

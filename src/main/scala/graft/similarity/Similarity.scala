@@ -106,12 +106,24 @@ object Similarity {
     }: _*)
 
   /** Band keys over the sign signature (same banding idea as MinHash-LSH):
-    * vectors agreeing on all bits of any band become candidates. */
+    * vectors agreeing on all bits of any band become candidates. Pure-Column
+    * form — hot paths use [[lshBandKeysNative]] (bit-identical,
+    * equivalence-tested). */
   def lshBandKeys(vec: Column, nBands: Int, bitsPerBand: Int, dim: Int): Column = {
     val sig = lshSignature(vec, nBands * bitsPerBand, dim)
     transform(sequence(lit(0), lit(nBands - 1)),
       b => concat(lit("b"), b, lit(":"),
         array_join(slice(sig, b * bitsPerBand + 1, lit(bitsPerBand)), "")))
+  }
+
+  /** [[lshBandKeys]] as the native codegen'd kernel
+    * ([[org.apache.spark.sql.graft.LshBandKeys]]): one static call per row
+    * instead of nPlanes interpreted `aggregate(zip_with(...))` folds — the
+    * scan-side cost of every LSH path. */
+  def lshBandKeysNative(s: org.apache.spark.sql.SparkSession, vec: Column,
+                        nBands: Int, bitsPerBand: Int, dim: Int): Column = {
+    org.apache.spark.sql.graft.LshBandKeysExpr.register(s)
+    call_function("lsh_band_keys", vec, lit(nBands), lit(bitsPerBand), lit(dim))
   }
 
   /** Embedding dimensionality peeked from the first row (1 if empty — the
@@ -133,9 +145,9 @@ object Similarity {
               roundTo: Int = 4): DataFrame = {
     val dim = dimOf(corpus, vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      explode(lshBandKeys(col(vecCol), nBands, bitsPerBand, dim)).as("band_key"))
+      explode(lshBandKeysNative(queries.sparkSession, col(vecCol), nBands, bitsPerBand, dim)).as("band_key"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      explode(lshBandKeys(col(vecCol), nBands, bitsPerBand, dim)).as("band_key"))
+      explode(lshBandKeysNative(queries.sparkSession, col(vecCol), nBands, bitsPerBand, dim)).as("band_key"))
     // Score on the (narrow) bucket-join output, THEN dedup across colliding
     // bands on (ids, sim) only — the distinct exchange never carries vectors
     // (a pair's sim is identical in every band, so the 3-column distinct is
@@ -274,7 +286,8 @@ object Similarity {
                                idCol: String = "vec_id", vecCol: String = "embedding",
                                roundTo: Int = 4): DataFrame = {
     val banded = vecs.select(col(idCol), col(vecCol),
-      explode(lshBandKeys(col(vecCol), nBands, bitsPerBand, dimOf(vecs, vecCol))).as("band_key"))
+      explode(lshBandKeysNative(vecs.sparkSession, col(vecCol),
+        nBands, bitsPerBand, dimOf(vecs, vecCol))).as("band_key"))
     val a = banded.select(col("band_key"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = banded.select(col("band_key"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, Seq("band_key"))

@@ -96,6 +96,27 @@ class SimilaritySpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("native lsh band keys ≡ Column form, incl. padded/mismatched/null-element vectors") {
+    val r = new scala.util.Random(29)
+    val rows: Seq[(Long, Seq[Option[Float]])] =
+      (0 until 120).map(i => (i.toLong, Seq.fill(8)(Some((r.nextFloat() - 0.5f) * 2f)))) ++ Seq(
+        (900L, Seq.fill(8)(Some(0.0f))),                                // all-zero → all proj 0 → '1' bits
+        (901L, Seq.fill(5)(Some(1.0f))),                                // shorter than dim
+        (902L, Seq.fill(11)(Some(1.0f))),                               // longer than dim
+        (903L, Seq.tabulate(8)(i => if (i == 2) None else Some(1.0f))), // null element → 0 contribution
+        (904L, Seq.empty[Option[Float]]))
+    val df = rows.toDF("vec_id", "embedding")
+    for ((nb, bpb) <- Seq((4, 2), (8, 4))) {
+      val hof = df.select($"vec_id",
+        Similarity.lshBandKeys($"embedding", nb, bpb, 8).as("k"))
+        .as[(Long, Seq[String])].collect().toMap
+      val nat = df.select($"vec_id",
+        Similarity.lshBandKeysNative(spark, $"embedding", nb, bpb, 8).as("k"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(nat == hof, s"bands=$nb bits=$bpb")
+    }
+  }
+
   test("native cosine kernel ≡ HOF cosine: values bit-identical, nulls/zero-norms/mismatches agree") {
     val r = new scala.util.Random(23)
     def vec(n: Int): Seq[Option[Float]] = Seq.fill(n)(Some((r.nextFloat() - 0.5f) * 4f))

@@ -79,9 +79,18 @@ object AlphabetCodec {
       m
     }
   }
+  // alphabets are plan literals, so cardinality is tiny in practice; the cap
+  // keeps a hostile many-distinct-alphabets workload from growing the
+  // executor-global map unboundedly (past it, tables are built per call —
+  // correct, just uncached)
   private val cache = new ConcurrentHashMap[String, Tables]()
-  private def tables(alphabet: String): Tables =
-    cache.computeIfAbsent(alphabet, new Tables(_))
+  private val CacheCap = 64
+  private def tables(alphabet: String): Tables = {
+    val hit = cache.get(alphabet)
+    if (hit != null) hit
+    else if (cache.size < CacheCap) cache.computeIfAbsent(alphabet, new Tables(_))
+    else new Tables(alphabet)
+  }
 
   val IntEmpty: Long = -1L
 

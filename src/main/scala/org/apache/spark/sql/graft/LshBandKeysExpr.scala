@@ -42,11 +42,19 @@ case class LshBandKeys(child: Expression, nBands: Int, bitsPerBand: Int, dim: In
 }
 
 object LshBandKernel {
+  // (nPlanes, dim) come from plan literals — a handful per workload; the cap
+  // bounds the executor-global map against hostile many-config plans (past
+  // it, plane tables are derived per call — correct, just uncached)
   private val planeCache = new ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
-  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
-    planeCache.computeIfAbsent((nPlanes, dim), { case (p, d) =>
-      Array.tabulate(p, d)((pl, i) => graft.similarity.Similarity.planeValue(pl, i))
-    })
+  private val CacheCap = 64
+  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    def build = Array.tabulate(nPlanes, dim)((pl, i) => graft.similarity.Similarity.planeValue(pl, i))
+    val key = (nPlanes, dim)
+    val hit = planeCache.get(key)
+    if (hit != null) hit
+    else if (planeCache.size < CacheCap) planeCache.computeIfAbsent(key, _ => build)
+    else build
+  }
 
   def bandKeys(vec: ArrayData, nBands: Int, bitsPerBand: Int, dim: Int): GenericArrayData = {
     val nPlanes = nBands * bitsPerBand

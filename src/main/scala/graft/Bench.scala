@@ -132,10 +132,19 @@ object Bench {
     val thrN = spansN / secN
     val thr4 = spans4 / sec4
     val eff = thr4 / (4.0 * thrN)
-    val qJson = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    // Locale.ROOT everywhere: the f-interpolator formats with the JVM
+    // default locale — comma decimals on a de_DE/fr_FR host would corrupt
+    // the one-line JSON artifact (same convention as RunPipeline.jsonStr)
+    def num(fmt: String, v: Double) = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    val qJson = queryTimes.map { case (k, v) => s""""$k":${num("%.3f", v)}""" }.mkString("{", ",", "}")
+    def arr(xs: Seq[Double]) = xs.map(num("%.2f", _)).mkString("[", ",", "]")
     val total = queryTimes.map(_._2).sum + sec4
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","pipeline":{"n_docs":$nDocs,"text_spans":$spans4,"cer":$cer%.4f,"pct_perfect":$pct%.4f,"spans_per_sec_N":${thrN}%.1f,"spans_per_sec_4N":${thr4}%.1f,"cores_N":$scaleN,"cores_4N":$scale4N,"scaling_efficiency":$eff%.3f,"reps_N":${arr(repsN)},"reps_4N":${arr(reps4N)}}}""")
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qJson,""" +
+        s""""sf":"$sfDir","pipeline":{"n_docs":$nDocs,"text_spans":$spans4,""" +
+        s""""cer":${num("%.4f", cer)},"pct_perfect":${num("%.4f", pct)},""" +
+        s""""spans_per_sec_N":${num("%.1f", thrN)},"spans_per_sec_4N":${num("%.1f", thr4)},""" +
+        s""""cores_N":$scaleN,"cores_4N":$scale4N,"scaling_efficiency":${num("%.3f", eff)},""" +
+        s""""reps_N":${arr(repsN)},"reps_4N":${arr(reps4N)}}}""")
   }
 }

@@ -82,16 +82,26 @@ object HtmlParser {
         } else {
           // quote-aware tag terminator: a bare indexOf('>') would cut
           // `<a href="x>y">` at the `>` INSIDE the quoted attribute value,
-          // spilling `y">` into the text and mis-parsing the attribute
+          // spilling `y">` into the text and mis-parsing the attribute.
+          // Quote mode opens ONLY when the quote follows `=` (+ optional
+          // whitespace) — HTML5 attribute-value position. Treating ANY bare
+          // quote as an opener would let a stray `<` in prose or script
+          // (`if (x < 10) print("<b>")`) swallow the real closing tag and
+          // drop the document tail.
           val end = {
             var j = i + 1
             var quote: Char = 0
+            var afterEq = false
             var e = -1
             while (j < n && e < 0) {
               val ch = html.charAt(j)
               if (quote != 0) { if (ch == quote) quote = 0 }
-              else if (ch == '"' || ch == '\'') quote = ch
+              else if ((ch == '"' || ch == '\'') && afterEq) quote = ch
               else if (ch == '>') e = j
+              if (quote == 0) {
+                if (ch == '=') afterEq = true
+                else if (!Character.isWhitespace(ch)) afterEq = false
+              }
               j += 1
             }
             e

@@ -164,7 +164,11 @@ object PdfCodec extends Serializable {
     re.findFirstMatchIn(s).map(_.group(1).toLong)
   }
 
-  private val FlateFilterRe = raw"/Filter\s*(?:\[\s*)?/FlateDecode\s*\]?".r
+  /** SINGLE FlateDecode filter only: bare name, or a one-element array whose
+    * `]` must follow immediately — `/Filter [/FlateDecode /ASCII85Decode]`
+    * is a multi-stage pipeline whose inflate output is still encoded, and
+    * feeding it to the content parser would fabricate garbage boxes. */
+  private val FlateFilterRe = raw"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])".r
   private val DecodeParmsOkRe =
     raw"/DecodeParms\s*(?:null|<<\s*/Predictor\s+1\s*>>)".r
 

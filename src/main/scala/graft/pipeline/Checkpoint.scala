@@ -31,13 +31,17 @@ object CheckpointedRun {
 
   def bucketOf(nBuckets: Int) = pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int")
 
-  /** Fingerprint of a frame's CANONICALIZED logical plan + schema — the
+  /** Fingerprint of a frame's CANONICALIZED analyzed plan + schema — the
     * default stage token. Canonicalization normalizes expression ids, so the
     * same rebuilt plan fingerprints identically on resume (stage reused),
     * while a different source/shape with the same outDir/nBuckets gets a
-    * different staging directory instead of silently reusing stale rows. */
+    * different staging directory instead of silently reusing stale rows.
+    * The ANALYZED plan, not the raw parsed one: canonicalizing an
+    * unresolved tree (`spark.sql(...)` inputs contain UnresolvedRelation)
+    * throws on `.output`, and the resolved tree also distinguishes what a
+    * table name actually resolved to. */
   def planToken(df: DataFrame): String = {
-    val s = df.queryExecution.logical.canonicalized.toString + "\n" + df.schema.treeString
+    val s = df.queryExecution.analyzed.canonicalized.toString + "\n" + df.schema.treeString
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
   }

@@ -123,14 +123,22 @@ object AlphabetCodec {
     var i = 0
     var stopped = false
     while (i < len && !stopped) {
-      val v = a.getLong(i)
-      if (v == IntEmpty) stopped = true
-      else {
-        val k = v + 1 // 1-based try_element_at position
-        if (k >= 1 && k <= t.n) sb.appendCodePoint(t.cps((k - 1).toInt))
-        else if (k <= -1 && k >= -t.n) sb.appendCodePoint(t.cps((t.n + k).toInt))
-        else sb.append('�')
+      if (a.isNullAt(i)) {
+        // HOF form: try_element_at(alpha, null) → null → coalesce → U+FFFD;
+        // a null slot is not the stop sentinel (array_position skips nulls).
+        // getLong on a null slot would silently unbox to 0 = alphabet(0).
+        sb.append('�')
         i += 1
+      } else {
+        val v = a.getLong(i)
+        if (v == IntEmpty) stopped = true
+        else {
+          val k = v + 1 // 1-based try_element_at position
+          if (k >= 1 && k <= t.n) sb.appendCodePoint(t.cps((k - 1).toInt))
+          else if (k <= -1 && k >= -t.n) sb.appendCodePoint(t.cps((t.n + k).toInt))
+          else sb.append('�')
+          i += 1
+        }
       }
     }
     UTF8String.fromString(sb.toString)

@@ -56,12 +56,19 @@ object MinHashKernel {
   val P: Long = 2305843009213693951L
 
   // affine-family constants, cached per nHashes (same derivation as
-  // Dedup.minHashA/minHashB — SplitMix64 of the function index)
+  // Dedup.minHashA/minHashB — SplitMix64 of the function index); capped like
+  // the sibling kernel caches so plan-literal cardinality can't grow the
+  // executor-global map unboundedly (past the cap: derived per call)
   private val coeffCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
-  private def coeffs(n: Int): (Array[Long], Array[Long]) =
-    coeffCache.computeIfAbsent(n, k =>
-      (Array.tabulate(k)(graft.dedup.Dedup.minHashA),
-       Array.tabulate(k)(graft.dedup.Dedup.minHashB)))
+  private val CacheCap = 64
+  private def coeffs(n: Int): (Array[Long], Array[Long]) = {
+    def build = (Array.tabulate(n)(graft.dedup.Dedup.minHashA),
+                 Array.tabulate(n)(graft.dedup.Dedup.minHashB))
+    val hit = coeffCache.get(n)
+    if (hit != null) hit
+    else if (coeffCache.size < CacheCap) coeffCache.computeIfAbsent(n, _ => build)
+    else build
+  }
 
   private val md5 = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
 

@@ -207,6 +207,12 @@ class CheckpointSpec extends SparkSpec {
       s"run over B processed ${m.n} rows, expected ${direct.n} — stale stage reused?")
     // and the two inputs fingerprint differently in the first place
     assert(CheckpointedRun.planToken(docsA) != CheckpointedRun.planToken(docsB))
+    // a SQL-built input (analyzed tree contains what UnresolvedRelation
+    // resolved to) must fingerprint without throwing, stably
+    docsA.createOrReplaceTempView("ckpt_token_docs")
+    val viaSql = spark.sql("SELECT * FROM ckpt_token_docs")
+    assert(CheckpointedRun.planToken(viaSql) ==
+      CheckpointedRun.planToken(spark.sql("SELECT * FROM ckpt_token_docs")))
   }
 
   test("per-bucket metrics: native dl_distance column ≡ kernel, no ScalaUDF in the plan") {

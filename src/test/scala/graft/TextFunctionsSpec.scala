@@ -66,8 +66,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(natE == hofE)
     // decode equivalence on arbitrary index arrays incl. sentinel, unk,
     // out-of-range and the try_element_at negative-index semantics
-    val arrs = (0 until 200).map(_ =>
-      Seq.fill(r.nextInt(12))(r.nextInt(20).toLong - 8L)) :+ Seq.empty[Long]
+    // null slots included: try_element_at(alpha, null) → '�', and a null is
+    // NOT the stop sentinel (array_position skips nulls) — the kernel must
+    // not unbox it to 0L (= the first alphabet char)
+    val arrs: Seq[Seq[Option[Long]]] = (0 until 200).map(_ =>
+      Seq.fill(r.nextInt(12))(
+        if (r.nextInt(10) == 0) None else Some(r.nextInt(20).toLong - 8L))) :+
+      Seq.empty[Option[Long]] :+ Seq(None, Some(1L), Some(-1L), Some(2L)) :+ Seq[Option[Long]](None)
     val adf = arrs.toDF("e")
     val hofD = adf.select(TextFunctions.decode($"e", alphabet)).as[String].collect().toSeq
     val natD = adf.select(TextFunctions.decodeNative(spark, $"e", alphabet)).as[String].collect().toSeq

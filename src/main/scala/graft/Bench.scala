@@ -132,10 +132,9 @@ object Bench {
     val thrN = spansN / secN
     val thr4 = spans4 / sec4
     val eff = thr4 / (4.0 * thrN)
-    // Locale.ROOT everywhere: the f-interpolator formats with the JVM
-    // default locale — comma decimals on a de_DE/fr_FR host would corrupt
-    // the one-line JSON artifact (same convention as RunPipeline.jsonStr)
-    def num(fmt: String, v: Double) = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    // Portable.jsonNum: Locale.ROOT + non-finite → null (shared with
+    // RunPipeline so the artifact-format rules live in one place)
+    def num(fmt: String, v: Double) = Portable.jsonNum(fmt, v)
     val qJson = queryTimes.map { case (k, v) => s""""$k":${num("%.3f", v)}""" }.mkString("{", ",", "}")
     def arr(xs: Seq[Double]) = xs.map(num("%.2f", _)).mkString("[", ",", "]")
     val total = queryTimes.map(_._2).sum + sec4

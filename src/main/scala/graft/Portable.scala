@@ -31,4 +31,25 @@ object Portable {
 
   /** The DuckDB-side spelling of [[round4]] for oracle SQL. */
   def round4Sql(expr: String): String = s"floor(($expr) * 10000 + 0.5) / 10000"
+
+  // ---- one-line JSON artifact helpers (Bench / RunPipeline metrics) ----
+
+  /** JSON number with a fixed format, Locale.ROOT (the f-interpolator uses
+    * the JVM default locale — comma decimals corrupt the artifact on a
+    * de_DE/fr_FR host). Non-finite doubles (NaN cer on an empty run,
+    * 0-second ∞ throughput) have no JSON spelling — emitted as `null`
+    * instead of the unparseable bare `NaN`/`Infinity`. */
+  def jsonNum(fmt: String, v: Double): String =
+    if (java.lang.Double.isFinite(v)) String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    else "null"
+
+  /** JSON string literal (quotes included): quote/backslash/control chars
+    * escaped so a hostile run id or path can't break the metrics line. */
+  def jsonStr(s: String): String =
+    s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }.mkString("\"", "", "\"")
 }

@@ -117,22 +117,14 @@ object RunPipeline {
     val total = CheckpointedRun.metrics(spark, state, runId)
     val sec = (System.nanoTime() - t0) / 1e9
 
-    // Locale.ROOT: the f-interpolator formats doubles with the JVM default
-    // locale — comma decimals would make the one JSON output line unparseable
-    def num(fmt: String, v: Double) = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    // shared artifact-format helpers: Locale.ROOT numbers (non-finite →
+    // null — an empty run's 0/0 cer must not emit bare NaN) + escaped strings
+    def num(fmt: String, v: Double) = Portable.jsonNum(fmt, v)
+    def jsonStr(x: String) = Portable.jsonStr(x)
     s"""{"run_id":${jsonStr(runId)},"docs_in":$docsIn,"spans_this_invocation":${m.n},""" +
       s""""spans_total":${total.n},"cer":${num("%.4f", total.avgDistance)},""" +
       s""""pct_perfect":${num("%.4f", total.percentPerfect)},"wall_sec":${num("%.1f", sec)},""" +
       s""""spans_per_sec":${num("%.1f", if (sec > 0) m.n / sec else 0.0)},"state":${jsonStr(state)}}"""
   }
 
-  /** JSON string literal (quotes included): a run id or path containing a
-    * quote/backslash/control char must not yield an unparseable metrics line. */
-  private def jsonStr(s: String): String =
-    s.flatMap {
-      case '"'           => "\\\""
-      case '\\'          => "\\\\"
-      case c if c < ' '  => f"\\u${c.toInt}%04x"
-      case c             => c.toString
-    }.mkString("\"", "", "\"")
 }

@@ -37,6 +37,23 @@ object HtmlParser {
     "nav", "header", "footer", "aside", "body", "html", "figure", "figcaption", "br")
   private val BoilerplateTags = Set("nav", "header", "footer", "aside")
   private val DropTags = Set("script", "style", "noscript", "template")
+
+  /** HTML5 raw-text elements: content ends only at the literal close tag —
+    * everything inside is code/CSS, never markup. */
+  private val RawTextTags = Set("script", "style")
+
+  /** Case-insensitive indexOf without lowercasing the whole document (that
+    * would be O(n) per script tag → O(n²) on script-heavy pages). */
+  private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
+    val n = s.length
+    val m = target.length
+    var i = math.max(0, from)
+    while (i + m <= n) {
+      if (s.regionMatches(true, i, target, 0, m)) return i
+      i += 1
+    }
+    -1
+  }
   private val MediaTags = Map("img" -> "image", "video" -> "video", "audio" -> "audio",
     "source" -> "media", "embed" -> "media")
 
@@ -56,6 +73,7 @@ object HtmlParser {
     var docPos = 0
     var anchorDepth = 0
     var dropDepth = 0
+    var rawSkipTo = -1 // raw-text (script/style) fast-forward target
     var titleDepth = 0
     var boilerDepth = 0
     var headingLevel = 0
@@ -115,7 +133,18 @@ object HtmlParser {
             if (name.nonEmpty) {
               if (DropTags.contains(name)) {
                 if (closing) dropDepth = math.max(0, dropDepth - 1)
-                else if (!rawTag.endsWith("/")) dropDepth += 1
+                else if (!rawTag.endsWith("/")) {
+                  dropDepth += 1
+                  if (RawTextTags.contains(name)) {
+                    // HTML5 raw-text elements: the content is CODE, not
+                    // markup — jump straight to the closing tag so stray
+                    // '<', '=' and quoted strings inside ('if (x < 10)
+                    // y = "a>b"') can never derail the tag scanner and
+                    // swallow the close tag (which drops the whole tail)
+                    val close = indexOfIgnoreCase(html, s"</$name", end + 1)
+                    rawSkipTo = if (close < 0) n else close
+                  }
+                }
               } else if (name == "title") {
                 if (closing) { titleDepth = 0; title = decodeEntities(titleBuf.toString).trim }
                 else titleDepth = 1
@@ -138,6 +167,7 @@ object HtmlParser {
               // other inline tags: ignored (text flows through)
             }
             i = end + 1
+            if (rawSkipTo >= 0) { i = rawSkipTo; rawSkipTo = -1 } // raw-text jump
           }
         }
       } else {

@@ -80,7 +80,15 @@ object TextFunctions {
     // elimination, so inlining it would scan every array twice per row
     graft.dedup.Dedup.let(array_position(c, lit(IntEmpty))) { stop => // 1-based; 0 = absent
       val live = when(stop === 0, c).otherwise(slice(c, lit(1), (stop - 1).cast("int")))
-      array_join(transform(live, i => coalesce(try_element_at(alpha, (i + 1).cast("int")), lit("�"))), "")
+      // the int-range guard makes the long→int cast total: an adversarial
+      // index like 2^32+1 would THROW under ANSI (default) or silently
+      // truncate into the alphabet otherwise — out-of-range decodes to
+      // U+FFFD instead, matching the native kernel for every long
+      array_join(transform(live, i =>
+        coalesce(
+          try_element_at(alpha,
+            when(i >= Int.MinValue.toLong && i < Int.MaxValue.toLong, (i + 1).cast("int"))),
+          lit("�"))), "")
     }
   }
 

@@ -72,7 +72,10 @@ class TextFunctionsSpec extends SparkSpec {
     val arrs: Seq[Seq[Option[Long]]] = (0 until 200).map(_ =>
       Seq.fill(r.nextInt(12))(
         if (r.nextInt(10) == 0) None else Some(r.nextInt(20).toLong - 8L))) :+
-      Seq.empty[Option[Long]] :+ Seq(None, Some(1L), Some(-1L), Some(2L)) :+ Seq[Option[Long]](None)
+      Seq.empty[Option[Long]] :+ Seq(None, Some(1L), Some(-1L), Some(2L)) :+ Seq[Option[Long]](None) :+
+      // int-overflow indices: 2^32+1 would truncate to 2 (or throw under
+      // ANSI) without the range guard — must decode to '�' in both forms
+      Seq(Some(0L), Some(1L + (1L << 32)), Some(Long.MaxValue), Some(Long.MinValue), Some(2L))
     val adf = arrs.toDF("e")
     val hofD = adf.select(TextFunctions.decode($"e", alphabet)).as[String].collect().toSeq
     val natD = adf.select(TextFunctions.decodeNative(spark, $"e", alphabet)).as[String].collect().toSeq

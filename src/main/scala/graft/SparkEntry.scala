@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.correct.DictionaryCorrector
-import graft.dedup.Dedup
+import graft.dedup.{ConnectedComponents, Dedup}
 import graft.pipeline.CorrectionPipeline
 import graft.similarity.Similarity
 import graft.text.{DamerauLevenshtein, TextFunctions}
@@ -173,6 +173,15 @@ object SparkEntry {
     "q_star_pairs" -> ((s, dir) =>
       Dedup.starPairs(
         Dedup.lshCandidatePairs(tbl(s, dir, "documents"), shingleK = 3, nBands = 4, rowsPerBand = 2))),
+
+    // transitive duplicate-cluster labels over the LSH candidate pair graph:
+    // every doc in a pair gets the min doc_id reachable through any chain of
+    // pairs (alternating large-star/small-star) — the canonicalization step
+    // after candidate generation that star reduction only approximates
+    "q_dedup_cc" -> ((s, dir) =>
+      ConnectedComponents.run(
+        Dedup.lshCandidatePairs(tbl(s, dir, "documents"), shingleK = 3, nBands = 4, rowsPerBand = 2))
+        .select(col("id").as("doc_id"), col("component"))),
 
     // exact shingle-Jaccard verification of the LSH candidates — the full
     // candidate-generation → verification split, end to end
@@ -513,6 +522,25 @@ object SparkEntry {
              FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
                AND a.doc_id < b.doc_id)
            SELECT min(id_a) AS id_a, id_b FROM pairs GROUP BY id_b""",
+
+      // transitive closure via recursive CTE: reach(u, r) enumerates every
+      // node reachable from u through the symmetrized pair graph; min(r) per
+      // node is exactly the large-star/small-star fixpoint label. The
+      // recursive UNION dedups, so the walk terminates.
+      "q_dedup_cc" ->
+        raw"""WITH RECURSIVE${minhash8.stripPrefix("WITH")}, bands AS ($bandRows),
+           pairs AS (
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+           sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+           reach(u, r) AS (
+             SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
+             UNION
+             SELECT s.u, e.v FROM reach s JOIN sym e ON e.u = s.r)
+           SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS component
+           FROM reach GROUP BY u""",
 
       // mirrors Dedup.jaccardVerify exactly: DISTINCT shingle STRINGS first,
       // then the 60-bit md5 key, inner joins drop zero-intersection pairs

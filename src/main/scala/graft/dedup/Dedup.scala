@@ -274,6 +274,38 @@ object Dedup {
     reps.join(removed, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Near-duplicate dedup with EXACT transitive clusters: exact-collapse →
+   * LSH candidates → pair-level Jaccard verification → connected components
+   * → keep each component's min-id doc.
+   *
+   * Versus [[dedupNearLsh]] (the default): star-wise verification is linear
+   * in cluster size but greedy — a chain a~b~c with `jaccard(a, c) <
+   * threshold` keeps {a, c}. This form labels the chain as ONE component
+   * ([[ConnectedComponents.run]] over the verified pairs) and keeps {a}
+   * only — the semantics a crawl-dedup pipeline usually wants, where
+   * near-dup chains of re-edited boilerplate should collapse entirely.
+   *
+   * Cost note: verification runs on the FULL candidate pair list, so a
+   * non-exact mega-cluster of k docs costs O(k²·|shingles|) verify rows
+   * (the [[dedupExact]] pre-step inside collapses exact mega-clusters
+   * first, which removes the dominant source of those). Choose this form
+   * when transitive-cluster semantics matter; choose [[dedupNearLsh]] when
+   * verification volume does.
+   */
+  def dedupNearCC(docs: DataFrame, threshold: Double, shingleK: Int = 3,
+                  nBands: Int = 4, rowsPerBand: Int = 2,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val reps = dedupExact(docs, idCol, textCol)
+    val pairs = lshCandidatePairs(reps, shingleK, nBands, rowsPerBand, idCol, textCol)
+    val verified = jaccardVerify(reps, pairs, shingleK, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+    val removed = ConnectedComponents.run(verified.select(col("id_a"), col("id_b")))
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    reps.join(removed, Seq(idCol), "left_anti")
+  }
+
   /** Distinct word `k`-shingle set of a text column. */
   def shingleSet(c: Column, k: Int): Column = array_distinct(wordShingles(c, k))
 

@@ -9,7 +9,7 @@ import graft.dedup.{ConnectedComponents, Dedup}
 import graft.pipeline.CorrectionPipeline
 import graft.similarity.Similarity
 import graft.text.{DamerauLevenshtein, TextFunctions}
-import graft.textanalysis.TextAnalysis
+import graft.textanalysis.{Relevance, TextAnalysis}
 
 /**
  * Driver contract (see SURVEY.md §5 "Oracle cross-check" and §7 step 8).
@@ -25,6 +25,10 @@ object SparkEntry {
 
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Fixed topic query for the BM25 oracle — terms with distinct document
+    * frequencies in the synthetic corpus. */
+  private val Bm25QueryTerms = Seq("spark", "join", "window")
 
   /** Tokens of `documents.text` — Python `strip().split()` semantics. */
   private def docTokens(docs: DataFrame): DataFrame =
@@ -301,6 +305,20 @@ object SparkEntry {
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.contentFingerprint(col("text")).as("fp"),
         TextAnalysis.rollingFingerprint(col("text")).as("rfp"))),
+
+    // corpus-statistics relevance: smoothed TF-IDF over every (doc, token)
+    "q_tfidf" -> ((s, dir) =>
+      Relevance.tfIdf(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("token"), col("tf"),
+          Portable.round4(col("tfidf")).as("tfidf"))),
+
+    // BM25 per-term contributions for a fixed topic query — per-term rows so
+    // every value is one deterministic arithmetic chain (the cross-term sum
+    // is exercised by Relevance.bm25 + its spec, not the hash-compared oracle)
+    "q_bm25" -> ((s, dir) =>
+      Relevance.bm25Terms(tbl(s, dir, "documents"), Bm25QueryTerms)
+        .select(col("doc_id"), col("token"),
+          Portable.round4(col("score")).as("score"))),
 
     // ---- similarity search over embeddings ----
     "q_embed_norm" -> ((s, dir) =>
@@ -662,6 +680,38 @@ object SparkEntry {
                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
                (h, cp) -> (h * 131 + cp) % 2147483647) AS rfp
            FROM documents""",
+
+      // smoothed TF-IDF; tf/df/N cast to DOUBLE before any arithmetic so
+      // DuckDB never routes an intermediate through DECIMAL (whose rounding
+      // differs from the all-double Spark plan in the last ulp)
+      "q_tfidf" ->
+        raw"""WITH ltk AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS token FROM documents),
+           tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                  FROM ltk WHERE length(token) > 0 GROUP BY 1, 2),
+           df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           st AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf)
+           SELECT doc_id, token, tf,
+             ${Portable.round4Sql("CAST(tf AS DOUBLE) * (ln((1.0 + CAST(n AS DOUBLE)) / (1.0 + CAST(df AS DOUBLE))) + 1.0)")} AS tfidf
+           FROM tf JOIN df USING (token), st""",
+
+      // BM25 per-term contributions; every float constant is interpolated
+      // from the Scala-computed double (Double.toString round-trips exactly
+      // through DuckDB's parser — spelling k1+1 as the literal 2.2 would
+      // cast to a DIFFERENT double than Scala's 1.2 + 1.0)
+      "q_bm25" ->
+        raw"""WITH ltk AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS token FROM documents),
+           tf0 AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM ltk WHERE length(token) > 0 GROUP BY 1, 2),
+           dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf0 GROUP BY 1),
+           st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+           tf AS (SELECT * FROM tf0 WHERE token IN (${Bm25QueryTerms.map("'" + _ + "'").mkString(", ")})),
+           df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+           SELECT tf.doc_id, tf.token,
+             ${Portable.round4Sql(
+               s"""ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                  * CAST(tf AS DOUBLE) * ${Relevance.DefaultK1 + 1.0}
+                  / (CAST(tf AS DOUBLE) + ${Relevance.DefaultK1} * (${1.0 - Relevance.DefaultB} + ${Relevance.DefaultB} * CAST(dl AS DOUBLE) / avgdl))""")} AS score
+           FROM tf JOIN df USING (token) JOIN dl USING (doc_id), st""",
 
       "q_embed_norm" ->
         raw"""SELECT vec_id, floor(${normSql("embedding")} * 10000 + 0.5) / 10000 AS nrm

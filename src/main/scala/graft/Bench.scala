@@ -27,7 +27,8 @@ object Bench {
     "q1_agg", "q_vocab_agg", "q_reassemble", "q_minhash", "q_lsh_pairs",
     "q_simhash", "q_simhash_hamming", "q_ngram_jaccard", "q_quality",
     "q_ann_topk", "q_lsh_ann_bands", "q_cosine_neardup", "q_join_agg",
-    "q_window_events", "q_sessionize", "q_decode_stop")
+    "q_window_events", "q_sessionize", "q_decode_stop",
+    "q_dedup_cc", "q_tfidf", "q_bm25", "q_repetition")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

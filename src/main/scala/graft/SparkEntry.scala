@@ -306,6 +306,16 @@ object SparkEntry {
         TextAnalysis.contentFingerprint(col("text")).as("fp"),
         TextAnalysis.rollingFingerprint(col("text")).as("rfp"))),
 
+    // Gopher-style repetition/boilerplate signals via the native one-pass
+    // kernel (scan-side narrow; relational restatement equivalence-tested)
+    "q_repetition" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .withColumn("__r", TextAnalysis.repetitionSignals(s, col("text")))
+        .select(col("doc_id"),
+          Portable.round4(element_at(col("__r"), 1)).as("dup_token_ratio"),
+          Portable.round4(element_at(col("__r"), 2)).as("top_bigram_char_frac"),
+          Portable.round4(element_at(col("__r"), 3)).as("dup_bigram_frac"))),
+
     // corpus-statistics relevance: smoothed TF-IDF over every (doc, token)
     "q_tfidf" -> ((s, dir) =>
       Relevance.tfIdf(tbl(s, dir, "documents"))
@@ -680,6 +690,36 @@ object SparkEntry {
                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
                (h, cp) -> (h * 131 + cp) % 2147483647) AS rfp
            FROM documents""",
+
+      // repetition signals: exploded token/bigram counts; top bigram picked
+      // by (freq DESC, gram ASC) window — the deterministic tie-break the
+      // kernel and the relational form implement as min(struct(-f, g))
+      "q_repetition" ->
+        raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),
+           tk AS (SELECT doc_id, tok, i FROM (
+                    SELECT doc_id, unnest(string_split(nt, ' ')) AS tok,
+                           generate_subscripts(string_split(nt, ' '), 1) AS i
+                    FROM nt) t WHERE length(tok) > 0),
+           ts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt_total,
+                         CAST(count(DISTINCT tok) AS BIGINT) AS nt_distinct
+                  FROM tk GROUP BY 1),
+           bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+                  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           bc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS f FROM bg GROUP BY 1, 2),
+           bs AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS nbg,
+                         CAST(sum(CASE WHEN f >= 2 THEN f ELSE 0 END) AS BIGINT) AS dup_occ
+                  FROM bc GROUP BY 1),
+           top AS (SELECT doc_id, g, f FROM (
+                     SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY f DESC, g) AS rn
+                     FROM bc) WHERE rn = 1)
+           SELECT n.doc_id,
+             ${Portable.round4Sql("CASE WHEN nt_total > 0 THEN 1.0 - CAST(nt_distinct AS DOUBLE) / CAST(nt_total AS DOUBLE) ELSE 0.0 END")} AS dup_token_ratio,
+             ${Portable.round4Sql("CASE WHEN nbg IS NOT NULL THEN CAST(f * length(g) AS DOUBLE) / CAST(length(n.nt) AS DOUBLE) ELSE 0.0 END")} AS top_bigram_char_frac,
+             ${Portable.round4Sql("CASE WHEN nbg IS NOT NULL THEN CAST(dup_occ AS DOUBLE) / CAST(nbg AS DOUBLE) ELSE 0.0 END")} AS dup_bigram_frac
+           FROM nt n
+           LEFT JOIN ts USING (doc_id)
+           LEFT JOIN bs USING (doc_id)
+           LEFT JOIN top USING (doc_id)""",
 
       // smoothed TF-IDF; tf/df/N cast to DOUBLE before any arithmetic so
       // DuckDB never routes an intermediate through DECIMAL (whose rounding

@@ -44,6 +44,16 @@ object Relevance {
     docs.select(col(idCol), explode(lowerTokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
 
+  /** Document lengths `(id, dl)` as a NARROW per-row projection — token
+    * count via `size(...)`, no explode and no shuffle (equal to `sum(tf)`
+    * over [[termFrequencies]], which would cost a corpus-wide exploded
+    * aggregation). Zero-token docs are dropped, matching the tf table. */
+  def docLengths(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        size(filter(lowerTokens(col(textCol)), t => length(t) > 0)).cast("long").as("dl"))
+      .where(col("dl") > 0)
+
   /** Term frequencies: `(id, token, tf)` — one hash aggregation. */
   def termFrequencies(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame =
@@ -60,7 +70,9 @@ object Relevance {
             textCol: String = "text"): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = tf.select(col(idCol)).distinct().agg(count(lit(1)).as("n"))
+    // docs-with-tokens count via the narrow length projection — not a
+    // distinct over the exploded tf table (that would re-run the explode)
+    val n = docLengths(docs, idCol, textCol).agg(count(lit(1)).as("n"))
     tf.join(df, "token")
       .crossJoin(broadcast(n))
       .select(col(idCol), col("token"), col("tf"),
@@ -79,12 +91,14 @@ object Relevance {
   def bm25Terms(docs: DataFrame, queryTerms: Seq[String],
                 k1: Double = DefaultK1, b: Double = DefaultB,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tfAll = termFrequencies(docs, idCol, textCol)
-    // document length + corpus stats aggregate over ALL tokens…
-    val dl = tfAll.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    // document lengths + corpus stats: narrow per-row token counts, no
+    // explode — the only exploded aggregation below is query-term-filtered
+    val dl = docLengths(docs, idCol, textCol)
     val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
-    // …but postings and document frequencies only over the query's terms
-    val tf = tfAll.where(col("token").isin(queryTerms: _*))
+    // postings and document frequencies only over the query's terms (the
+    // isin filter sits directly above the generator, before any shuffle)
+    val tf = termFrequencies(docs, idCol, textCol)
+      .where(col("token").isin(queryTerms: _*))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n") - col("df") + 0.5) / (col("df") + 0.5))

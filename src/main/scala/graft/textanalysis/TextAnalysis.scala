@@ -118,4 +118,62 @@ object TextAnalysis {
       lit(0L),
       (h, cp) => pmod(h * 131L + cp, mod))
   }
+
+  // ---- repetition / boilerplate signals (Gopher/MassiveText family) ----
+
+  /**
+   * Native one-pass repetition-signal kernel: array of
+   * `[dup_token_ratio, top_bigram_char_frac, dup_bigram_frac]` — see
+   * `org.apache.spark.sql.graft.RepetitionSignals`. Scan-side NARROW;
+   * value-identical to [[repetitionSignalsRelational]]. Registration is
+   * idempotent per session.
+   */
+  def repetitionSignals(spark: org.apache.spark.sql.SparkSession, text: Column): Column = {
+    org.apache.spark.sql.graft.RepetitionSignalsExpr.register(spark)
+    call_function("repetition_signals", text)
+  }
+
+  /**
+   * Relational restatement of [[repetitionSignals]]: exploded token and
+   * bigram hash aggregations, deterministic top-bigram tie-break via
+   * `min(struct(-freq, gram))` (max frequency, then smallest gram in binary
+   * order). One row per input doc:
+   * `(idCol, dup_token_ratio, top_bigram_char_frac, dup_bigram_frac)`.
+   * Costs two exploded shuffles where the kernel form costs none — kept as
+   * the oracle-shaped equivalence witness.
+   */
+  def repetitionSignalsRelational(docs: org.apache.spark.sql.DataFrame,
+                                  idCol: String = "doc_id",
+                                  textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol),
+      trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("nt"))
+    val toksArr = filter(split(col("nt"), " "), t => length(t) > 0)
+    val toks = base.select(col(idCol), explode(toksArr).as("tok"))
+    val tokStats = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("nt_total"), countDistinct(col("tok")).as("nt_distinct"))
+    val bigramArr = graft.dedup.Dedup.let(toksArr) { t =>
+      when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val bg = base.select(col(idCol), explode(bigramArr).as("g"))
+    val bgCounts = bg.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("f"))
+    val bgStats = bgCounts.groupBy(col(idCol)).agg(
+      sum(col("f")).as("nbg"),
+      sum(when(col("f") >= 2, col("f")).otherwise(0L)).as("dup_occ"),
+      min(struct((-col("f")).as("nf"), col("g").as("g"))).as("top"))
+    base.join(tokStats, Seq(idCol), "left")
+      .join(bgStats, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("nt_total") > 0,
+          lit(1.0) - col("nt_distinct").cast("double") / col("nt_total").cast("double"))
+          .otherwise(0.0).as("dup_token_ratio"),
+        when(col("nbg").isNotNull,
+          ((-col("top.nf")) * length(col("top.g"))).cast("double") / length(col("nt")).cast("double"))
+          .otherwise(0.0).as("top_bigram_char_frac"),
+        when(col("nbg").isNotNull,
+          col("dup_occ").cast("double") / col("nbg").cast("double"))
+          .otherwise(0.0).as("dup_bigram_frac"))
+  }
 }

@@ -71,4 +71,39 @@ class TextAnalysisSpec extends SparkSpec {
       .as[Long].collect()
     texts.zip(got).foreach { case (t, g) => assert(g == expected(t), s"for '$t'") }
   }
+
+  test("repetition signals: hand-computed cases") {
+    val df = Seq(
+      (0L, "a b a b a"),         // tokens 5/2 distinct; bigrams: "a b"×2 "b a"×2 → all dup
+      (1L, "one two three four"),// no repetition at all
+      (2L, "word"),              // single token: bigram signals undefined → 0
+      (3L, "")                   // empty: everything 0
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.repetitionSignals(spark, $"text").as("r"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(0L)(0) == 1.0 - 2.0 / 5.0)
+    assert(got(0L)(1) == (2.0 * 3) / 9)   // "a b"×2, len 3, norm len 9
+    assert(got(0L)(2) == 1.0)             // 4/4 bigram occurrences duplicated
+    assert(got(1L) == Seq(0.0, 1.0 * 7 / 18, 0.0)) // all freq-1: tie-break → "one two" (7 chars) of 18
+    assert(got(2L) == Seq(0.0, 0.0, 0.0))
+    assert(got(3L) == Seq(0.0, 0.0, 0.0))
+  }
+
+  test("repetition signals: kernel ≡ relational restatement on random texts") {
+    val rng = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "ß", "日本")
+    val texts = (0 until 300).map { i =>
+      val n = rng.nextInt(10)
+      (i.toLong, (0 until n).map(_ => words(rng.nextInt(words.length)))
+        .mkString(if (rng.nextBoolean()) " " else "  "))
+    } :+ (300L, "") :+ (301L, "   ") :+ (302L, "Tie tie TIE tie")
+    val df = texts.toDF("doc_id", "text")
+    val kernel = df.select($"doc_id", TextAnalysis.repetitionSignals(spark, $"text").as("r"))
+      .select($"doc_id", element_at($"r", 1).as("dup_token_ratio"),
+        element_at($"r", 2).as("top_bigram_char_frac"), element_at($"r", 3).as("dup_bigram_frac"))
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    val rel = TextAnalysis.repetitionSignalsRelational(df)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(kernel == rel)
+  }
 }

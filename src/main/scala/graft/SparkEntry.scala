@@ -306,6 +306,14 @@ object SparkEntry {
         TextAnalysis.contentFingerprint(col("text")).as("fp"),
         TextAnalysis.rollingFingerprint(col("text")).as("rfp"))),
 
+    // winnowing fingerprints (SWA'03) over a bounded prefix — rightmost
+    // window minima of rolling k-gram hashes via the native O(n) kernel
+    "q_winnow" -> ((s, dir) =>
+      graft.textanalysis.Winnowing.fingerprintTable(s,
+        tbl(s, dir, "documents").select(col("doc_id"),
+          substring(col("text"), 1, 200).as("text")),
+        k = 8, w = 8)),
+
     // Gopher-style repetition/boilerplate signals via the native one-pass
     // kernel (scan-side narrow; relational restatement equivalence-tested)
     "q_repetition" -> ((s, dir) =>
@@ -690,6 +698,46 @@ object SparkEntry {
                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
                (h, cp) -> (h * 131 + cp) % 2147483647) AS rfp
            FROM documents""",
+
+      // winnowing: per-position polynomial k-gram hashes (list lambdas),
+      // then relational rightmost-argmin per window (min-hash per window →
+      // max pos at that hash); short docs (0 < n_hashes < w) take the
+      // rightmost GLOBAL min; k = w = 8 over the 200-char prefix
+      "q_winnow" -> {
+        val k = 8; val w = 8
+        raw"""WITH nt AS (SELECT doc_id,
+                 trim(regexp_replace(lower(substr(text, 1, 200)), '\s+', ' ', 'g')) AS nt
+               FROM documents),
+           hsv AS (SELECT doc_id,
+                 CASE WHEN length(nt) >= $k THEN
+                   list_transform(range(1, length(nt) - ${k - 1} + 1),
+                     i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(substr(nt, CAST(i AS INT), $k), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                          (h, cp) -> (h * 131 + cp) % 2147483647))
+                 ELSE [] END AS hs FROM nt),
+           ph AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, h FROM (
+                    SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS i FROM hsv) u),
+           cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ph GROUP BY 1),
+           win AS (SELECT doc_id, CAST(unnest(range(0, n - $w + 1)) AS BIGINT) AS j
+                   FROM cnt WHERE n >= $w),
+           wm AS (SELECT w.doc_id, w.j, min(p.h) AS mh
+                  FROM win w JOIN ph p ON p.doc_id = w.doc_id
+                    AND p.pos BETWEEN w.j AND w.j + ${w - 1}
+                  GROUP BY 1, 2),
+           selw AS (SELECT DISTINCT s.doc_id, s.pos FROM (
+                      SELECT wm.doc_id, wm.j, max(p.pos) AS pos
+                      FROM wm JOIN ph p ON p.doc_id = wm.doc_id
+                        AND p.pos BETWEEN wm.j AND wm.j + ${w - 1} AND p.h = wm.mh
+                      GROUP BY wm.doc_id, wm.j) s),
+           gm AS (SELECT p.doc_id, min(p.h) AS mh
+                  FROM ph p JOIN cnt c USING (doc_id) WHERE c.n < $w GROUP BY 1),
+           gsel AS (SELECT p.doc_id, max(p.pos) AS pos
+                    FROM gm JOIN ph p ON p.doc_id = gm.doc_id AND p.h = gm.mh GROUP BY 1),
+           sel AS (SELECT * FROM selw UNION ALL SELECT * FROM gsel)
+           SELECT sel.doc_id, sel.pos, p.h
+           FROM sel JOIN ph p ON p.doc_id = sel.doc_id AND p.pos = sel.pos"""
+      },
 
       // repetition signals: exploded token/bigram counts; top bigram picked
       // by (freq DESC, gram ASC) window — the deterministic tie-break the

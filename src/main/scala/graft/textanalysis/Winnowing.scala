@@ -1,0 +1,109 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Winnowing document fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+ * Local Algorithms for Document Fingerprinting", SIGMOD'03) — the
+ * guarantee-bearing selection of k-gram hashes a plagiarism / near-dup /
+ * provenance pipeline stores per document: from every window of `w`
+ * consecutive k-gram hashes keep the RIGHTMOST minimum. Any shared substring
+ * of length ≥ `w + k - 1` between two documents is then guaranteed to share
+ * at least one selected fingerprint (the winnowing theorem), at an expected
+ * density of `2/(w+1)` — the index stays a constant fraction of corpus size.
+ *
+ * Hash: the repo's portable 31-bit polynomial (`h·131 + codepoint mod
+ * 2^31−1`, [[TextAnalysis.rollingFingerprint]] of each k-gram) over the
+ * normalized text — bit-identical in Spark, the native kernel, and DuckDB.
+ *
+ * Three value-identical forms (house discipline):
+ *  - native kernel `winnow_fingerprints` (O(n) monotonic deque, scan-side
+ *    NARROW) — the 100 TB path;
+ *  - this pure-Column HOF restatement (O(n·(k+w)) per row) — the
+ *    oracle-shaped witness;
+ *  - the DuckDB `q_winnow` SQL (list lambdas) — the independent engine.
+ *
+ * Documents shorter than `k` code points (no k-grams) yield no
+ * fingerprints; documents with fewer than `w` k-grams yield exactly one
+ * (the rightmost global minimum), so every document with ≥ k characters is
+ * indexed.
+ */
+object Winnowing {
+
+  val DefaultK = 8
+  val DefaultW = 4
+
+  private val P31 = 2147483647L // 2^31 - 1
+
+  /** Per-position k-gram hashes of the NORMALIZED text: element `i`
+    * (0-based) is the polynomial hash of code points `[i, i+k)`. */
+  def kgramHashes(text: Column, k: Int): Column = {
+    val nt0 = trim(regexp_replace(lower(text), "\\s+", " "))
+    graft.dedup.Dedup.let(nt0) { nt =>
+      // one fold per position: O(n·k) — acceptable for the witness form; the
+      // kernel does the O(n) rolling update. The length guard matters:
+      // sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty.
+      when(length(nt) >= k,
+        transform(
+          sequence(lit(1), length(nt) - (k - 1)),
+          i =>
+            aggregate(
+              transform(filter(split(substring2(nt, i, k), ""), ch => length(ch) > 0),
+                ch => ascii(ch).cast("long")),
+              lit(0L),
+              (h, cp) => pmod(h * 131L + cp, lit(P31)))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+  }
+
+  /** `substring` with a Column start — the builtin only takes Int. */
+  private def substring2(c: Column, pos: Column, len: Int): Column =
+    c.substr(pos, lit(len))
+
+  /**
+   * Selected fingerprints as `array<struct<pos int, h long>>` (0-based
+   * k-gram position, ascending, distinct): rightmost minimum of every
+   * length-`w` window; the rightmost global minimum when there are fewer
+   * than `w` hashes.
+   */
+  def winnowColumn(text: Column, k: Int = DefaultK, w: Int = DefaultW): Column = {
+    val hs = kgramHashes(text, k)
+    graft.dedup.Dedup.let(hs) { h =>
+      val n = size(h)
+      // rightmost argmin of positions [j, j+len): fold carries the best pos,
+      // `<=` keeps the rightmost among equal minima. len >= 2 guard for the
+      // same sequence(1, 0)-is-descending reason as kgramHashes.
+      def rightmostMin(j: Column, len: Column): Column =
+        when(len >= 2,
+          aggregate(
+            sequence(j + 1, j + len - 1),
+            j,
+            (best, p) => when(element_at(h, (p + 1).cast("int")) <=
+                              element_at(h, (best + 1).cast("int")), p).otherwise(best)))
+          .otherwise(j)
+      val sel = when(n >= w,
+        array_distinct(transform(
+          sequence(lit(0), n - w),
+          j => rightmostMin(j, lit(w)))))
+        .when(n > 0, array(rightmostMin(lit(0), n)))
+        .otherwise(array().cast("array<int>"))
+      transform(sel, p =>
+        struct(p.cast("int").as("pos"), element_at(h, (p + 1).cast("int")).as("h")))
+    }
+  }
+
+  /** Native-kernel form (O(n) deque; requires registration — idempotent). */
+  def winnowNative(spark: SparkSession, text: Column,
+                   k: Int = DefaultK, w: Int = DefaultW): Column = {
+    org.apache.spark.sql.graft.WinnowExpr.register(spark)
+    call_function("winnow_fingerprints", text, lit(k), lit(w))
+  }
+
+  /** Exploded fingerprint table `(idCol, pos, h)` via the native kernel. */
+  def fingerprintTable(spark: SparkSession, docs: DataFrame,
+                       k: Int = DefaultK, w: Int = DefaultW,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(winnowNative(spark, col(textCol), k, w)).as("fp"))
+      .select(col(idCol), col("fp.pos").cast("long").as("pos"), col("fp.h").as("h"))
+}

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -79,15 +79,19 @@ object ConnectedComponents {
    */
   def run(pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
           maxIter: Int = 50): DataFrame = {
-    val spark: SparkSession = pairs.sparkSession
+    // materialize the bare pair list ONCE — the upstream plan may be an
+    // entire candidate-generation pipeline (LSH banding + verification), and
+    // both the edge seed and the final node labeling need it
+    val base = pairs.select(col(idACol).as("a"), col(idBCol).as("b"))
+      .localCheckpoint(true)
 
-    val nodes = pairs.select(col(idACol).as("id"))
-      .union(pairs.select(col(idBCol).as("id")))
+    val nodes = base.select(col("a").as("id"))
+      .union(base.select(col("b").as("id")))
       .distinct()
 
-    var edges = pairs
-      .select(greatest(col(idACol), col(idBCol)).as("u"),
-              least(col(idACol), col(idBCol)).as("v"))
+    var edges = base
+      .select(greatest(col("a"), col("b")).as("u"),
+              least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)

@@ -316,9 +316,11 @@ object SparkEntry {
 
     // Gopher-style repetition/boilerplate signals via the native one-pass
     // kernel (scan-side narrow; relational restatement equivalence-tested)
+    // text coalesced to '' so a NULL row matches the oracle's LEFT-JOIN
+    // zeros (the kernel itself is null-in/null-out)
     "q_repetition" -> ((s, dir) =>
       tbl(s, dir, "documents")
-        .withColumn("__r", TextAnalysis.repetitionSignals(s, col("text")))
+        .withColumn("__r", TextAnalysis.repetitionSignals(s, coalesce(col("text"), lit(""))))
         .select(col("doc_id"),
           Portable.round4(element_at(col("__r"), 1)).as("dup_token_ratio"),
           Portable.round4(element_at(col("__r"), 2)).as("top_bigram_char_frac"),

@@ -42,14 +42,23 @@ object HtmlParser {
     * everything inside is code/CSS, never markup. */
   private val RawTextTags = Set("script", "style")
 
-  /** Case-insensitive indexOf without lowercasing the whole document (that
-    * would be O(n) per script tag → O(n²) on script-heavy pages). */
-  private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
+  /** Case-insensitive search for the close tag `</name`, accepting it only
+    * when the name is FOLLOWED by whitespace, '/', '>' or end-of-input —
+    * HTML5's "appropriate end tag" rule. Without the boundary check a
+    * string literal like `"</scriptz"` inside the code would end the
+    * element early. No whole-document lowercasing (that would be O(n) per
+    * script tag → O(n²) on script-heavy pages). */
+  private def indexOfCloseTag(s: String, name: String, from: Int): Int = {
     val n = s.length
+    val target = s"</$name"
     val m = target.length
     var i = math.max(0, from)
     while (i + m <= n) {
-      if (s.regionMatches(true, i, target, 0, m)) return i
+      if (s.regionMatches(true, i, target, 0, m)) {
+        val after = i + m
+        if (after >= n || s.charAt(after) == '>' || s.charAt(after) == '/' ||
+            s.charAt(after).isWhitespace) return i
+      }
       i += 1
     }
     -1
@@ -141,7 +150,7 @@ object HtmlParser {
                     // '<', '=' and quoted strings inside ('if (x < 10)
                     // y = "a>b"') can never derail the tag scanner and
                     // swallow the close tag (which drops the whole tail)
-                    val close = indexOfIgnoreCase(html, s"</$name", end + 1)
+                    val close = indexOfCloseTag(html, name, end + 1)
                     rawSkipTo = if (close < 0) n else close
                   }
                 }

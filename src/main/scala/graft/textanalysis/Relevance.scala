@@ -34,9 +34,10 @@ object Relevance {
   val DefaultK1 = 1.2
   val DefaultB = 0.75
 
-  /** Lowercased whitespace tokens of the canonical normalized text. */
-  def lowerTokens(text: Column): Column =
-    split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+  /** Lowercased whitespace tokens of the canonical normalized text — the
+    * dedup layer's tokenization ([[graft.dedup.Dedup.tokens]]), so relevance
+    * statistics and dedup shingles can never desynchronize. */
+  def lowerTokens(text: Column): Column = graft.dedup.Dedup.tokens(text)
 
   /** Exploded `(id, token)` rows, empty tokens dropped. */
   def docTokens(docs: DataFrame, idCol: String = "doc_id",

@@ -100,8 +100,7 @@ object TextAnalysis {
 
   /** 128-bit content fingerprint (md5 hex of the normalized text) — exact
     * dedup / lineage key. */
-  def contentFingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+  def contentFingerprint(text: Column): Column = graft.dedup.Dedup.fingerprint(text)
 
   /**
    * 31-bit polynomial rolling fingerprint over code points
@@ -146,7 +145,7 @@ object TextAnalysis {
                                   idCol: String = "doc_id",
                                   textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     val base = docs.select(col(idCol),
-      trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("nt"))
+      graft.dedup.Dedup.normalizeText(col(textCol)).as("nt"))
     val toksArr = filter(split(col("nt"), " "), t => length(t) > 0)
     val toks = base.select(col(idCol), explode(toksArr).as("tok"))
     val tokStats = toks.groupBy(col(idCol))
@@ -163,17 +162,20 @@ object TextAnalysis {
       sum(col("f")).as("nbg"),
       sum(when(col("f") >= 2, col("f")).otherwise(0L)).as("dup_occ"),
       min(struct((-col("f")).as("nf"), col("g").as("g"))).as("top"))
+    // NULL text → NULL signals, matching the kernel's null-in/null-out
+    // convention (nt is NULL exactly when the input text is)
+    def nullThrough(c: Column): Column = when(col("nt").isNull, lit(null)).otherwise(c)
     base.join(tokStats, Seq(idCol), "left")
       .join(bgStats, Seq(idCol), "left")
       .select(col(idCol),
-        when(col("nt_total") > 0,
+        nullThrough(when(col("nt_total") > 0,
           lit(1.0) - col("nt_distinct").cast("double") / col("nt_total").cast("double"))
-          .otherwise(0.0).as("dup_token_ratio"),
-        when(col("nbg").isNotNull,
+          .otherwise(0.0)).as("dup_token_ratio"),
+        nullThrough(when(col("nbg").isNotNull,
           ((-col("top.nf")) * length(col("top.g"))).cast("double") / length(col("nt")).cast("double"))
-          .otherwise(0.0).as("top_bigram_char_frac"),
-        when(col("nbg").isNotNull,
+          .otherwise(0.0)).as("top_bigram_char_frac"),
+        nullThrough(when(col("nbg").isNotNull,
           col("dup_occ").cast("double") / col("nbg").cast("double"))
-          .otherwise(0.0).as("dup_bigram_frac"))
+          .otherwise(0.0)).as("dup_bigram_frac"))
   }
 }

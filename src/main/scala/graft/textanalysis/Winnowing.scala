@@ -39,20 +39,23 @@ object Winnowing {
   /** Per-position k-gram hashes of the NORMALIZED text: element `i`
     * (0-based) is the polynomial hash of code points `[i, i+k)`. */
   def kgramHashes(text: Column, k: Int): Column = {
-    val nt0 = trim(regexp_replace(lower(text), "\\s+", " "))
+    val nt0 = graft.dedup.Dedup.normalizeText(text)
     graft.dedup.Dedup.let(nt0) { nt =>
       // one fold per position: O(n·k) — acceptable for the witness form; the
       // kernel does the O(n) rolling update. The length guard matters:
       // sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty.
-      when(length(nt) >= k,
-        transform(
-          sequence(lit(1), length(nt) - (k - 1)),
-          i =>
-            aggregate(
-              transform(filter(split(substring2(nt, i, k), ""), ch => length(ch) > 0),
-                ch => ascii(ch).cast("long")),
-              lit(0L),
-              (h, cp) => pmod(h * 131L + cp, lit(P31)))))
+      // null-in/null-out FIRST: when(length(NULL) >= k) is NULL and would
+      // otherwise fall through to the empty array, diverging from the kernel
+      when(nt.isNull, lit(null).cast("array<bigint>"))
+        .when(length(nt) >= k,
+          transform(
+            sequence(lit(1), length(nt) - (k - 1)),
+            i =>
+              aggregate(
+                transform(filter(split(substring2(nt, i, k), ""), ch => length(ch) > 0),
+                  ch => ascii(ch).cast("long")),
+                lit(0L),
+                (h, cp) => pmod(h * 131L + cp, lit(P31)))))
         .otherwise(array().cast("array<bigint>"))
     }
   }
@@ -82,10 +85,13 @@ object Winnowing {
             (best, p) => when(element_at(h, (p + 1).cast("int")) <=
                               element_at(h, (best + 1).cast("int")), p).otherwise(best)))
           .otherwise(j)
-      val sel = when(n >= w,
-        array_distinct(transform(
-          sequence(lit(0), n - w),
-          j => rightmostMin(j, lit(w)))))
+      // the final otherwise(empty) only fires for n == 0; NULL input keeps
+      // NULL through size/when (null-in/null-out, matching the kernel)
+      val sel = when(h.isNull, lit(null).cast("array<int>"))
+        .when(n >= w,
+          array_distinct(transform(
+            sequence(lit(0), n - w),
+            j => rightmostMin(j, lit(w)))))
         .when(n > 0, array(rightmostMin(lit(0), n)))
         .otherwise(array().cast("array<int>"))
       transform(sel, p =>

@@ -92,18 +92,20 @@ class TextAnalysisSpec extends SparkSpec {
   test("repetition signals: kernel ≡ relational restatement on random texts") {
     val rng = new scala.util.Random(7)
     val words = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "ß", "日本")
-    val texts = (0 until 300).map { i =>
+    val texts: Seq[(Long, Option[String])] = (0 until 300).map { i =>
       val n = rng.nextInt(10)
-      (i.toLong, (0 until n).map(_ => words(rng.nextInt(words.length)))
-        .mkString(if (rng.nextBoolean()) " " else "  "))
-    } :+ (300L, "") :+ (301L, "   ") :+ (302L, "Tie tie TIE tie")
+      (i.toLong, Option((0 until n).map(_ => words(rng.nextInt(words.length)))
+        .mkString(if (rng.nextBoolean()) " " else "  ")))
+    } :+ (300L, Some("")) :+ (301L, Some("   ")) :+ (302L, Some("Tie tie TIE tie")) :+
+      (303L, None) // null text: null-in/null-out in BOTH forms
     val df = texts.toDF("doc_id", "text")
     val kernel = df.select($"doc_id", TextAnalysis.repetitionSignals(spark, $"text").as("r"))
       .select($"doc_id", element_at($"r", 1).as("dup_token_ratio"),
         element_at($"r", 2).as("top_bigram_char_frac"), element_at($"r", 3).as("dup_bigram_frac"))
-      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+      .as[(Long, Option[Double], Option[Double], Option[Double])].collect().sortBy(_._1).toSeq
     val rel = TextAnalysis.repetitionSignalsRelational(df)
-      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+      .as[(Long, Option[Double], Option[Double], Option[Double])].collect().sortBy(_._1).toSeq
     assert(kernel == rel)
+    assert(kernel.find(_._1 == 303L).get == ((303L, None, None, None)))
   }
 }

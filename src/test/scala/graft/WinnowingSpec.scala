@@ -58,6 +58,16 @@ class WinnowingSpec extends SparkSpec {
     }
   }
 
+  test("null text: null-in/null-out in both kernel and column forms") {
+    val df = Seq((0L, Some("abcdefgh")), (1L, None: Option[String])).toDF("doc_id", "text")
+    val kernel = df.select($"doc_id", Winnowing.winnowNative(spark, $"text", 3, 4).isNull.as("n"))
+      .as[(Long, Boolean)].collect().toMap
+    val column = df.select($"doc_id", Winnowing.winnowColumn($"text", 3, 4).isNull.as("n"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(kernel == Map(0L -> false, 1L -> true))
+    assert(column == kernel)
+  }
+
   test("winnowing guarantee: docs sharing a substring of length w+k-1 share a fingerprint") {
     val k = 5; val w = 4
     val rng = new scala.util.Random(13)

@@ -28,7 +28,8 @@ object Bench {
     "q_simhash", "q_simhash_hamming", "q_ngram_jaccard", "q_quality",
     "q_ann_topk", "q_lsh_ann_bands", "q_cosine_neardup", "q_join_agg",
     "q_window_events", "q_sessionize", "q_decode_stop",
-    "q_dedup_cc", "q_tfidf", "q_bm25", "q_repetition", "q_winnow")
+    "q_dedup_cc", "q_tfidf", "q_bm25", "q_repetition", "q_winnow",
+    "q_corpus_rollup")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

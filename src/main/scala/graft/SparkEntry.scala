@@ -306,6 +306,26 @@ object SparkEntry {
         TextAnalysis.contentFingerprint(col("text")).as("fp"),
         TextAnalysis.rollingFingerprint(col("text")).as("rfp"))),
 
+    // multi-dimensional corpus rollup: per-(language, split) statistics
+    // with subtotal and grand-total rows (ROLLUP = map-side-combinable
+    // grouping sets, one shuffle); grouping() flags disambiguate subtotal
+    // NULLs from genuine null dimension values
+    "q_corpus_rollup" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .withColumn("lang", TextAnalysis.langId(col("text")))
+        .withColumn("split",
+          when(pmod(col("doc_id") + 1, lit(10)) === 9, "validation")
+            .when(pmod(col("doc_id") + 1, lit(10)) === 0, "test")
+            .otherwise("train"))
+        .withColumn("toks", TextAnalysis.wsTokenCount(col("text")).cast("long"))
+        .rollup(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("toks")).as("sum_tokens"),
+          Portable.round4(sum(col("toks")).cast("double") / count(lit(1))).as("avg_tokens"),
+          grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("split")).cast("long").as("g_split"))),
+
     // winnowing fingerprints (SWA'03) over a bounded prefix — rightmost
     // window minima of rolling k-gram hashes via the native O(n) kernel
     "q_winnow" -> ((s, dir) =>
@@ -700,6 +720,29 @@ object SparkEntry {
                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
                (h, cp) -> (h * 131 + cp) % 2147483647) AS rfp
            FROM documents""",
+
+      // rollup: same lang/split/token expressions as q_langid /
+      // q_split_assign / q_token_counts, GROUP BY ROLLUP + grouping() flags
+      "q_corpus_rollup" ->
+        raw"""WITH d AS (SELECT
+             CASE
+               WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+               WHEN len(regexp_extract_all(text, '[äöüßÄÖÜ]')) > 0 THEN 'de'
+               WHEN len(regexp_extract_all(text, '[áíóúñ¿¡]')) > 0 THEN 'es'
+               WHEN len(regexp_extract_all(text, '[àâçêëîïôùûœ]')) > 0 THEN 'fr'
+               ELSE 'en' END AS lang,
+             CASE (doc_id + 1) % 10 WHEN 9 THEN 'validation'
+               WHEN 0 THEN 'test' ELSE 'train' END AS split,
+             CAST(len(list_filter($toks, x -> length(x) > 0)) AS BIGINT) AS toks,
+             n_chars
+           FROM documents)
+           SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(toks) AS BIGINT) AS sum_tokens,
+             ${Portable.round4Sql("CAST(sum(toks) AS DOUBLE) / count(*)")} AS avg_tokens,
+             CAST(grouping(lang) AS BIGINT) AS g_lang,
+             CAST(grouping(split) AS BIGINT) AS g_split
+           FROM d GROUP BY ROLLUP(lang, split)""",
 
       // winnowing: per-position polynomial k-gram hashes (list lambdas),
       // then relational rightmost-argmin per window (min-hash per window →

@@ -334,6 +334,19 @@ object SparkEntry {
           substring(col("text"), 1, 200).as("text")),
         k = 8, w = 8)),
 
+    // fingerprint-index match join: doc pairs sharing >= 8 winnow
+    // fingerprints (self-equi-join on the 8-byte hash, LSH-band shape; the
+    // synthetic corpus shares a small token vocabulary, so a low threshold
+    // would pass near-quadratic boilerplate pairs — exactly the tuning a
+    // real provenance run does)
+    "q_winnow_pairs" -> ((s, dir) =>
+      graft.textanalysis.Winnowing.matchPairs(
+        graft.textanalysis.Winnowing.fingerprintTable(s,
+          tbl(s, dir, "documents").select(col("doc_id"),
+            substring(col("text"), 1, 200).as("text")),
+          k = 8, w = 8),
+        minShared = 8)),
+
     // Gopher-style repetition/boilerplate signals via the native one-pass
     // kernel (scan-side narrow; relational restatement equivalence-tested)
     // text coalesced to '' so a NULL row matches the oracle's LEFT-JOIN
@@ -463,6 +476,42 @@ object SparkEntry {
     val bandRows = (0 until 4).map { b =>
       raw"SELECT doc_id, $b AS band, md5('b$b:' || CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS band_key FROM sig"
     }.mkString(" UNION ALL ")
+    // winnow CTE chain (k = w = 8, 200-char prefix): ends at `sel`
+    // (doc_id, pos of each selected fingerprint); `ph` holds all k-gram
+    // hashes. Shared by q_winnow and q_winnow_pairs.
+    val winnowCtes = {
+      val k = 8; val w = 8
+      raw"""WITH nt AS (SELECT doc_id,
+               trim(regexp_replace(lower(substr(text, 1, 200)), '\s+', ' ', 'g')) AS nt
+             FROM documents),
+         hsv AS (SELECT doc_id,
+               CASE WHEN length(nt) >= $k THEN
+                 list_transform(range(1, length(nt) - ${k - 1} + 1),
+                   i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(substr(nt, CAST(i AS INT), $k), ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+                        (h, cp) -> (h * 131 + cp) % 2147483647))
+               ELSE [] END AS hs FROM nt),
+         ph AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, h FROM (
+                  SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS i FROM hsv) u),
+         cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ph GROUP BY 1),
+         win AS (SELECT doc_id, CAST(unnest(range(0, n - $w + 1)) AS BIGINT) AS j
+                 FROM cnt WHERE n >= $w),
+         wm AS (SELECT w.doc_id, w.j, min(p.h) AS mh
+                FROM win w JOIN ph p ON p.doc_id = w.doc_id
+                  AND p.pos BETWEEN w.j AND w.j + ${w - 1}
+                GROUP BY 1, 2),
+         selw AS (SELECT DISTINCT s.doc_id, s.pos FROM (
+                    SELECT wm.doc_id, wm.j, max(p.pos) AS pos
+                    FROM wm JOIN ph p ON p.doc_id = wm.doc_id
+                      AND p.pos BETWEEN wm.j AND wm.j + ${w - 1} AND p.h = wm.mh
+                    GROUP BY wm.doc_id, wm.j) s),
+         gm AS (SELECT p.doc_id, min(p.h) AS mh
+                FROM ph p JOIN cnt c USING (doc_id) WHERE c.n < $w GROUP BY 1),
+         gsel AS (SELECT p.doc_id, max(p.pos) AS pos
+                  FROM gm JOIN ph p ON p.doc_id = gm.doc_id AND p.h = gm.mh GROUP BY 1),
+         sel AS (SELECT * FROM selw UNION ALL SELECT * FROM gsel)"""
+    }
     // Explicit LEFT-FOLD sums for the embedding math: pins DuckDB to the same
     // accumulation order as Spark's `aggregate(zip_with(...))` expressions —
     // `sum()` over unnest has matched on every verified run but its order is
@@ -748,41 +797,20 @@ object SparkEntry {
       // then relational rightmost-argmin per window (min-hash per window →
       // max pos at that hash); short docs (0 < n_hashes < w) take the
       // rightmost GLOBAL min; k = w = 8 over the 200-char prefix
-      "q_winnow" -> {
-        val k = 8; val w = 8
-        raw"""WITH nt AS (SELECT doc_id,
-                 trim(regexp_replace(lower(substr(text, 1, 200)), '\s+', ' ', 'g')) AS nt
-               FROM documents),
-           hsv AS (SELECT doc_id,
-                 CASE WHEN length(nt) >= $k THEN
-                   list_transform(range(1, length(nt) - ${k - 1} + 1),
-                     i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                            list_transform(string_split(substr(nt, CAST(i AS INT), $k), ''),
-                              c -> CAST(ascii(c) AS BIGINT))),
-                          (h, cp) -> (h * 131 + cp) % 2147483647))
-                 ELSE [] END AS hs FROM nt),
-           ph AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, h FROM (
-                    SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS i FROM hsv) u),
-           cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ph GROUP BY 1),
-           win AS (SELECT doc_id, CAST(unnest(range(0, n - $w + 1)) AS BIGINT) AS j
-                   FROM cnt WHERE n >= $w),
-           wm AS (SELECT w.doc_id, w.j, min(p.h) AS mh
-                  FROM win w JOIN ph p ON p.doc_id = w.doc_id
-                    AND p.pos BETWEEN w.j AND w.j + ${w - 1}
-                  GROUP BY 1, 2),
-           selw AS (SELECT DISTINCT s.doc_id, s.pos FROM (
-                      SELECT wm.doc_id, wm.j, max(p.pos) AS pos
-                      FROM wm JOIN ph p ON p.doc_id = wm.doc_id
-                        AND p.pos BETWEEN wm.j AND wm.j + ${w - 1} AND p.h = wm.mh
-                      GROUP BY wm.doc_id, wm.j) s),
-           gm AS (SELECT p.doc_id, min(p.h) AS mh
-                  FROM ph p JOIN cnt c USING (doc_id) WHERE c.n < $w GROUP BY 1),
-           gsel AS (SELECT p.doc_id, max(p.pos) AS pos
-                    FROM gm JOIN ph p ON p.doc_id = gm.doc_id AND p.h = gm.mh GROUP BY 1),
-           sel AS (SELECT * FROM selw UNION ALL SELECT * FROM gsel)
+      "q_winnow" ->
+        raw"""$winnowCtes
            SELECT sel.doc_id, sel.pos, p.h
-           FROM sel JOIN ph p ON p.doc_id = sel.doc_id AND p.pos = sel.pos"""
-      },
+           FROM sel JOIN ph p ON p.doc_id = sel.doc_id AND p.pos = sel.pos""",
+
+      // fingerprint-index match join: distinct (doc, h) per doc, self-join
+      // on the hash, pairs sharing >= 8 fingerprints
+      "q_winnow_pairs" ->
+        raw"""$winnowCtes,
+           fp AS (SELECT DISTINCT sel.doc_id, p.h
+                  FROM sel JOIN ph p ON p.doc_id = sel.doc_id AND p.pos = sel.pos)
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+           FROM fp a JOIN fp b ON b.h = a.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 8""",
 
       // repetition signals: exploded token/bigram counts; top bigram picked
       // by (freq DESC, gram ASC) window — the deterministic tie-break the

@@ -112,4 +112,29 @@ object Winnowing {
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol), explode(winnowNative(spark, col(textCol), k, w)).as("fp"))
       .select(col(idCol), col("fp.pos").cast("long").as("pos"), col("fp.h").as("h"))
+
+  /**
+   * Document pairs sharing at least `minShared` winnow fingerprints — the
+   * provenance / plagiarism-detection join the fingerprint index exists
+   * for. By the winnowing theorem a shared substring of `w + k - 1` code
+   * points guarantees one shared fingerprint, so `minShared = 2` already
+   * requires two independent regions of overlap.
+   *
+   * Scale shape: DISTINCT (id, h) per doc, then a self-equi-join on the
+   * 8-byte hash — the same banded-join pattern as LSH candidate pairs; a
+   * boilerplate hash shared by many docs is a skewed-but-AQE-split join
+   * key, and only (id, h) pairs cross the shuffle, never text. Returns
+   * `(id_a, id_b, n_shared)` with `id_a < id_b`.
+   */
+  def matchPairs(fps: DataFrame, minShared: Long = 2,
+                 idCol: String = "doc_id"): DataFrame = {
+    val d = fps.select(col(idCol), col("h")).distinct()
+    val a = d.select(col(idCol).as("id_a"), col("h"))
+    val b = d.select(col(idCol).as("id_b"), col("h"))
+    a.join(b, Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

@@ -77,6 +77,10 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(survivors == Seq(0L, 9L))
   }
 
+  test("empty pair table yields empty labels") {
+    assert(labelsOf(Seq.empty).isEmpty)
+  }
+
   test("labels are deterministic across runs") {
     val pairs = Seq((5L, 3L), (3L, 8L), (12L, 7L), (8L, 1L))
     assert(labelsOf(pairs) == labelsOf(pairs))

@@ -68,6 +68,29 @@ class WinnowingSpec extends SparkSpec {
     assert(column == kernel)
   }
 
+  test("matchPairs: only doc pairs with >= minShared common fingerprints survive") {
+    val k = 5; val w = 4
+    val rng = new scala.util.Random(17)
+    def rand(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val sharedA = rand(2 * (w + k)) // long shared region → several shared fps
+    val docs = Seq(
+      (0L, rand(20) + sharedA + rand(20)),
+      (1L, rand(20) + sharedA + rand(20)),
+      (2L, rand(60))) // unrelated
+    val fps = Winnowing.fingerprintTable(spark, docs.toDF("doc_id", "text"), k, w)
+    val pairs = Winnowing.matchPairs(fps, minShared = 2)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    // reference check: shared-count from the collected fingerprint sets
+    val sets = fps.select($"doc_id", $"h").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val wantShared = (sets(0L) intersect sets(1L)).size
+    val got = Winnowing.matchPairs(fps, 2).as[(Long, Long, Long)].collect()
+      .find(p => p._1 == 0L && p._2 == 1L).map(_._3)
+    assert(got.contains(wantShared.toLong))
+  }
+
   test("winnowing guarantee: docs sharing a substring of length w+k-1 share a fingerprint") {
     val k = 5; val w = 4
     val rng = new scala.util.Random(13)

@@ -334,6 +334,28 @@ object SparkEntry {
           substring(col("text"), 1, 200).as("text")),
         k = 8, w = 8)),
 
+    // per-split EXACT length quantiles (linear interpolation — Spark
+    // `percentile` and DuckDB `quantile_cont` compute identical type-7
+    // values). Exact percentile sorts per group; at 100 TB the scale path
+    // is `approx_percentile` (t-digest, mergeable partial agg) — exact is
+    // the oracle-checkable witness at bench scale
+    "q_len_quantiles" -> ((s, dir) => {
+      val probs = array(lit(0.25), lit(0.5), lit(0.75), lit(0.9), lit(0.99))
+      tbl(s, dir, "documents")
+        .withColumn("split",
+          when(pmod(col("doc_id") + 1, lit(10)) === 9, "validation")
+            .when(pmod(col("doc_id") + 1, lit(10)) === 0, "test")
+            .otherwise("train"))
+        .groupBy(col("split"))
+        .agg(percentile(col("n_chars"), probs).as("qs"))
+        .select(col("split"),
+          Portable.round4(element_at(col("qs"), 1)).as("q25"),
+          Portable.round4(element_at(col("qs"), 2)).as("q50"),
+          Portable.round4(element_at(col("qs"), 3)).as("q75"),
+          Portable.round4(element_at(col("qs"), 4)).as("q90"),
+          Portable.round4(element_at(col("qs"), 5)).as("q99"))
+    }),
+
     // fingerprint-index match join: doc pairs sharing >= 8 winnow
     // fingerprints (self-equi-join on the 8-byte hash, LSH-band shape; the
     // synthetic corpus shares a small token vocabulary, so a low threshold
@@ -801,6 +823,23 @@ object SparkEntry {
         raw"""$winnowCtes
            SELECT sel.doc_id, sel.pos, p.h
            FROM sel JOIN ph p ON p.doc_id = sel.doc_id AND p.pos = sel.pos""",
+
+      // exact quantiles: quantile_cont == Spark percentile (both type-7
+      // linear interpolation; verified bit-identical on this data)
+      "q_len_quantiles" ->
+        raw"""WITH d AS (SELECT n_chars,
+               CASE (doc_id + 1) % 10 WHEN 9 THEN 'validation'
+                 WHEN 0 THEN 'test' ELSE 'train' END AS split
+             FROM documents),
+           q AS (SELECT split, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+                 FROM d GROUP BY 1)
+           SELECT split,
+             ${Portable.round4Sql("qs[1]")} AS q25,
+             ${Portable.round4Sql("qs[2]")} AS q50,
+             ${Portable.round4Sql("qs[3]")} AS q75,
+             ${Portable.round4Sql("qs[4]")} AS q90,
+             ${Portable.round4Sql("qs[5]")} AS q99
+           FROM q""",
 
       // fingerprint-index match join: distinct (doc, h) per doc, self-join
       // on the hash, pairs sharing >= 8 fingerprints

@@ -30,6 +30,13 @@ object SparkEntry {
     * frequencies in the synthetic corpus. */
   private val Bm25QueryTerms = Seq("spark", "join", "window")
 
+  /** Column form of the mod-10 split rule ([[graft.gen.DocGen.pickSplit]]) —
+    * the ONE Spark-side definition every split-dependent query shares. */
+  private def splitOf: Column =
+    when(pmod(col("doc_id") + 1, lit(10)) === 9, "validation")
+      .when(pmod(col("doc_id") + 1, lit(10)) === 0, "test")
+      .otherwise("train")
+
   /** Tokens of `documents.text` — Python `strip().split()` semantics. */
   private def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(TextFunctions.tokenize(col("text"))).as("token"))
@@ -110,16 +117,10 @@ object SparkEntry {
         .filter(length(col("ch")) > 0).distinct()),
 
     "q_split_assign" -> ((s, dir) =>
-      tbl(s, dir, "documents").select(col("doc_id"),
-        when(pmod(col("doc_id") + 1, lit(10)) === 9, "validation")
-          .when(pmod(col("doc_id") + 1, lit(10)) === 0, "test")
-          .otherwise("train").as("split"))),
+      tbl(s, dir, "documents").select(col("doc_id"), splitOf.as("split"))),
 
     "q_split_counts" -> ((s, dir) =>
-      tbl(s, dir, "documents").select(
-        when(pmod(col("doc_id") + 1, lit(10)) === 9, "validation")
-          .when(pmod(col("doc_id") + 1, lit(10)) === 0, "test")
-          .otherwise("train").as("split"))
+      tbl(s, dir, "documents").select(splitOf.as("split"))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))),
 
     "q_doc_stats" -> ((s, dir) =>
@@ -313,10 +314,7 @@ object SparkEntry {
     "q_corpus_rollup" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .withColumn("lang", TextAnalysis.langId(col("text")))
-        .withColumn("split",
-          when(pmod(col("doc_id") + 1, lit(10)) === 9, "validation")
-            .when(pmod(col("doc_id") + 1, lit(10)) === 0, "test")
-            .otherwise("train"))
+        .withColumn("split", splitOf)
         .withColumn("toks", TextAnalysis.wsTokenCount(col("text")).cast("long"))
         .rollup(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"),
@@ -342,10 +340,7 @@ object SparkEntry {
     "q_len_quantiles" -> ((s, dir) => {
       val probs = array(lit(0.25), lit(0.5), lit(0.75), lit(0.9), lit(0.99))
       tbl(s, dir, "documents")
-        .withColumn("split",
-          when(pmod(col("doc_id") + 1, lit(10)) === 9, "validation")
-            .when(pmod(col("doc_id") + 1, lit(10)) === 0, "test")
-            .otherwise("train"))
+        .withColumn("split", splitOf)
         .groupBy(col("split"))
         .agg(percentile(col("n_chars"), probs).as("qs"))
         .select(col("split"),

@@ -42,6 +42,10 @@ object HtmlParser {
     * everything inside is code/CSS, never markup. */
   private val RawTextTags = Set("script", "style")
 
+  /** HTML5's whitespace set (TAB/LF/FF/CR/SPACE), narrower than Java's. */
+  private def isHtmlWs(c: Char): Boolean =
+    c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' '
+
   /** Case-insensitive search for the close tag `</name`, accepting it only
     * when the name is FOLLOWED by whitespace, '/', '>' or end-of-input —
     * HTML5's "appropriate end tag" rule. Without the boundary check a
@@ -56,8 +60,11 @@ object HtmlParser {
     while (i + m <= n) {
       if (s.regionMatches(true, i, target, 0, m)) {
         val after = i + m
+        // HTML5 whitespace is exactly TAB/LF/FF/CR/SPACE — Java's
+        // isWhitespace would also accept e.g. U+2028, ending the raw-text
+        // region where a spec parser keeps scanning
         if (after >= n || s.charAt(after) == '>' || s.charAt(after) == '/' ||
-            s.charAt(after).isWhitespace) return i
+            isHtmlWs(s.charAt(after))) return i
       }
       i += 1
     }

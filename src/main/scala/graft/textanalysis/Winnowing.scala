@@ -117,8 +117,12 @@ object Winnowing {
    * Document pairs sharing at least `minShared` winnow fingerprints — the
    * provenance / plagiarism-detection join the fingerprint index exists
    * for. By the winnowing theorem a shared substring of `w + k - 1` code
-   * points guarantees one shared fingerprint, so `minShared = 2` already
-   * requires two independent regions of overlap.
+   * points guarantees one shared fingerprint. Note `minShared` counts
+   * fingerprints, NOT overlap regions: a single contiguous shared run only
+   * slightly longer than the theorem bound can already contribute several
+   * fingerprints (expected density 2/(w+1) per k-gram), so tune the
+   * threshold to the shared-run length you consider meaningful, not to a
+   * region count.
    *
    * Scale shape: DISTINCT (id, h) per doc, then a self-equi-join on the
    * 8-byte hash — the same banded-join pattern as LSH candidate pairs; a

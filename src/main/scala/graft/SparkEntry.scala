@@ -188,6 +188,15 @@ object SparkEntry {
         Dedup.lshCandidatePairs(tbl(s, dir, "documents"), shingleK = 3, nBands = 4, rowsPerBand = 2))
         .select(col("id").as("doc_id"), col("component"))),
 
+    // the second clustering path composed from existing operators: CC
+    // labels over the SimHash Hamming-verified near-dup graph (banded
+    // candidates, bit_count verify, then transitive closure)
+    "q_dedup_cc_simhash" -> ((s, dir) =>
+      ConnectedComponents.run(
+        Dedup.simHashNearDupPairs(tbl(s, dir, "documents"), maxHamming = 3)
+          .select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("component"))),
+
     // exact shingle-Jaccard verification of the LSH candidates — the full
     // candidate-generation → verification split, end to end
     "q_lsh_verify" -> ((s, dir) => {
@@ -702,6 +711,28 @@ object SparkEntry {
         raw"""$simhashCte SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
            FROM sim a JOIN sim b ON b.doc_id = a.doc_id + 1""",
+
+      // CC over the SimHash near-dup graph: banded candidates (4×8-bit
+      // sub-keys), bit_count(xor) <= 3 verify, then the same recursive-CTE
+      // transitive closure as q_dedup_cc
+      "q_dedup_cc_simhash" ->
+        raw"""WITH RECURSIVE${simhashCte.stripPrefix("WITH")},
+           bands AS (SELECT doc_id, simhash, b AS band,
+                       (simhash >> (b * 8)) & 255 AS band_key
+                     FROM sim, generate_series(0, 3) t(b)),
+           pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b
+                       ON b.band = a.band AND b.band_key = a.band_key
+                       AND a.doc_id < b.doc_id
+                     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+           reach(u, r) AS (
+             SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
+             UNION
+             SELECT s.u, e.v FROM reach s JOIN sym e ON e.u = s.r)
+           SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS component
+           FROM reach GROUP BY u""",
 
       "q_ngram_jaccard" ->
         raw"""WITH $tokCte,

@@ -463,4 +463,23 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /**
+   * SimHash-based near-duplicate dedup with exact transitive clusters:
+   * exact-collapse → Hamming-banded candidate pairs (`bit_count` verified)
+   * → connected components → keep each component's min-id doc. The
+   * signature-space sibling of [[dedupNearCC]] — cheaper per doc (one
+   * 32-bit signature, no shingle sets through the verification join) and
+   * the right tool when "near-dup" means token-distribution similarity
+   * rather than shingle-overlap similarity.
+   */
+  def dedupNearSimHash(docs: DataFrame, maxHamming: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val reps = dedupExact(docs, idCol, textCol)
+    val pairs = simHashNearDupPairs(reps, maxHamming, idCol, textCol)
+    val removed = ConnectedComponents.run(pairs.select(col("id_a"), col("id_b")))
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    reps.join(removed, Seq(idCol), "left_anti")
+  }
 }

@@ -81,6 +81,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labelsOf(Seq.empty).isEmpty)
   }
 
+  test("dedupNearSimHash drops whole signature-space clusters to their min id") {
+    // identical and near-identical (one-token-swap) docs share/neighbor
+    // signatures; the unrelated doc must survive untouched
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),  // exact dup of 0
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near (1 token)
+      (9L, "query engines shuffle partitions across many executors tonight")
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.dedupNearSimHash(docs, maxHamming = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // exact collapse removes 1; the CC step may or may not merge 2 depending
+    // on signature distance — assert via the actual pair graph
+    val pairs = Dedup.simHashNearDupPairs(Dedup.dedupExact(docs), maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expect = if (pairs.contains((0L, 2L))) Seq(0L, 9L) else Seq(0L, 2L, 9L)
+    assert(survivors == expect)
+    assert(survivors.contains(9L) && survivors.contains(0L) && !survivors.contains(1L))
+  }
+
   test("labels are deterministic across runs") {
     val pairs = Seq((5L, 3L), (3L, 8L), (12L, 7L), (8L, 1L))
     assert(labelsOf(pairs) == labelsOf(pairs))

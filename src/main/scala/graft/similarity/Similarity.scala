@@ -297,4 +297,61 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .distinct()
   }
+
+  // ---- persisted IVF index (the production ANN path) ----
+
+  /**
+   * Write the IVF index to `dir`: the assigned corpus PARTITIONED BY
+   * `centroid_id` (each centroid is its own parquet directory, so a probe
+   * reads only the probed partitions — partition pruning, not a full scan)
+   * plus the small centroid table. This is the structure that makes IVF pay
+   * off at 100 TB: query cost scales with `nProbes / nCentroids` of the
+   * corpus bytes, enforced by the storage layout rather than a filter the
+   * scan might not push.
+   */
+  def ivfWrite(corpus: DataFrame, dir: String, nCentroids: Int = 16,
+               iterations: Int = 1,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (centroids, assigned) = ivfIndex(corpus, nCentroids, iterations, idCol, vecCol)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/corpus")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /**
+   * Top-k over a persisted IVF index: rank centroids per query from the
+   * broadcast centroid table, collect the UNION of probed centroid ids
+   * (metadata-scale — at most `nCentroids` values, never corpus rows), and
+   * read only those partitions of the indexed corpus. The partition filter
+   * is visible in the plan as `PartitionFilters: [centroid_id IN ...]`
+   * (asserted in SimilaritySpec).
+   */
+  def ivfTopKFromIndex(queries: DataFrame, dir: String, k: Int,
+                       nProbes: Int = 2,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       roundTo: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("csim", cosineNative(spark, col("q_vec"), col("centroid")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nProbes)
+      .select(col("query_id"), col("q_vec"), col("centroid_id"))
+    // union of probed centroids: bounded by nCentroids (metadata, not data)
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.get(0).toString.toInt).toSeq
+    val indexed = spark.read.parquet(s"$dir/corpus")
+      .filter(col("centroid_id").isin(probedIds: _*))
+    val scored = indexed
+      .select(col("centroid_id").cast("int").as("centroid_id"),
+        col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
+        Portable.roundAt(cosineNative(spark, col("q_vec"), col("c_vec")), roundTo).as("sim"))
+    TopKBySim.rank(scored, k)
+  }
 }

@@ -71,6 +71,27 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == again)
   }
 
+  test("persisted IVF index: probe reads only probed partitions and matches in-memory IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    try {
+      Similarity.ivfWrite(vecs, dir, nCentroids = 8, iterations = 1)
+      val q = vecs.filter($"vec_id" < 4)
+      val fromIndex = Similarity.ivfTopKFromIndex(q, dir, k = 3, nProbes = 2)
+      // partition pruning is in the PLAN, not just the result: the parquet
+      // scan must carry a PartitionFilters entry on centroid_id
+      val plan = fromIndex.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+        s"no partition pruning in plan:\n$plan")
+      val got = fromIndex.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val mem = Similarity.ivfTopK(q, vecs, k = 3, nCentroids = 8, nProbes = 2).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      assert(got == mem, "persisted-index results diverge from in-memory IVF")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF assignment is shuffle-free (no Exchange in the assigned plan)") {
     val (_, assigned) = Similarity.ivfIndex(vecs, nCentroids = 8, iterations = 1)
     val plan = assigned.queryExecution.executedPlan.toString

@@ -19,6 +19,7 @@ import graft.pipeline.CheckpointedRun
  *                                  #   making `cer` the corrected-vs-input drift)
  *   [--vocab /data/vocab]          # pre-trained (token, freq) parquet; else trained from --clean
  *   [--corrector noisy|dictionary|null] [--min-freq 2]
+ *   [--dedup none|exact]           # exact-duplicate collapse BEFORE correction
  *   [--run-id run1] [--spans-col spans] [--clean-spans-col spans]
  *   [--buckets 64] [--group-size 8] [--salted true]
  * }}}
@@ -55,6 +56,24 @@ object RunPipeline {
     try println(run(spark, a)) finally spark.stop()
   }
 
+  /** Exact-duplicate collapse over the interleaved-docs table — the
+    * standard web-pipeline order (dedup BEFORE the expensive correction
+    * kernel; every duplicate removed here saves a full correction pass).
+    * Fingerprint = md5 of the normalized concatenation of the TEXT spans
+    * (media refs excluded — two docs differing only in media are near-dups,
+    * not exact dups of the text to correct); the min-`doc_id` member of
+    * each group survives. One fingerprint hash-agg + a semi join — the
+    * shuffle carries (16-byte fp, doc_id), never the spans. */
+  private def dedupDocsExact(docs: org.apache.spark.sql.DataFrame,
+                             spansCol: String): org.apache.spark.sql.DataFrame = {
+    val txt = concat_ws(" ",
+      transform(filter(col(spansCol), sp => sp.getField("kind") === "text"),
+        sp => sp.getField("text")))
+    val withFp = docs.withColumn("__fp", graft.dedup.Dedup.fingerprint(txt))
+    val keep = withFp.groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
+    withFp.join(keep, Seq("__fp", "doc_id"), "left_semi").drop("__fp")
+  }
+
   /** The submitted job, factored from [[main]] so tests drive it with their
     * own session. Returns the JSON metrics line. */
   def run(spark: SparkSession, a: Map[String, String]): String = {
@@ -77,9 +96,15 @@ object RunPipeline {
     val groupSize = a.getOrElse("group-size", "8").toInt
     val salted = a.getOrElse("salted", "true").toBoolean
     val correctorName = a.getOrElse("corrector", "noisy")
+    val dedupMode = a.getOrElse("dedup", "none")
 
     val t0 = System.nanoTime()
-    val docs = spark.read.parquet(input)
+    val docs0 = spark.read.parquet(input)
+    val docs = dedupMode match {
+      case "none" => docs0
+      case "exact" => dedupDocsExact(docs0, spansCol)
+      case other => sys.error(s"unknown --dedup $other (none|exact)")
+    }
     val cleanDocs = if (clean == input) docs else spark.read.parquet(clean)
 
     val corrector = correctorName match {
@@ -97,12 +122,13 @@ object RunPipeline {
     }
 
     val lineage = s"input=$input clean=$clean corrector=$correctorName minFreq=$minFreq " +
-      s"buckets=$nBuckets groupSize=$groupSize salted=$salted"
+      s"buckets=$nBuckets groupSize=$groupSize salted=$salted dedup=$dedupMode"
     // stage token fingerprints the SOURCES: a resume of this output dir with
-    // a different input/clean table (or spans columns) must rebuild its
-    // stages instead of silently reusing the previous source's rows
+    // a different input/clean table (or spans columns, or dedup setting)
+    // must rebuild its stages instead of silently reusing the previous
+    // source's rows
     val stageToken = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$input|$clean|$spansCol|$cleanSpansCol".getBytes("UTF-8"))
+      .digest(s"$input|$clean|$spansCol|$cleanSpansCol|$dedupMode".getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     // docs_in comes from the staged bucketed copy WHILE it exists (an
     // empty-projection parquet count — footers only), inside the timed run;

@@ -62,6 +62,28 @@ class RunPipelineSpec extends SparkSpec {
     assert(node.get("docs_in").asLong() == 10L)
   }
 
+  test("--dedup exact collapses duplicate docs before correction") {
+    val base = Files.createTempDirectory("runpipeline4").toString
+    val docs = DocGen.docs(spark, 30).toDF()
+      .select(col("doc_id"), col("noisy_spans").as("spans"))
+    // duplicate every doc under a LARGER id: the min-id original must survive
+    val dup = docs.withColumn("doc_id", concat(lit("z"), col("doc_id")))
+    docs.union(dup).write.parquet(s"$base/in")
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "dedup" -> "exact", "buckets" -> "4", "group-size" -> "2"))
+    assert(out.contains(""""docs_in":30"""), out)
+    val written = spark.read.parquet(s"$base/out")
+    assert(written.select("doc_id").distinct().count() == 30)
+    assert(written.filter(col("doc_id").startsWith("z")).count() == 0,
+      "a duplicate (non-min id) doc survived dedup")
+    // without the flag all 60 flow through
+    val out2 = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out2", "corrector" -> "null",
+      "buckets" -> "4", "group-size" -> "2"))
+    assert(out2.contains(""""docs_in":60"""), out2)
+  }
+
   test("null corrector passes spans through unchanged") {
     val base = Files.createTempDirectory("runpipeline0").toString
     val docs = DocGen.docs(spark, 50).toDF()

@@ -59,19 +59,24 @@ object RunPipeline {
   /** Exact-duplicate collapse over the interleaved-docs table — the
     * standard web-pipeline order (dedup BEFORE the expensive correction
     * kernel; every duplicate removed here saves a full correction pass).
-    * Fingerprint = md5 of the normalized concatenation of the TEXT spans
-    * (media refs excluded — two docs differing only in media are near-dups,
-    * not exact dups of the text to correct); the min-`doc_id` member of
-    * each group survives. One fingerprint hash-agg + a semi join — the
-    * shuffle carries (16-byte fp, doc_id), never the spans. */
+    * The dedup key is the normalized concatenation of the TEXT spans, and
+    * the group-min survivor rule is [[graft.dedup.Dedup.dedupExact]] itself
+    * (one definition of the rule, one hash-agg + semi join carrying
+    * (16-byte fp, doc_id) only). Docs with NO text content (media-only
+    * spans, null spans) pass through untouched — an empty text makes them
+    * text-identical to each other, not duplicates of anything. */
   private def dedupDocsExact(docs: org.apache.spark.sql.DataFrame,
                              spansCol: String): org.apache.spark.sql.DataFrame = {
     val txt = concat_ws(" ",
       transform(filter(col(spansCol), sp => sp.getField("kind") === "text"),
         sp => sp.getField("text")))
-    val withFp = docs.withColumn("__fp", graft.dedup.Dedup.fingerprint(txt))
-    val keep = withFp.groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
-    withFp.join(keep, Seq("__fp", "doc_id"), "left_semi").drop("__fp")
+    val tagged = docs.withColumn("__txt", txt)
+      .withColumn("__n", coalesce(length(graft.dedup.Dedup.normalizeText(col("__txt"))), lit(0)))
+    val hasText = tagged.where(col("__n") > 0)
+    val noText = tagged.where(col("__n") === 0)
+    graft.dedup.Dedup.dedupExact(hasText, "doc_id", "__txt")
+      .unionByName(noText)
+      .drop("__txt", "__n")
   }
 
   /** The submitted job, factored from [[main]] so tests drive it with their

@@ -293,6 +293,15 @@ object Dedup {
    * when transitive-cluster semantics matter; choose [[dedupNearLsh]] when
    * verification volume does.
    */
+  /** Shared CC-collapse tail of the transitive dedup paths: label the pair
+    * graph, drop every non-root member, keep the rest of `reps`. */
+  private def keepComponentMin(reps: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val removed = ConnectedComponents.run(pairs)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    reps.join(removed, Seq(idCol), "left_anti")
+  }
+
   def dedupNearCC(docs: DataFrame, threshold: Double, shingleK: Int = 3,
                   nBands: Int = 4, rowsPerBand: Int = 2,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -300,10 +309,7 @@ object Dedup {
     val pairs = lshCandidatePairs(reps, shingleK, nBands, rowsPerBand, idCol, textCol)
     val verified = jaccardVerify(reps, pairs, shingleK, idCol, textCol)
       .filter(col("jaccard") >= threshold)
-    val removed = ConnectedComponents.run(verified.select(col("id_a"), col("id_b")))
-      .where(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-    reps.join(removed, Seq(idCol), "left_anti")
+    keepComponentMin(reps, verified.select(col("id_a"), col("id_b")), idCol)
   }
 
   /** Distinct word `k`-shingle set of a text column. */
@@ -477,9 +483,6 @@ object Dedup {
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val reps = dedupExact(docs, idCol, textCol)
     val pairs = simHashNearDupPairs(reps, maxHamming, idCol, textCol)
-    val removed = ConnectedComponents.run(pairs.select(col("id_a"), col("id_b")))
-      .where(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-    reps.join(removed, Seq(idCol), "left_anti")
+    keepComponentMin(reps, pairs.select(col("id_a"), col("id_b")), idCol)
   }
 }

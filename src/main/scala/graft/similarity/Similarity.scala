@@ -333,6 +333,9 @@ object Similarity {
     val centroids = spark.read.parquet(s"$dir/centroids")
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("centroid_id").asc)
+    // localCheckpoint: the probe subplan (query scan × centroids + window)
+    // is consumed TWICE — once for the probed-id collect, once inside the
+    // scored join — and would otherwise be evaluated twice
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .join(broadcast(centroids), lit(true))
@@ -340,6 +343,7 @@ object Similarity {
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nProbes)
       .select(col("query_id"), col("q_vec"), col("centroid_id"))
+      .localCheckpoint(true)
     // union of probed centroids: bounded by nCentroids (metadata, not data)
     val probedIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.get(0).toString.toInt).toSeq

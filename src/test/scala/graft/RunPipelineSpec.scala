@@ -84,6 +84,27 @@ class RunPipelineSpec extends SparkSpec {
     assert(out2.contains(""""docs_in":60"""), out2)
   }
 
+  test("--dedup exact passes media-only docs through (empty text is not a duplicate key)") {
+    val base = Files.createTempDirectory("runpipeline5").toString
+    val textDocs = DocGen.docs(spark, 10).toDF()
+      .select(col("doc_id"), col("noisy_spans").as("spans"))
+    // three media-only docs with DIFFERENT media refs: not duplicates of
+    // each other even though their text content is identically empty
+    val mediaOnly = spark.range(3).select(
+      concat(lit("m"), col("id")).as("doc_id"),
+      array(struct(lit("image").as("kind"), lit("").as("text"),
+        concat(lit("media://"), col("id")).as("media_ref"),
+        lit(0).cast("int").as("offset"))).as("spans"))
+    textDocs.unionByName(mediaOnly).write.parquet(s"$base/in")
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "dedup" -> "exact", "buckets" -> "4", "group-size" -> "2"))
+    assert(out.contains(""""docs_in":13"""), out)
+    val written = spark.read.parquet(s"$base/out")
+    assert(written.filter(col("doc_id").startsWith("m")).select("doc_id").distinct().count() == 3,
+      "media-only docs were wrongly collapsed by text dedup")
+  }
+
   test("null corrector passes spans through unchanged") {
     val base = Files.createTempDirectory("runpipeline0").toString
     val docs = DocGen.docs(spark, 50).toDF()

@@ -77,10 +77,12 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfWrite(vecs, dir, nCentroids = 8, iterations = 1)
       val q = vecs.filter($"vec_id" < 4)
       val fromIndex = Similarity.ivfTopKFromIndex(q, dir, k = 3, nProbes = 2)
-      // partition pruning is in the PLAN, not just the result: the parquet
-      // scan must carry a PartitionFilters entry on centroid_id
+      // partition pruning is in the PLAN, not just the result: the corpus
+      // scan must carry centroid_id INSIDE a PartitionFilters bracket (every
+      // FileSourceScan prints an — possibly empty — 'PartitionFilters: [...]',
+      // so contains-both would pass vacuously)
       val plan = fromIndex.queryExecution.executedPlan.toString
-      assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(plan).isDefined,
         s"no partition pruning in plan:\n$plan")
       val got = fromIndex.collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

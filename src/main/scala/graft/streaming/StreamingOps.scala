@@ -92,4 +92,25 @@ object StreamingOps {
       .groupBy(col(langCol), org.apache.spark.sql.functions.window(col(tsCol), window))
       .agg(count(lit(1)).as("n_docs"))
       .select(col(langCol), col("window.start").as("window_start"), col("n_docs"))
+
+  /** Streaming ingest quality gate: per-doc quality score and repetition
+    * signals (the Gopher family), keeping rows with `quality >= minQuality`
+    * and `dup_token_ratio <= maxDupTokenRatio`. Every signal is a NARROW
+    * scan-side expression (the `repetition_signals` codegen'd kernel plus
+    * the quality Column family) — stateless, shuffle-free, identical
+    * semantics on batch and streaming frames, so the same call is the batch
+    * backfill filter. */
+  def qualityGate(docs: DataFrame, textCol: String = "text",
+                  minQuality: Double = 0.3,
+                  maxDupTokenRatio: Double = 0.6): DataFrame = {
+    import graft.textanalysis.TextAnalysis
+    org.apache.spark.sql.graft.RepetitionSignalsExpr.register(docs.sparkSession)
+    docs
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("__rep", call_function("repetition_signals", coalesce(col(textCol), lit(""))))
+      .withColumn("dup_token_ratio", element_at(col("__rep"), 1))
+      .withColumn("dup_bigram_frac", element_at(col("__rep"), 3))
+      .drop("__rep")
+      .filter(col("quality") >= minQuality && col("dup_token_ratio") <= maxDupTokenRatio)
+  }
 }

@@ -130,6 +130,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 1L, 3.0))) // second burst
     assert(rows.contains((2L, 1L, 4.0)))
   }
+
+  test("streaming quality gate filters low-quality/repetitive docs; batch-equivalent") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running ahead"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam"), // dup_token_ratio ~0.9
+      (3L, "@@@ ### !!! ;;; ::: %%% ^^^ &&&")                    // punctuation soup
+    )
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs)
+    val q = StreamingOps.qualityGate(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gated")
+      .outputMode(OutputMode.Append()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val kept = spark.table("gated").select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L), s"gate kept $kept")
+    // stateless + narrow ⇒ identical rows on the batch frame
+    val batch = StreamingOps.qualityGate(docs.toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(batch == kept)
+  }
 }
 
 /** Top-level (no spec outer reference → serializable) corrector that counts

@@ -361,17 +361,18 @@ object SparkEntry {
     }),
 
     // fingerprint-index match join: doc pairs sharing >= 8 winnow
-    // fingerprints (self-equi-join on the 8-byte hash, LSH-band shape; the
-    // synthetic corpus shares a small token vocabulary, so a low threshold
-    // would pass near-quadratic boilerplate pairs — exactly the tuning a
-    // real provenance run does)
+    // fingerprints, with the stop-hash document-frequency cap (df <= 64)
+    // applied before the self-join — boilerplate k-grams shared by hundreds
+    // of docs carry no provenance signal and would emit near-quadratic join
+    // volume (the synthetic corpus's small shared lexicon is exactly the
+    // boilerplate shape a real crawl has)
     "q_winnow_pairs" -> ((s, dir) =>
       graft.textanalysis.Winnowing.matchPairs(
         graft.textanalysis.Winnowing.fingerprintTable(s,
           tbl(s, dir, "documents").select(col("doc_id"),
             substring(col("text"), 1, 200).as("text")),
           k = 8, w = 8),
-        minShared = 8)),
+        minShared = 8, maxDocFreq = 64)),
 
     // Gopher-style repetition/boilerplate signals via the native one-pass
     // kernel (scan-side narrow; relational restatement equivalence-tested)
@@ -867,12 +868,16 @@ object SparkEntry {
              ${Portable.round4Sql("qs[5]")} AS q99
            FROM q""",
 
-      // fingerprint-index match join: distinct (doc, h) per doc, self-join
-      // on the hash, pairs sharing >= 8 fingerprints
+      // fingerprint-index match join: distinct (doc, h) per doc, stop-hash
+      // filter (hashes in more than 64 docs dropped — no provenance signal,
+      // near-quadratic join volume), self-join on the hash, pairs sharing
+      // >= 8 surviving fingerprints
       "q_winnow_pairs" ->
         raw"""$winnowCtes,
-           fp AS (SELECT DISTINCT sel.doc_id, p.h
-                  FROM sel JOIN ph p ON p.doc_id = sel.doc_id AND p.pos = sel.pos)
+           fp0 AS (SELECT DISTINCT sel.doc_id, p.h
+                   FROM sel JOIN ph p ON p.doc_id = sel.doc_id AND p.pos = sel.pos),
+           hdf AS (SELECT h FROM fp0 GROUP BY h HAVING count(*) <= 64),
+           fp AS (SELECT fp0.doc_id, fp0.h FROM fp0 JOIN hdf USING (h))
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
            FROM fp a JOIN fp b ON b.h = a.h AND a.doc_id < b.doc_id
            GROUP BY 1, 2 HAVING count(*) >= 8""",

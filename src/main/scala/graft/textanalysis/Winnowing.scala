@@ -124,15 +124,39 @@ object Winnowing {
    * threshold to the shared-run length you consider meaningful, not to a
    * region count.
    *
-   * Scale shape: DISTINCT (id, h) per doc, then a self-equi-join on the
-   * 8-byte hash — the same banded-join pattern as LSH candidate pairs; a
-   * boilerplate hash shared by many docs is a skewed-but-AQE-split join
-   * key, and only (id, h) pairs cross the shuffle, never text. Returns
-   * `(id_a, id_b, n_shared)` with `id_a < id_b`.
+   * Scale shape: DISTINCT (id, h) per doc, then a **stop-hash filter**, then
+   * a self-equi-join on the 8-byte hash — the same banded-join pattern as
+   * LSH candidate pairs, with only (id, h) pairs crossing the shuffle, never
+   * text. The stop-hash filter is what keeps the join volume LINEAR: a
+   * fingerprint hash appearing in `m` documents emits `m·(m-1)/2` join rows,
+   * so boilerplate k-grams (headers, license lines, templated phrases — the
+   * synthetic corpus's shared lexicon at bench scale, navigation chrome at
+   * web scale) generate near-quadratic intermediate volume that no AQE skew
+   * split can shrink (the rows are real output of the join, not a skewed
+   * task). Hashes whose document frequency exceeds `maxDocFreq` are dropped
+   * BEFORE the join — the standard stop-fingerprint rule of winnowing/
+   * MOSS-style provenance indexes (a fingerprint shared by everyone carries
+   * no provenance signal). With the cap, join volume per hash is bounded by
+   * `maxDocFreq²/2` and total volume by `maxDocFreq/2 · |fps|` — linear in
+   * corpus size (asserted in WinnowingSpec). The dropped hot set itself is
+   * tiny (at most `|fps| / maxDocFreq` hashes) and joins back anti-wise
+   * broadcast-sized.
+   *
+   * `maxDocFreq <= 0` disables the cap (exhaustive semantics — only safe on
+   * bounded inputs). Returns `(id_a, id_b, n_shared)` with `id_a < id_b`,
+   * where `n_shared` counts shared sub-cap fingerprints.
    */
   def matchPairs(fps: DataFrame, minShared: Long = 2,
-                 idCol: String = "doc_id"): DataFrame = {
-    val d = fps.select(col(idCol), col("h")).distinct()
+                 idCol: String = "doc_id", maxDocFreq: Long = 64): DataFrame = {
+    val d0 = fps.select(col(idCol), col("h")).distinct()
+    val d =
+      if (maxDocFreq <= 0) d0
+      else {
+        val hot = d0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") > maxDocFreq)
+          .select(col("h"))
+        d0.join(hot, Seq("h"), "left_anti")
+      }
     val a = d.select(col(idCol).as("id_a"), col("h"))
     val b = d.select(col(idCol).as("id_b"), col("h"))
     a.join(b, Seq("h"))

@@ -91,6 +91,41 @@ class WinnowingSpec extends SparkSpec {
     assert(got.contains(wantShared.toLong))
   }
 
+  test("matchPairs stop-hash cap: boilerplate hashes dropped, join volume linear, real matches kept") {
+    val k = 5; val w = 4; val cap = 16L
+    val rng = new scala.util.Random(23)
+    def rand(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    // 60 docs all opening with the same boilerplate run (df of its
+    // fingerprints = 60 > cap) + two docs sharing a UNIQUE long region
+    val boiler = rand(3 * (w + k))
+    val sharedRare = rand(3 * (w + k))
+    val docs = (0 until 60).map(i => (i.toLong, boiler + rand(25))) ++
+      Seq((100L, rand(25) + sharedRare), (101L, rand(30) + sharedRare))
+    val fps = Winnowing.fingerprintTable(spark, docs.toDF("doc_id", "text"), k, w)
+
+    val capped = Winnowing.matchPairs(fps, minShared = 2, maxDocFreq = cap)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    // the unique-region pair survives; no pair exists on boilerplate alone
+    assert(capped.contains((100L, 101L)))
+    assert(!capped.exists(p => p._1 < 60L && p._2 < 60L),
+      s"boilerplate-only pairs leaked through the cap: $capped")
+    // without the cap the 60-doc boilerplate cluster explodes into ~60²/2 pairs
+    val uncapped = Winnowing.matchPairs(fps, minShared = 2, maxDocFreq = 0)
+      .as[(Long, Long, Long)].collect()
+    assert(uncapped.count(p => p._1 < 60L && p._2 < 60L) > 1000)
+
+    // volume bound: after the cap, join input per hash has df <= cap, so
+    // Σ df² <= cap · Σ df — join output grows LINEARLY with corpus size
+    // (the uncapped Σ df² is dominated by the df=60 boilerplate hashes)
+    val df = fps.select($"h", $"doc_id").distinct()
+      .groupBy($"h").count().as[(Long, Long)].collect()
+    val cappedDf = df.filter(_._2 <= cap)
+    val sumSqCapped = cappedDf.map(d => d._2 * d._2).sum
+    assert(sumSqCapped <= cap * cappedDf.map(_._2).sum)
+    assert(df.map(d => d._2 * d._2).sum > 10 * sumSqCapped,
+      "fixture too tame: uncapped quadratic mass should dwarf the capped mass")
+  }
+
   test("winnowing guarantee: docs sharing a substring of length w+k-1 share a fingerprint") {
     val k = 5; val w = 4
     val rng = new scala.util.Random(13)

@@ -95,27 +95,39 @@ object ConnectedComponents {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    var edgeCount = edges.count()
 
-    var converged = edgeCount == 0L
+    // (cardinality, order-independent xor of per-edge hashes) in ONE pass —
+    // the per-round convergence probe. xor (unlike sum) cannot overflow
+    // under ANSI arithmetic and is a set invariant because both edge sets
+    // are distinct; a collision merely triggers the exact confirm below.
+    def summary(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edgeSummary = summary(edges)
+
+    var converged = edgeSummary._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       // localCheckpoint: truncate lineage so round r's plan does not embed
       // rounds 0..r-1 (the classic iterative-algorithm plan blowup), and
-      // materialize for the exact set-equality convergence check below
+      // materialize for the convergence probe below
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nextCount = next.count()
-      // exact, not probabilistic: both sides are distinct sets, so equal
-      // cardinality + empty difference ⇔ identical edge sets
-      converged = nextCount == edgeCount &&
-        next.exceptAll(edges).isEmpty
+      val nextSummary = summary(next)
+      // one action per round: (count, xor-hash) equality is a cheap filter
+      // that is wrong only on a 64-bit xor collision, so the exact
+      // set-equality confirm (`exceptAll`) runs ONLY on summary ties —
+      // in practice exactly once, at the fixpoint. Exactness is preserved:
+      // both sides are distinct sets, so equal cardinality + empty
+      // difference ⇔ identical edge sets.
+      converged = nextSummary == edgeSummary && next.exceptAll(edges).isEmpty
       edges = next
-      edgeCount = nextCount
+      edgeSummary = nextSummary
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIter rounds ($edgeCount edges)")
+        s"connectedComponents did not converge within $maxIter rounds (${edgeSummary._1} edges)")
 
     // At the fixpoint the edge set is a star forest rooted at component
     // minima: every non-root carries exactly (member, root). The min() is a

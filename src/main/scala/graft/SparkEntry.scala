@@ -294,22 +294,20 @@ object SparkEntry {
         TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))),
 
-    // components materialized once (tokens, ratios) — inlining them into the
-    // five metrics would re-evaluate each interpreted HOF per metric
-    "q_quality" -> ((s, dir) =>
+    // all five metrics from ONE call of the native one-pass kernel (the
+    // Column component family is the equivalence witness in TextAnalysisSpec;
+    // codegen subexpression elimination evaluates the kernel once per row)
+    "q_quality" -> ((s, dir) => {
+      val q = TextAnalysis.qualitySignals(s, col("text"))
       tbl(s, dir, "documents")
-        .withColumn("__toks", TextAnalysis.wsTokens(col("text")))
-        .withColumn("__ltoks", TextAnalysis.wsTokens(lower(col("text"))))
-        .withColumn("__alpha", TextAnalysis.alphaRatio(col("text")))
-        .withColumn("__punct", TextAnalysis.punctRatio(col("text")))
-        .withColumn("__stopr", TextAnalysis.stopwordRatioOf(col("__ltoks")))
+        .withColumn("__q", q)
         .select(col("doc_id"),
-          Portable.round4(col("__alpha")).as("alpha_ratio"),
-          Portable.round4(col("__punct")).as("punct_ratio"),
-          Portable.round4(col("__stopr")).as("stopword_ratio"),
-          Portable.round4(TextAnalysis.meanTokenLenOf(col("__toks"))).as("mean_token_len"),
-          Portable.round4(TextAnalysis.qualityFrom(
-            size(col("__toks")), col("__alpha"), col("__stopr"), col("__punct"))).as("quality"))),
+          Portable.round4(element_at(col("__q"), 1)).as("alpha_ratio"),
+          Portable.round4(element_at(col("__q"), 2)).as("punct_ratio"),
+          Portable.round4(element_at(col("__q"), 3)).as("stopword_ratio"),
+          Portable.round4(element_at(col("__q"), 4)).as("mean_token_len"),
+          Portable.round4(element_at(col("__q"), 5)).as("quality"))
+    }),
 
     "q_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),

@@ -102,15 +102,33 @@ object StreamingOps {
     * backfill filter. */
   def qualityGate(docs: DataFrame, textCol: String = "text",
                   minQuality: Double = 0.3,
-                  maxDupTokenRatio: Double = 0.6): DataFrame = {
+                  maxDupTokenRatio: Double = 0.6): DataFrame =
+    qualityGateAnnotated(docs, textCol, minQuality, maxDupTokenRatio)
+      .filter(col("keep")).drop("keep")
+
+  /** The gate's decision surface without the filter: every input row
+    * annotated with `quality`, `dup_token_ratio`, `dup_bigram_frac` and the
+    * boolean `keep` — the form audits and the `q_quality_gate` oracle check
+    * consume (the filtered [[qualityGate]] is exactly `keep == true`).
+    *
+    * Null-text policy is EXPLICIT: a null document carries no text evidence,
+    * so BOTH signal families score it as the empty document (text coalesced
+    * to `''` → quality 0, zero repetition) and the gate rejects it through
+    * the ordinary quality threshold — no implicit null-propagation drop. */
+  def qualityGateAnnotated(docs: DataFrame, textCol: String = "text",
+                           minQuality: Double = 0.3,
+                           maxDupTokenRatio: Double = 0.6): DataFrame = {
     import graft.textanalysis.TextAnalysis
     org.apache.spark.sql.graft.RepetitionSignalsExpr.register(docs.sparkSession)
+    val t = coalesce(col(textCol), lit(""))
     docs
-      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
-      .withColumn("__rep", call_function("repetition_signals", coalesce(col(textCol), lit(""))))
+      .withColumn("__q", TextAnalysis.qualitySignals(docs.sparkSession, t))
+      .withColumn("__rep", call_function("repetition_signals", t))
+      .withColumn("quality", element_at(col("__q"), 5))
       .withColumn("dup_token_ratio", element_at(col("__rep"), 1))
       .withColumn("dup_bigram_frac", element_at(col("__rep"), 3))
-      .drop("__rep")
-      .filter(col("quality") >= minQuality && col("dup_token_ratio") <= maxDupTokenRatio)
+      .withColumn("keep",
+        col("quality") >= minQuality && col("dup_token_ratio") <= maxDupTokenRatio)
+      .drop("__q", "__rep")
   }
 }

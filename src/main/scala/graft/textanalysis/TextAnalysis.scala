@@ -98,6 +98,19 @@ object TextAnalysis {
   def qualityScore(text: Column): Column =
     qualityFrom(wsTokenCount(text), alphaRatio(text), stopwordRatio(text), punctRatio(text))
 
+  /**
+   * Native one-pass quality kernel: array of `[alpha_ratio, punct_ratio,
+   * stopword_ratio, mean_token_len, quality, n_tokens]` — see
+   * [[org.apache.spark.sql.graft.QualitySignals]]. Scan-side NARROW, one
+   * codegen'd call instead of three interpreted HOF lambdas per row;
+   * value-identical to the Column component family above (equivalence-tested
+   * in TextAnalysisSpec). Null-in/null-out. Registration is idempotent.
+   */
+  def qualitySignals(spark: org.apache.spark.sql.SparkSession, text: Column): Column = {
+    org.apache.spark.sql.graft.QualitySignalsExpr.register(spark)
+    call_function("quality_signals", text)
+  }
+
   /** 128-bit content fingerprint (md5 hex of the normalized text) — exact
     * dedup / lineage key. */
   def contentFingerprint(text: Column): Column = graft.dedup.Dedup.fingerprint(text)

@@ -89,6 +89,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == Seq(0.0, 0.0, 0.0))
   }
 
+  test("quality signals: kernel ≡ Column component family on random texts") {
+    val rng = new scala.util.Random(19)
+    val words = Vector("the", "and", "alpha", "beta", "x!", "y.y", "\"q\"", "{z}",
+      "ß", "日本", "ÄÖÜ", "for", "42", "--", "(a)")
+    val texts: Seq[(Long, Option[String])] = (0 until 300).map { i =>
+      val n = rng.nextInt(12)
+      (i.toLong, Option((0 until n).map(_ => words(rng.nextInt(words.length)))
+        .mkString(if (rng.nextBoolean()) " " else "\t ")))
+    } :+ (300L, Some("")) :+ (301L, Some("   ")) :+ (302L, Some("ONE the THE one")) :+
+      (303L, None) // null text: null-in/null-out in both forms
+    val df = texts.toDF("doc_id", "text")
+    val kernel = df.select($"doc_id", TextAnalysis.qualitySignals(spark, $"text").as("q"))
+      .select($"doc_id", element_at($"q", 1), element_at($"q", 2), element_at($"q", 3),
+        element_at($"q", 4), element_at($"q", 5), element_at($"q", 6))
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double], Option[Double], Option[Double])].collect().sortBy(_._1).toSeq
+    val column = df
+      .withColumn("__toks", TextAnalysis.wsTokens($"text"))
+      .withColumn("__ltoks", TextAnalysis.wsTokens(lower($"text")))
+      .withColumn("__alpha", TextAnalysis.alphaRatio($"text"))
+      .withColumn("__punct", TextAnalysis.punctRatio($"text"))
+      .withColumn("__stopr", TextAnalysis.stopwordRatioOf($"__ltoks"))
+      .select($"doc_id", $"__alpha", $"__punct", $"__stopr",
+        TextAnalysis.meanTokenLenOf($"__toks"),
+        TextAnalysis.qualityFrom(size($"__toks"), $"__alpha", $"__stopr", $"__punct"),
+        size($"__toks").cast("double"))
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double], Option[Double], Option[Double])].collect().sortBy(_._1).toSeq
+    // bit-identical on every non-null text
+    assert(kernel.filterNot(_._1 == 303L) == column.filterNot(_._1 == 303L))
+    // null text: the kernel is null-in/null-out on ALL signals; the Column
+    // composite is a known quirk — Spark's least/greatest SKIP nulls, so
+    // qualityFrom(null, null, null, null) collapses to greatest(least(null,
+    // 1.0), 0.0) = 1.0. Callers that may see null text must coalesce first
+    // (qualityGateAnnotated does) — this assertion documents the divergence.
+    assert(kernel.find(_._1 == 303L).get ==
+      ((303L, None, None, None, None, None, None)))
+    assert(column.find(_._1 == 303L).get ==
+      ((303L, None, None, None, None, Some(1.0), None)))
+  }
+
+  test("quality signals: kernel stopword list matches TextAnalysis.stopwords") {
+    // hand case using every stopword once: ratio must be |stopwords| / total
+    val t = (TextAnalysis.stopwords ++ Seq("zebra", "quark")).mkString(" ")
+    val r = Seq((0L, t)).toDF("doc_id", "text")
+      .select(element_at(TextAnalysis.qualitySignals(spark, $"text"), 3)).head().getDouble(0)
+    assert(r == TextAnalysis.stopwords.size.toDouble / (TextAnalysis.stopwords.size + 2))
+  }
+
   test("repetition signals: kernel ≡ relational restatement on random texts") {
     val rng = new scala.util.Random(7)
     val words = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "ß", "日本")

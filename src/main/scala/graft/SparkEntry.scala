@@ -398,6 +398,22 @@ object SparkEntry {
         .select(col("doc_id"), col("token"),
           Portable.round4(col("score")).as("score"))),
 
+    // composed BM25 per-doc score — the cross-term sum itself, folded in
+    // token order on both engines so the accumulation order is contractual
+    "q_bm25_doc" -> ((s, dir) =>
+      Relevance.bm25(tbl(s, dir, "documents"), Bm25QueryTerms)
+        .select(col("doc_id"), Portable.round4(col("score")).as("score"))),
+
+    // the streaming ingest gate's full decision surface in batch form:
+    // quality + dup_token_ratio signals and the boolean keep verdict (the
+    // gate filter is exactly keep = 1); thresholds are the gate defaults
+    "q_quality_gate" -> ((s, dir) =>
+      graft.streaming.StreamingOps.qualityGateAnnotated(tbl(s, dir, "documents"))
+        .select(col("doc_id"),
+          Portable.round4(col("quality")).as("quality"),
+          Portable.round4(col("dup_token_ratio")).as("dup_token_ratio"),
+          col("keep").cast("long").as("keep"))),
+
     // ---- similarity search over embeddings ----
     "q_embed_norm" -> ((s, dir) =>
       tbl(s, dir, "embeddings").select(col("vec_id"),
@@ -548,6 +564,21 @@ object SparkEntry {
       foldSum(s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))")
     def normSql(a: String) =
       s"sqrt(${foldSum(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+    // shared BM25 statistics chain (tokens → tf → dl → corpus stats →
+    // query-term postings → df) and the per-term score expression — used
+    // unrounded by q_bm25_doc and rounded per-term by q_bm25
+    val bm25Ctes =
+      raw"""WITH ltk AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS token FROM documents),
+         tf0 AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                 FROM ltk WHERE length(token) > 0 GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf0 GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+         tf AS (SELECT * FROM tf0 WHERE token IN (${Bm25QueryTerms.map("'" + _ + "'").mkString(", ")})),
+         df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)"""
+    val bm25ScoreSql =
+      s"""ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         * CAST(tf AS DOUBLE) * ${Relevance.DefaultK1 + 1.0}
+         / (CAST(tf AS DOUBLE) + ${Relevance.DefaultK1} * (${1.0 - Relevance.DefaultB} + ${Relevance.DefaultB} * CAST(dl AS DOUBLE) / avgdl))"""
     // shared SimHash signature pipeline (token md5 votes → 32 sign bits)
     val simhashCte =
       raw"""WITH tk AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS tok FROM documents),
@@ -928,19 +959,53 @@ object SparkEntry {
       // through DuckDB's parser — spelling k1+1 as the literal 2.2 would
       // cast to a DIFFERENT double than Scala's 1.2 + 1.0)
       "q_bm25" ->
-        raw"""WITH ltk AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS token FROM documents),
-           tf0 AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-                   FROM ltk WHERE length(token) > 0 GROUP BY 1, 2),
-           dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf0 GROUP BY 1),
-           st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
-           tf AS (SELECT * FROM tf0 WHERE token IN (${Bm25QueryTerms.map("'" + _ + "'").mkString(", ")})),
-           df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        raw"""$bm25Ctes
            SELECT tf.doc_id, tf.token,
-             ${Portable.round4Sql(
-               s"""ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-                  * CAST(tf AS DOUBLE) * ${Relevance.DefaultK1 + 1.0}
-                  / (CAST(tf AS DOUBLE) + ${Relevance.DefaultK1} * (${1.0 - Relevance.DefaultB} + ${Relevance.DefaultB} * CAST(dl AS DOUBLE) / avgdl))""")} AS score
+             ${Portable.round4Sql(bm25ScoreSql)} AS score
            FROM tf JOIN df USING (token) JOIN dl USING (doc_id), st""",
+
+      // composed per-doc BM25: per-term scores UNROUNDED, then the
+      // cross-term sum folded in token order (list(... ORDER BY token) +
+      // list_reduce — the same deterministic accumulation Relevance.bm25
+      // does with array_sort + aggregate), rounded once at the end
+      "q_bm25_doc" ->
+        raw"""$bm25Ctes,
+           ts AS (SELECT tf.doc_id, tf.token, $bm25ScoreSql AS score
+                  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), st)
+           SELECT doc_id,
+             ${Portable.round4Sql(
+               "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(score ORDER BY token)), (a, x) -> a + x)")} AS score
+           FROM ts GROUP BY doc_id""",
+
+      // the ingest gate's decision surface: the q_quality quality chain +
+      // the q_repetition dup-token chain + the boolean keep verdict computed
+      // on the UNROUNDED signals (exactly what qualityGateAnnotated filters
+      // on); signals rounded for display only
+      "q_quality_gate" ->
+        raw"""WITH f AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0) AS lt,
+             len(regexp_extract_all(lower(text), '[a-z ]')) * 1.0 / length(text) AS alpha,
+             len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) * 1.0 / length(text) AS punct,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0) AS t
+             FROM documents),
+           g AS (SELECT doc_id, alpha, punct,
+             len(list_filter(lt, x -> x IN (${graft.textanalysis.TextAnalysis.stopwords.map("'" + _ + "'").mkString(",")}))) * 1.0 / len(lt) AS stopr,
+             len(t) AS nt FROM f),
+           q AS (SELECT doc_id,
+             greatest(least(least(nt / 100.0, 1.0) * 0.3 + alpha * 0.4 + stopr * 0.3 - punct * 0.5, 1.0), 0.0) AS quality
+             FROM g),
+           dtk AS (SELECT doc_id, tok FROM (
+                     SELECT doc_id, unnest(string_split($normText, ' ')) AS tok FROM documents) u
+                   WHERE length(tok) > 0),
+           dts AS (SELECT doc_id, count(*) AS nt_total, count(DISTINCT tok) AS nt_distinct
+                   FROM dtk GROUP BY 1),
+           d AS (SELECT q.doc_id, q.quality,
+                 COALESCE(1.0 - CAST(nt_distinct AS DOUBLE) / CAST(nt_total AS DOUBLE), 0.0) AS dup
+                 FROM q LEFT JOIN dts ON dts.doc_id = q.doc_id)
+           SELECT doc_id, ${Portable.round4Sql("quality")} AS quality,
+             ${Portable.round4Sql("dup")} AS dup_token_ratio,
+             CAST(CASE WHEN quality >= 0.3 AND dup <= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS keep
+           FROM d""",
 
       "q_embed_norm" ->
         raw"""SELECT vec_id, floor(${normSql("embedding")} * 10000 + 0.5) / 10000 AS nrm

@@ -111,10 +111,20 @@ object Relevance {
         (idf * col("tf") * lit(k1 + 1.0) / norm).as("score"))
   }
 
-  /** BM25 document scores: `(id, score)`, matched docs only. */
+  /** BM25 document scores: `(id, score)`, matched docs only. The cross-term
+    * sum folds the per-term scores IN TOKEN ORDER (collect → sort → fold)
+    * rather than `sum()`: floating-point addition is not associative, so a
+    * partition-order-dependent sum can flip the last ulp between runs and
+    * engines — this form is deterministic and oracle-reproducible
+    * (`q_bm25_doc`). Scale-safe: the collected list is bounded by the
+    * query's term count per doc (partial-aggregatable, never corpus-wide). */
   def bm25(docs: DataFrame, queryTerms: Seq[String],
            k1: Double = DefaultK1, b: Double = DefaultB,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     bm25Terms(docs, queryTerms, k1, b, idCol, textCol)
-      .groupBy(col(idCol)).agg(sum("score").as("score"))
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("token"), col("score")))),
+          x => x("score")),
+        lit(0.0), (a, x) => a + x).as("score"))
 }

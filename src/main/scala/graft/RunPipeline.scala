@@ -19,7 +19,14 @@ import graft.pipeline.CheckpointedRun
  *                                  #   making `cer` the corrected-vs-input drift)
  *   [--vocab /data/vocab]          # pre-trained (token, freq) parquet; else trained from --clean
  *   [--corrector noisy|dictionary|null] [--min-freq 2]
- *   [--dedup none|exact]           # exact-duplicate collapse BEFORE correction
+ *   [--dedup none|exact|near-lsh[:threshold]|near-cc[:threshold]|near-simhash[:maxHamming]]
+ *                                  # duplicate collapse BEFORE correction:
+ *                                  #   exact        = normalized-text fingerprint groups
+ *                                  #   near-lsh:t   = + MinHash-LSH candidates, star-wise
+ *                                  #                  Jaccard >= t verification (default t 0.9)
+ *                                  #   near-cc:t    = + full pair verification and exact
+ *                                  #                  transitive clusters (Jaccard >= t)
+ *                                  #   near-simhash:d = + SimHash Hamming <= d clusters (default d 3)
  *   [--run-id run1] [--spans-col spans] [--clean-spans-col spans]
  *   [--buckets 64] [--group-size 8] [--salted true]
  * }}}
@@ -56,27 +63,45 @@ object RunPipeline {
     try println(run(spark, a)) finally spark.stop()
   }
 
-  /** Exact-duplicate collapse over the interleaved-docs table — the
-    * standard web-pipeline order (dedup BEFORE the expensive correction
-    * kernel; every duplicate removed here saves a full correction pass).
-    * The dedup key is the normalized concatenation of the TEXT spans, and
-    * the group-min survivor rule is [[graft.dedup.Dedup.dedupExact]] itself
-    * (one definition of the rule, one hash-agg + semi join carrying
-    * (16-byte fp, doc_id) only). Docs with NO text content (media-only
-    * spans, null spans) pass through untouched — an empty text makes them
-    * text-identical to each other, not duplicates of anything. */
-  private def dedupDocsExact(docs: org.apache.spark.sql.DataFrame,
-                             spansCol: String): org.apache.spark.sql.DataFrame = {
+  /** Duplicate collapse over the interleaved-docs table — the standard
+    * web-pipeline order (dedup BEFORE the expensive correction kernel; every
+    * duplicate removed here saves a full correction pass). The dedup key is
+    * the normalized concatenation of the TEXT spans, and the survivor rules
+    * are the [[graft.dedup.Dedup]] operators themselves (one definition per
+    * rule; shuffles carry fingerprints/signatures + doc ids only, never
+    * span arrays). Docs with NO text content (media-only spans, null spans)
+    * pass through untouched — an empty text makes them text-identical to
+    * each other, not duplicates of anything.
+    *
+    * `mode` grammar: `exact`, `near-lsh[:threshold]`, `near-cc[:threshold]`,
+    * `near-simhash[:maxHamming]` — the near modes all run the exact collapse
+    * first (inside their Dedup operators) and differ in candidate
+    * generation / verification / cluster semantics (see Dedup scaladoc). */
+  private def dedupDocs(docs: org.apache.spark.sql.DataFrame,
+                        spansCol: String, mode: String): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.Dedup
+    def arg(default: Double): Double =
+      mode.split(":", 2) match {
+        case Array(_, v) => v.toDouble
+        case _ => default
+      }
     val txt = concat_ws(" ",
       transform(filter(col(spansCol), sp => sp.getField("kind") === "text"),
         sp => sp.getField("text")))
     val tagged = docs.withColumn("__txt", txt)
-      .withColumn("__n", coalesce(length(graft.dedup.Dedup.normalizeText(col("__txt"))), lit(0)))
+      .withColumn("__n", coalesce(length(Dedup.normalizeText(col("__txt"))), lit(0)))
     val hasText = tagged.where(col("__n") > 0)
     val noText = tagged.where(col("__n") === 0)
-    graft.dedup.Dedup.dedupExact(hasText, "doc_id", "__txt")
-      .unionByName(noText)
-      .drop("__txt", "__n")
+    val deduped = mode.takeWhile(_ != ':') match {
+      case "exact" => Dedup.dedupExact(hasText, "doc_id", "__txt")
+      case "near-lsh" => Dedup.dedupNearLsh(hasText, arg(0.9), idCol = "doc_id", textCol = "__txt")
+      case "near-cc" => Dedup.dedupNearCC(hasText, arg(0.9), idCol = "doc_id", textCol = "__txt")
+      case "near-simhash" =>
+        Dedup.dedupNearSimHash(hasText, arg(3.0).toInt, idCol = "doc_id", textCol = "__txt")
+      case other => sys.error(
+        s"unknown --dedup $other (none|exact|near-lsh[:t]|near-cc[:t]|near-simhash[:d])")
+    }
+    deduped.unionByName(noText).drop("__txt", "__n")
   }
 
   /** The submitted job, factored from [[main]] so tests drive it with their
@@ -105,11 +130,7 @@ object RunPipeline {
 
     val t0 = System.nanoTime()
     val docs0 = spark.read.parquet(input)
-    val docs = dedupMode match {
-      case "none" => docs0
-      case "exact" => dedupDocsExact(docs0, spansCol)
-      case other => sys.error(s"unknown --dedup $other (none|exact)")
-    }
+    val docs = if (dedupMode == "none") docs0 else dedupDocs(docs0, spansCol, dedupMode)
     val cleanDocs = if (clean == input) docs else spark.read.parquet(clean)
 
     val corrector = correctorName match {
@@ -138,13 +159,24 @@ object RunPipeline {
     // docs_in comes from the staged bucketed copy WHILE it exists (an
     // empty-projection parquet count — footers only), inside the timed run;
     // a post-run docs.count() would re-execute the whole upstream plan a
-    // second time outside wall_sec. 0 when an already-complete run resumes
-    // (nothing staged, nothing processed).
-    var docsIn = 0L
+    // second time outside wall_sec. It is the POST-dedup count; the raw
+    // input count and the dedup delta are reported alongside so artifact
+    // consumers can compute the dedup ratio without re-reading the input.
+    // All three are null (not 0) when an already-complete run resumes —
+    // nothing was staged or processed, and a literal 0 would read as "the
+    // input was empty".
+    var docsIn: Option[Long] = None
     val m = CheckpointedRun.run(spark, docs, cleanDocs, corrector, output, state, runId,
       spansCol = spansCol, nBuckets = nBuckets, groupSize = groupSize,
       salted = salted, lineage = lineage, cleanSpansCol = cleanSpansCol,
-      stageToken = stageToken, onStaged = staged => docsIn = staged.count())
+      stageToken = stageToken, onStaged = staged => docsIn = Some(staged.count()))
+    // pre-dedup count: a footer-metadata parquet count of the raw input (no
+    // dedup plan attached); skipped entirely on a no-op resume, and equal to
+    // docs_in by definition when dedup is off
+    val docsInPre: Option[Long] =
+      if (docsIn.isEmpty) None
+      else if (dedupMode == "none") docsIn
+      else Some(docs0.count())
     val total = CheckpointedRun.metrics(spark, state, runId)
     val sec = (System.nanoTime() - t0) / 1e9
 
@@ -152,7 +184,11 @@ object RunPipeline {
     // null — an empty run's 0/0 cer must not emit bare NaN) + escaped strings
     def num(fmt: String, v: Double) = Portable.jsonNum(fmt, v)
     def jsonStr(x: String) = Portable.jsonStr(x)
-    s"""{"run_id":${jsonStr(runId)},"docs_in":$docsIn,"spans_this_invocation":${m.n},""" +
+    def optLong(o: Option[Long]) = o.map(_.toString).getOrElse("null")
+    val dedupRemoved = for (pre <- docsInPre; post <- docsIn) yield pre - post
+    s"""{"run_id":${jsonStr(runId)},"docs_in":${optLong(docsIn)},""" +
+      s""""docs_in_pre":${optLong(docsInPre)},"dedup_removed":${optLong(dedupRemoved)},""" +
+      s""""spans_this_invocation":${m.n},""" +
       s""""spans_total":${total.n},"cer":${num("%.4f", total.avgDistance)},""" +
       s""""pct_perfect":${num("%.4f", total.percentPerfect)},"wall_sec":${num("%.1f", sec)},""" +
       s""""spans_per_sec":${num("%.1f", if (sec > 0) m.n / sec else 0.0)},"state":${jsonStr(state)}}"""

@@ -24,11 +24,15 @@ class RunPipelineSpec extends SparkSpec {
     val written = spark.read.parquet(s"$base/out")
     assert(written.select("doc_id").distinct().count() == 200)
 
-    // re-submitting the same command is a no-op resume: all buckets done
+    // re-submitting the same command is a no-op resume: all buckets done,
+    // and the input-count fields are null (nothing staged), not a bogus 0
     val again = RunPipeline.run(spark, Map(
       "input" -> s"$base/in", "output" -> s"$base/out", "clean" -> s"$base/truth",
       "buckets" -> "8", "group-size" -> "3", "min-freq" -> "2"))
     assert(again.contains(""""spans_this_invocation":0"""))
+    assert(again.contains(""""docs_in":null"""), again)
+    assert(again.contains(""""docs_in_pre":null"""), again)
+    assert(again.contains(""""dedup_removed":null"""), again)
   }
 
   test("non-default --spans-col works without a clean table") {
@@ -103,6 +107,60 @@ class RunPipelineSpec extends SparkSpec {
     val written = spark.read.parquet(s"$base/out")
     assert(written.filter(col("doc_id").startsWith("m")).select("doc_id").distinct().count() == 3,
       "media-only docs were wrongly collapsed by text dedup")
+  }
+
+  /** One-text-span docs with 60 per-doc-unique tokens (`w<j>x<id>`), plus a
+    * variant under a LARGER id with `nExtra` appended tokens: appending only
+    * ADDS word shingles, so shingle-Jaccard(base, +k tokens) = 58/(58+k) —
+    * a controlled near-dup similarity dial. */
+  private def longDocs(n: Int, tag: String, nExtra: Int) = {
+    val toks = (0 until 60).map(j => concat(lit(s"w${j}x"), col("id")))
+    val extra = (0 until nExtra).map(j => lit(s"tail$j"))
+    spark.range(n).select(
+      concat(lit(tag), col("id")).as("doc_id"),
+      array(struct(lit("text").as("kind"),
+        concat_ws(" ", (toks ++ extra): _*).as("text"),
+        lit("").as("media_ref"), lit(0).cast("int").as("offset"))).as("spans"))
+  }
+
+  test("--dedup near-lsh collapses NEAR-duplicate docs (not exact copies) end-to-end") {
+    val base = Files.createTempDirectory("runpipeline6").toString
+    // near-dup under a LARGER id: 3 extra tokens (J = 58/61 ≈ 0.95) — NOT an
+    // exact duplicate, so --dedup exact keeps all 40
+    longDocs(20, "", 0).union(longDocs(20, "z", 3)).write.parquet(s"$base/in")
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "dedup" -> "near-lsh:0.9", "buckets" -> "4", "group-size" -> "2"))
+    assert(out.contains(""""docs_in":20"""), out)
+    assert(out.contains(""""docs_in_pre":40"""), out)
+    assert(out.contains(""""dedup_removed":20"""), out)
+    val written = spark.read.parquet(s"$base/out")
+    assert(written.select("doc_id").distinct().count() == 20)
+    assert(written.filter(col("doc_id").startsWith("z")).count() == 0,
+      "a near-duplicate (non-min id) doc survived --dedup near-lsh")
+    // exact mode on the same input keeps all 40 (they are not exact dups)
+    val out2 = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out2", "corrector" -> "null",
+      "dedup" -> "exact", "buckets" -> "4", "group-size" -> "2"))
+    assert(out2.contains(""""docs_in":40"""), out2)
+    assert(out2.contains(""""dedup_removed":0"""), out2)
+  }
+
+  test("--dedup near-cc collapses a near-dup CHAIN to one survivor") {
+    val base = Files.createTempDirectory("runpipeline7").toString
+    // chain per doc at threshold 0.93: base~y (58/61 ≈ 0.951 ✓), y~z (61/64 ≈
+    // 0.953 ✓), but base~z (58/64 ≈ 0.906 ✗) — only TRANSITIVE clustering
+    // collapses all three to the base doc
+    longDocs(8, "", 0).union(longDocs(8, "y", 3)).union(longDocs(8, "z", 6))
+      .write.parquet(s"$base/in")
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "dedup" -> "near-cc:0.93", "buckets" -> "4", "group-size" -> "2"))
+    assert(out.contains(""""docs_in":8"""), out)
+    assert(out.contains(""""dedup_removed":16"""), out)
+    val written = spark.read.parquet(s"$base/out")
+    assert(written.select("doc_id").distinct().count() == 8)
+    assert(written.filter(col("doc_id").startsWith("y") || col("doc_id").startsWith("z")).count() == 0)
   }
 
   test("null corrector passes spans through unchanged") {

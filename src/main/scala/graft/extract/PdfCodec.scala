@@ -136,10 +136,9 @@ object PdfCodec extends Serializable {
       }
       val raw = s.substring(body, end)
       if (!dict.contains("/Filter")) out += ((owningObj(i), raw))
-      else if (isPlainFlate(dict))
-        inflate(raw.getBytes("ISO-8859-1")).foreach { b =>
-          out += ((owningObj(i), new String(b, "ISO-8859-1")))
-        }
+      else decodeFiltered(dict, raw.getBytes("ISO-8859-1")).foreach { b =>
+        out += ((owningObj(i), new String(b, "ISO-8859-1")))
+      }
       val after = s.indexOf("endstream", end)
       if (after < 0) return out.toSeq
       i = after + "endstream".length
@@ -164,20 +163,250 @@ object PdfCodec extends Serializable {
     re.findFirstMatchIn(s).map(_.group(1).toLong)
   }
 
-  /** SINGLE FlateDecode filter only: bare name, or a one-element array whose
-    * `]` must follow immediately — `/Filter [/FlateDecode /ASCII85Decode]`
-    * is a multi-stage pipeline whose inflate output is still encoded, and
-    * feeding it to the content parser would fabricate garbage boxes. */
-  private val FlateFilterRe = raw"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])".r
-  private val DecodeParmsOkRe =
-    raw"/DecodeParms\s*(?:null|<<\s*/Predictor\s+1\s*>>)".r
+  // ---- filter pipeline decode ----
 
-  /** Stream we can inflate: single FlateDecode filter, no predictor (absent,
-    * null, or explicit Predictor 1). PNG/TIFF row predictors (>1) need a
-    * second decode pass we don't implement — those streams are skipped. */
-  private def isPlainFlate(dict: String): Boolean =
-    FlateFilterRe.findFirstIn(dict).isDefined &&
-      (!dict.contains("/DecodeParms") || DecodeParmsOkRe.findFirstIn(dict).isDefined)
+  private val FilterValRe = raw"/Filter\s*(?:/(\w+)|\[([^\]]*)\])".r
+  private val NameRe = raw"/(\w+)".r
+
+  /** Filter names in DECODE order (PDF 32000-1 §7.4.1: an array lists the
+    * filters in the order they must be applied to decode). */
+  private def filterNames(dict: String): Seq[String] =
+    FilterValRe.findFirstMatchIn(dict).toSeq.flatMap { m =>
+      if (m.group(1) != null) Seq(m.group(1))
+      else NameRe.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
+    }
+
+  /** Per-filter DecodeParms dict bodies aligned with [[filterNames]]: the
+    * array form yields one entry per `null`/`<<...>>` token; the single-dict
+    * form applies to the (sole) parms-bearing filter we handle, FlateDecode.
+    * Predictor dicts never nest, so the non-greedy `<<(.*?)>>` is exact. */
+  private val ParmsArrayRe = raw"(?s)/DecodeParms\s*\[((?:\s*(?:null|<<.*?>>))*)\s*\]".r
+  private val ParmsDictRe = raw"(?s)/DecodeParms\s*<<(.*?)>>".r
+  private val ParmsTokenRe = raw"(?s)null|<<(.*?)>>".r
+
+  private def parmsFor(dict: String, filters: Seq[String]): Seq[Option[String]] =
+    ParmsArrayRe.findFirstMatchIn(dict) match {
+      case Some(m) =>
+        val toks = ParmsTokenRe.findAllMatchIn(m.group(1))
+          .map(t => Option(t.group(1))).toSeq
+        filters.indices.map(i => toks.lift(i).flatten)
+      case None =>
+        val single = ParmsDictRe.findFirstMatchIn(dict).map(_.group(1))
+        filters.map(f => if (f == "FlateDecode") single else None)
+    }
+
+  private def intParm(parms: Option[String], key: String, default: Int): Int =
+    parms.flatMap(p => raw"/$key\s+(\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt))
+      .getOrElse(default)
+
+  /**
+   * Run the stream's declared filter pipeline: `FlateDecode` (with TIFF
+   * predictor 2 and PNG predictors 10–15 from `/DecodeParms`) and
+   * `ASCII85Decode`, chained in declaration order — covers pdflatex/
+   * Ghostscript output (`/Flate + /DecodeParms << /Predictor 12 ... >>`) and
+   * the classic `[/ASCII85Decode /FlateDecode]` mail-safe chain. Any other
+   * filter (DCT, LZW, CCITT, crypt) needs a real codec → None, and the
+   * caller skips the stream (documents where nothing decodes fall back to
+   * the stub, exactly as before).
+   */
+  private def decodeFiltered(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
+    val filters = filterNames(dict)
+    if (filters.isEmpty) return None
+    val parms = parmsFor(dict, filters)
+    filters.zip(parms).foldLeft(Option(data)) {
+      case (None, _) => None
+      case (Some(bytes), ("ASCII85Decode", _)) => ascii85Decode(bytes)
+      case (Some(bytes), ("FlateDecode", p)) =>
+        inflate(bytes).flatMap { inflated =>
+          intParm(p, "Predictor", 1) match {
+            case 1 => Some(inflated)
+            case 2 => unTiffPredictor(inflated, intParm(p, "Columns", 1),
+              intParm(p, "Colors", 1), intParm(p, "BitsPerComponent", 8))
+            case pr if pr >= 10 && pr <= 15 =>
+              unPngPredictor(inflated, intParm(p, "Columns", 1),
+                intParm(p, "Colors", 1), intParm(p, "BitsPerComponent", 8))
+            case _ => None
+          }
+        }
+      case _ => None // unsupported filter in the chain
+    }
+  }
+
+  /** Undo PNG row filtering (predictors 10–15 all mean "PNG, per-row filter
+    * byte"; RFC 2083 §6): each row = 1 type byte + ceil(columns·colors·bpc/8)
+    * data bytes; types 0–4 = None/Sub/Up/Average/Paeth against the previous
+    * byte (`bpp` back) and the prior row. Truncated/ragged data → None. */
+  private def unPngPredictor(data: Array[Byte], columns: Int,
+                             colors: Int, bpc: Int): Option[Array[Byte]] = {
+    if (columns <= 0 || colors <= 0 || bpc <= 0) return None
+    val rowBytes = (columns * colors * bpc + 7) / 8
+    val bpp = math.max(1, colors * bpc / 8)
+    if (rowBytes <= 0 || data.length % (rowBytes + 1) != 0) return None
+    val nRows = data.length / (rowBytes + 1)
+    val out = new Array[Byte](nRows * rowBytes)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * (rowBytes + 1)) & 0xff
+      if (ft > 4) return None
+      val src = r * (rowBytes + 1) + 1
+      val dst = r * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val x = data(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val above = if (r > 0) out(dst - rowBytes + i) & 0xff else 0
+        val upLeft = if (r > 0 && i >= bpp) out(dst - rowBytes + i - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + above
+          case 3 => x + ((left + above) >> 1)
+          case 4 => // Paeth
+            val p = left + above - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - above); val pc = math.abs(p - upLeft)
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) above else upLeft)
+        }
+        out(dst + i) = (recon & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** Undo TIFF predictor 2 (horizontal differencing; 8-bit components only —
+    * sub-byte TIFF differencing is a tag-2 rarity not worth the bit math). */
+  private def unTiffPredictor(data: Array[Byte], columns: Int,
+                              colors: Int, bpc: Int): Option[Array[Byte]] = {
+    if (bpc != 8 || columns <= 0 || colors <= 0) return None
+    val rowBytes = columns * colors
+    if (data.length % rowBytes != 0) return None
+    val out = data.clone()
+    var r = 0
+    while (r < out.length / rowBytes) {
+      var i = colors
+      while (i < rowBytes) {
+        out(r * rowBytes + i) =
+          ((out(r * rowBytes + i) + out(r * rowBytes + i - colors)) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** ASCII85 decode (PDF 32000-1 §7.4.3): 5 chars `!`–`u` → 4 bytes, `z` →
+    * four zero bytes, whitespace skipped, `~` ends the stream, a final
+    * partial group of n chars yields n−1 bytes (padded with `u`). Hostile
+    * input (chars out of range, lone final char, group overflow) → None. */
+  private def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val group = new Array[Int](5)
+    var gi = 0
+    var i = 0
+    // skip an optional leading "<~"
+    if (data.length >= 2 && data(0) == '<' && data(1) == '~') i = 2
+    var done = false
+    def emit(n: Int): Boolean = { // n = chars in group (2..5)
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + (if (j < n) group(j) else 84); j += 1 }
+      if (v > 0xffffffffL) return false
+      var k = 0
+      while (k < n - 1) { out.write(((v >>> (24 - 8 * k)) & 0xff).toInt); k += 1 }
+      true
+    }
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '~') done = true
+      else if (c == 'z' && gi == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      else if (c >= '!' && c <= 'u') {
+        group(gi) = c - '!'
+        gi += 1
+        if (gi == 5) { if (!emit(5)) return None; gi = 0 }
+      } else if (!Character.isWhitespace(c)) return None
+      i += 1
+    }
+    if (gi == 1) return None // a lone trailing char encodes nothing
+    if (gi >= 2 && !emit(gi)) return None
+    Some(out.toByteArray)
+  }
+
+  /** PNG-filter rows for [[encode]] (inverse of [[unPngPredictor]], bpp 1):
+    * predictor 12 emits all-Up rows (the common generator shape); 15 cycles
+    * row filters 0–4 so a round-trip exercises every unfilter branch; other
+    * 10–14 values pin the corresponding single filter. */
+  private def pngPredict(data: Array[Byte], rowBytes: Int, predictor: Int): Array[Byte] = {
+    val nRows = data.length / rowBytes
+    val out = new Array[Byte](nRows * (rowBytes + 1))
+    var r = 0
+    while (r < nRows) {
+      val ft = predictor match {
+        case 15 => r % 5
+        case p => math.min(4, math.max(0, p - 10))
+      }
+      out(r * (rowBytes + 1)) = ft.toByte
+      var i = 0
+      while (i < rowBytes) {
+        val x = data(r * rowBytes + i) & 0xff
+        val left = if (i >= 1) data(r * rowBytes + i - 1) & 0xff else 0
+        val above = if (r > 0) data((r - 1) * rowBytes + i) & 0xff else 0
+        val upLeft = if (r > 0 && i >= 1) data((r - 1) * rowBytes + i - 1) & 0xff else 0
+        val f = ft match {
+          case 0 => x
+          case 1 => x - left
+          case 2 => x - above
+          case 3 => x - ((left + above) >> 1)
+          case 4 =>
+            val p = left + above - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - above); val pc = math.abs(p - upLeft)
+            x - (if (pa <= pb && pa <= pc) left else if (pb <= pc) above else upLeft)
+        }
+        out(r * (rowBytes + 1) + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** TIFF predictor-2 differencing for [[encode]] (colors 1, bpc 8). */
+  private def tiffPredict(data: Array[Byte], rowBytes: Int): Array[Byte] = {
+    val out = data.clone()
+    var r = 0
+    while (r < data.length / rowBytes) {
+      var i = rowBytes - 1
+      while (i >= 1) {
+        out(r * rowBytes + i) =
+          ((data(r * rowBytes + i) - data(r * rowBytes + i - 1)) & 0xff).toByte
+        i -= 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** ASCII85 encode (for [[encode]]'s chain fixtures + round-trip tests). */
+  private[extract] def ascii85Encode(data: Array[Byte]): String = {
+    val sb = new StringBuilder(data.length * 5 / 4 + 8)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (if (j < n) data(i + j) & 0xff else 0); j += 1 }
+      if (v == 0 && n == 4) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var k = 4
+        var x = v
+        while (k >= 0) { cs(k) = ('!' + (x % 85).toInt).toChar; x /= 85; k -= 1 }
+        sb.appendAll(cs, 0, n + 1)
+      }
+      i += n
+    }
+    sb.append("~>").toString
+  }
 
   /** Inflate cap: a content stream that expands past this is a zip bomb, not
     * a page — 64 MiB of text operators is ~3 orders of magnitude beyond any
@@ -314,11 +543,21 @@ object PdfCodec extends Serializable {
     * `compress` emits each content stream `/Filter /FlateDecode` via
     * `java.util.zip.Deflater` (round-trip exercise for [[inflate]]);
     * `textOp` selects the show-text form: 0 = `(s) Tj` literal, 1 =
-    * kerned `[(a) -120 (b)] TJ` array, 2 = `<hex> Tj` hex string. */
+    * kerned `[(a) -120 (b)] TJ` array, 2 = `<hex> Tj` hex string.
+    * `predictor` (with `compress`) applies PNG row filtering before deflate
+    * and declares `/DecodeParms << /Predictor p /Columns n >>` — 12 uses
+    * Up rows (the pdflatex/Ghostscript shape), 15 cycles all five PNG row
+    * filters, 2 is TIFF horizontal differencing; content is space-padded to
+    * a row multiple (whitespace is operator-neutral in a content stream).
+    * `ascii85` additionally wraps the deflated bytes and declares the
+    * `[/ASCII85Decode /FlateDecode]` chain (parms as an aligned array). */
   def encode(
       pages: Seq[Seq[(Double, Double, Either[String, String])]],
       compress: Boolean = false,
-      textOp: Int = 0): Array[Byte] = {
+      textOp: Int = 0,
+      predictor: Int = 1,
+      predictorColumns: Int = 24,
+      ascii85: Boolean = false): Array[Byte] = {
     // object ids assigned up front (contents, font, pages, page tree,
     // catalog) so every reference — including each page's /Parent — is
     // emitted directly; a post-hoc placeholder substitution would also
@@ -357,16 +596,34 @@ object PdfCodec extends Serializable {
       val body =
         if (!compress) cs.toString
         else {
+          var bytes = cs.toString.getBytes("ISO-8859-1")
+          if (predictor >= 2) {
+            // pad to a whole number of rows, then apply the predictor's
+            // row transform (the decoder inverts it post-inflate)
+            val rowBytes = predictorColumns
+            val padded = bytes.padTo(
+              ((bytes.length + rowBytes - 1) / rowBytes) * rowBytes, ' '.toByte)
+            bytes =
+              if (predictor == 2) tiffPredict(padded, rowBytes)
+              else pngPredict(padded, rowBytes, predictor)
+          }
           val defl = new java.util.zip.Deflater()
-          defl.setInput(cs.toString.getBytes("ISO-8859-1"))
+          defl.setInput(bytes)
           defl.finish()
           val out = new java.io.ByteArrayOutputStream(cs.length)
           val buf = new Array[Byte](8192)
           while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
           defl.end()
-          new String(out.toByteArray, "ISO-8859-1")
+          if (ascii85) ascii85Encode(out.toByteArray)
+          else new String(out.toByteArray, "ISO-8859-1")
         }
-      val filter = if (compress) " /Filter /FlateDecode" else ""
+      val parmsDict = s"<< /Predictor $predictor /Columns $predictorColumns >>"
+      val filter =
+        if (!compress) ""
+        else if (ascii85) " /Filter [/ASCII85Decode /FlateDecode]" +
+          (if (predictor >= 2) s" /DecodeParms [null $parmsDict]" else "")
+        else " /Filter /FlateDecode" +
+          (if (predictor >= 2) s" /DecodeParms $parmsDict" else "")
       obj(cid, s"<< /Length ${body.length}$filter >>\nstream\n$body\nendstream")
     }
     obj(fontId, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")

@@ -190,11 +190,15 @@ class ExtractSpec extends SparkSpec {
           }
         }
       }
-      // every encoder configuration must round-trip identically: plain and
-      // Flate-compressed streams × literal-Tj / kerned-TJ / hex show-text
+      // every encoder configuration must round-trip identically: plain /
+      // Flate / predictor-filtered / ASCII85-chained streams × literal-Tj /
+      // kerned-TJ / hex show-text
       val compress = r.nextBoolean()
       val textOp = r.nextInt(3)
-      val parsed = PdfCodec.parse(PdfCodec.encode(pages, compress, textOp))
+      val predictor = if (!compress) 1 else Seq(1, 2, 12, 15)(r.nextInt(4))
+      val ascii85 = compress && r.nextBoolean()
+      val parsed = PdfCodec.parse(
+        PdfCodec.encode(pages, compress, textOp, predictor, 24, ascii85))
       val want = pages.zipWithIndex.flatMap { case (boxes, p) =>
         boxes.collect {
           case (_, _, Left(t)) if t.nonEmpty => (p, t, false)
@@ -202,8 +206,55 @@ class ExtractSpec extends SparkSpec {
         }
       }
       val got = parsed.map(b => (b.page, b.text, b.isFigure))
-      assert(got == want, s"trial $trial (compress=$compress textOp=$textOp): $got != $want")
+      assert(got == want,
+        s"trial $trial (compress=$compress textOp=$textOp predictor=$predictor ascii85=$ascii85): $got != $want")
     }
+  }
+
+  test("pdf codec: PNG/TIFF predictors and the ASCII85+Flate chain decode exactly") {
+    import graft.extract.PdfCodec
+    val pages = Seq(
+      Seq((50.0, 700.0, Left("predictor row one (with) \\ escapes"): Either[String, String]),
+        (50.0, 660.0, Left("predictor row two"): Either[String, String]),
+        (50.0, 620.0, Right("Im7"): Either[String, String])),
+      Seq((50.0, 700.0, Left("second page"): Either[String, String])))
+    val plain = PdfCodec.parse(PdfCodec.encode(pages))
+    // PNG Up rows (pdflatex/Ghostscript shape), all-five-filters cycle,
+    // TIFF differencing — each must decode identically to the plain form
+    for (pred <- Seq(12, 15, 2)) {
+      val got = PdfCodec.parse(PdfCodec.encode(pages, compress = true, predictor = pred))
+      assert(got == plain, s"predictor $pred diverged")
+    }
+    // the classic mail-safe chain, with and without a predictor (the parms
+    // array aligns null to ASCII85Decode and the dict to FlateDecode)
+    val chain = PdfCodec.parse(PdfCodec.encode(pages, compress = true, ascii85 = true))
+    assert(chain == plain, "ASCII85+Flate chain diverged")
+    val chainPred = PdfCodec.parse(
+      PdfCodec.encode(pages, compress = true, predictor = 15, ascii85 = true))
+    assert(chainPred == plain, "ASCII85+Flate+predictor chain diverged")
+  }
+
+  test("pdf codec: unsupported filters in a chain and hostile ASCII85 fall back to nothing") {
+    import graft.extract.PdfCodec
+    def doc(filter: String, body: String) =
+      (s"%PDF-1.4\n1 0 obj\n<< /Length ${body.length} $filter >>\nstream\n" +
+        body + "\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    // LZW anywhere in the chain: no codec → no boxes, no throw
+    assert(PdfCodec.parse(doc("/Filter [/LZWDecode /FlateDecode]", "xxxx")).isEmpty)
+    assert(PdfCodec.parse(doc("/Filter [/ASCII85Decode /LZWDecode]", "xxxx")).isEmpty)
+    // garbage ASCII85 (out-of-range chars, lone trailing digit, overflow group)
+    assert(PdfCodec.parse(doc("/Filter /ASCII85Decode", "\u00ff\u00fe junk")).isEmpty)
+    assert(PdfCodec.parse(doc("/Filter [/ASCII85Decode /FlateDecode]", "zzzz!")).isEmpty)
+    assert(PdfCodec.parse(doc("/Filter [/ASCII85Decode /FlateDecode]", "uuuuu")).isEmpty)
+    // predictor with ragged data (not a row multiple) → skipped, no throw
+    val defl = {
+      val d = new java.util.zip.Deflater(); d.setInput("abc".getBytes); d.finish()
+      val o = new java.io.ByteArrayOutputStream(); val b = new Array[Byte](64)
+      while (!d.finished()) o.write(b, 0, d.deflate(b)); d.end()
+      new String(o.toByteArray, "ISO-8859-1")
+    }
+    assert(PdfCodec.parse(doc(
+      "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 24 >>", defl)).isEmpty)
   }
 
   test("pdf codec: filtered streams and non-PDF bytes decode to nothing (stub fallback)") {

@@ -178,6 +178,40 @@ object Similarity {
    * `centroid_id` (at production scale: write partitioned by it, so probes
    * prune partitions).
    */
+  /** (centroid_id, unit centroid) pairs sorted by id — ids stay explicit
+    * because a Lloyd step can empty a centroid, leaving gaps. The collect is
+    * broadcast-small by construction (nCentroids rows). */
+  private def unitCentroids(c: DataFrame): Array[(Int, Array[Double])] =
+    c.select(col("centroid_id"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .map { case (id, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (id, if (n == 0.0) v else v.map(_ / n))
+      }
+
+  /** Assign every row of `df` to its nearest centroid — SHUFFLE-FREE: the
+    * unit centroids are embedded as literal arrays and each row computes its
+    * argmax dot product in one narrow projection (`argmax_c cos(v, c) =
+    * argmax_c v·ĉ`); ties go to the FIRST (lowest-id) centroid via
+    * array_position — the same (csim desc, centroid_id asc) rule a windowed
+    * form would use, without the window's full shuffle. */
+  private def assignWithCentroids(df: DataFrame, centroids: DataFrame,
+                                  vecCol: String): DataFrame = {
+    val cents = unitCentroids(centroids)
+    val centLit = array(cents.map { case (_, v) => array(v.map(lit): _*) }: _*)
+    val idLit = array(cents.map(p => lit(p._1)): _*)
+    val dots = transform(centLit, cv =>
+      aggregate(zip_with(col(vecCol), cv, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x))
+    df
+      .withColumn("__dots", dots)
+      .withColumn("centroid_id",
+        element_at(idLit,
+          array_position(col("__dots"), array_max(col("__dots"))).cast("int")))
+      .drop("__dots")
+  }
+
   def ivfIndex(corpus: DataFrame, nCentroids: Int, iterations: Int = 1,
                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     var centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
@@ -186,34 +220,7 @@ object Similarity {
         row_number().over(Window.orderBy(col("tmp_id"))).cast("int") - 1)
       .select(col("centroid_id"), col("centroid"))
 
-    // (centroid_id, unit centroid) pairs sorted by id — ids stay explicit
-    // because a Lloyd step can empty a centroid, leaving gaps.
-    def unitCentroids(c: DataFrame): Array[(Int, Array[Double])] =
-      c.select(col("centroid_id"), col("centroid")).collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
-        .map { case (id, v) =>
-          val n = math.sqrt(v.map(x => x * x).sum)
-          (id, if (n == 0.0) v else v.map(_ / n))
-        }
-
-    def assign(c: DataFrame): DataFrame = {
-      val cents = unitCentroids(c)
-      val centLit = array(cents.map { case (_, v) => array(v.map(lit): _*) }: _*)
-      val idLit = array(cents.map(p => lit(p._1)): _*)
-      // dots(i) = v · ĉ_i; argmax with ties to the FIRST (lowest-id) centroid
-      // via array_position — the same (csim desc, centroid_id asc) rule the
-      // windowed form used, without the window's full shuffle.
-      val dots = transform(centLit, cv =>
-        aggregate(zip_with(col(vecCol), cv, (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, x) => acc + x))
-      corpus
-        .withColumn("__dots", dots)
-        .withColumn("centroid_id",
-          element_at(idLit,
-            array_position(col("__dots"), array_max(col("__dots"))).cast("int")))
-        .drop("__dots")
-    }
+    def assign(c: DataFrame): DataFrame = assignWithCentroids(corpus, c, vecCol)
 
     var it = 0
     while (it < iterations) {
@@ -315,6 +322,31 @@ object Similarity {
     val (centroids, assigned) = ivfIndex(corpus, nCentroids, iterations, idCol, vecCol)
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/corpus")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /**
+   * Incrementally append a batch to a persisted IVF index: the batch is
+   * assigned against the EXISTING centroid table (one broadcast-small read +
+   * one shuffle-free narrow scan of the batch — no re-clustering, no touch
+   * of the already-indexed corpus) and appended into the
+   * `centroid_id`-partitioned corpus directory, where subsequent probes see
+   * it through the same partition pruning. This is the production ingest
+   * path: index cost per batch is O(batch), not O(corpus).
+   *
+   * WHEN TO REBUILD instead of append: assignment quality assumes the
+   * centroids still describe the data. Rebuild ([[ivfWrite]]) when the
+   * embedding distribution drifts — operationally, when the fraction of new
+   * vectors landing in one centroid grows far beyond `1/nCentroids`
+   * (skewing partition sizes and probe cost), or the mean batch-to-assigned-
+   * centroid similarity trends down across appends. Centroids are
+   * immutable between rebuilds by design: moving them would invalidate the
+   * partition layout of everything already written.
+   */
+  def ivfAppend(newBatch: DataFrame, dir: String,
+                idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = newBatch.sparkSession.read.parquet(s"$dir/centroids")
+    assignWithCentroids(newBatch, centroids, vecCol)
+      .write.mode("append").partitionBy("centroid_id").parquet(s"$dir/corpus")
   }
 
   /**

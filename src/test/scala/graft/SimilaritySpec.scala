@@ -94,6 +94,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index: incremental append is probed through the same pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    try {
+      Similarity.ivfWrite(vecs, dir, nCentroids = 8, iterations = 1)
+      // append clones of the first 4 vectors under new ids: identical
+      // embeddings → assigned to the SAME centroid partitions as their
+      // originals, so a probe for the original must surface the clone
+      val batch = vecs.filter($"vec_id" < 4).withColumn("vec_id", $"vec_id" + 10000L)
+      Similarity.ivfAppend(batch, dir)
+      val q = vecs.filter($"vec_id" < 4)
+      val fromIndex = Similarity.ivfTopKFromIndex(q, dir, k = 3, nProbes = 2)
+      // pruning assertion unchanged after the append
+      val plan = fromIndex.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(plan).isDefined,
+        s"no partition pruning in plan after append:\n$plan")
+      val byQuery = fromIndex.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (0L until 4L).foreach { id =>
+        assert(byQuery(id).contains(id + 10000L),
+          s"appended clone of $id not found via the index probe: ${byQuery(id)}")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF assignment is shuffle-free (no Exchange in the assigned plan)") {
     val (_, assigned) = Similarity.ivfIndex(vecs, nCentroids = 8, iterations = 1)
     val plan = assigned.queryExecution.executedPlan.toString

@@ -29,7 +29,8 @@ object Bench {
     "q_ann_topk", "q_lsh_ann_bands", "q_cosine_neardup", "q_join_agg",
     "q_window_events", "q_sessionize", "q_decode_stop",
     "q_dedup_cc", "q_tfidf", "q_bm25", "q_repetition", "q_winnow",
-    "q_corpus_rollup", "q_winnow_pairs", "q_len_quantiles")
+    "q_corpus_rollup", "q_winnow_pairs", "q_len_quantiles",
+    "q_bm25_doc", "q_quality_gate")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

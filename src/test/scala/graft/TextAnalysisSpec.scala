@@ -128,6 +128,21 @@ class TextAnalysisSpec extends SparkSpec {
       ((303L, None, None, None, None, Some(1.0), None)))
   }
 
+  test("quality signals: one kernel eval feeds all five q_quality outputs (codegen CSE)") {
+    val df = Seq((0L, "the quick brown fox")).toDF("doc_id", "text")
+      .withColumn("__q", TextAnalysis.qualitySignals(spark, $"text"))
+      .select($"doc_id", element_at($"__q", 1).as("a"), element_at($"__q", 2).as("p"),
+        element_at($"__q", 3).as("s"), element_at($"__q", 4).as("m"), element_at($"__q", 5).as("q"))
+    // narrow: no exchange, no generate
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("generate"), plan)
+    // whole-stage codegen subexpression elimination: five element_at outputs,
+    // ONE QualityKernel.signals call in the generated code
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(codegen.split("QualityKernel.signals").length - 1 <= 2,
+      s"kernel not shared across outputs:\n${codegen.take(2000)}")
+  }
+
   test("quality signals: kernel stopword list matches TextAnalysis.stopwords") {
     // hand case using every stopword once: ratio must be |stopwords| / total
     val t = (TextAnalysis.stopwords ++ Seq("zebra", "quark")).mkString(" ")

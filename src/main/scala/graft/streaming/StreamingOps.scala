@@ -1,10 +1,23 @@
 package graft.streaming
 
+import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.correct.Corrector
 import graft.dedup.Dedup
 import graft.model.{Doc, Span}
+
+/** Per-fingerprint dedup state carried by [[StreamingOps.dedupStreamWithCounts]]:
+  * the surviving doc id and how many duplicates it has absorbed so far. */
+case class FpDedupState(keep_id: String, n_dups: Long)
+
+/** Output row of [[StreamingOps.dedupStreamWithCounts]]: `event = "keep"`
+  * emits the survivor the moment its fingerprint first appears (n_dups 0 at
+  * that point); `event = "final"` is the accounting record emitted when the
+  * fingerprint's state times out past the watermark — the survivor id with
+  * its total absorbed duplicate count. */
+case class FpDedupEvent(text_fp: String, doc_id: String, event: String, n_dups: Long)
 
 /**
  * Structured Streaming forms of the pipeline's operators.
@@ -70,6 +83,74 @@ object StreamingOps {
       .withColumn("text_fp", Dedup.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_fp")
+
+  /**
+   * Streaming exact dedup WITH duplicate accounting — the custom-state form
+   * (`KeyValueGroupedDataset.flatMapGroupsWithState`) of [[dedupStream]].
+   * `dropDuplicatesWithinWatermark` can only DROP duplicates; corpus
+   * curation also wants to know HOW MANY each survivor absorbed (duplicate
+   * mass is a quality/popularity weight for the survivor downstream). Per
+   * content fingerprint:
+   *
+   *  - the FIRST doc is emitted immediately (`event = "keep"`) — the
+   *    survivor flows on with no latency;
+   *  - later docs with the same fingerprint are absorbed into a counter in
+   *    the group state (never emitted);
+   *  - when the fingerprint's event-time timeout fires (last seen + `gap`,
+   *    evaluated against the watermark), one accounting row
+   *    (`event = "final"`, total `n_dups`) is emitted and the state is
+   *    freed — state stays bounded by the watermark horizon exactly like
+   *    the built-in operator.
+   *
+   * Within a micro-batch, rows are ordered by (event time, doc id) so the
+   * survivor choice is deterministic under replay. Scale shape: state is
+   * one (string, long) per DISTINCT in-horizon fingerprint, partitioned by
+   * fingerprint — the same shuffle key as the built-in dedup.
+   */
+  def dedupStreamWithCounts(docs: DataFrame, tsCol: String, textCol: String,
+                            idCol: String, watermark: String = "10 minutes",
+                            gapMs: Long = 10 * 60 * 1000L): Dataset[FpDedupEvent] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs
+      .withColumn("__fp", Dedup.fingerprint(col(textCol)))
+      .select(col("__fp"), col(tsCol).cast("timestamp").as("__ts"),
+        col(idCol).cast("string").as("__id"))
+      // watermark AFTER the projection: renaming/casting the event-time
+      // column severs the EventTimeWatermark marker, and event-time timeout
+      // refuses to run without one on its input
+      .withWatermark("__ts", watermark)
+      .as[(String, Timestamp, String)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (fp: String, rows: Iterator[(String, Timestamp, String)],
+       state: GroupState[FpDedupState]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(FpDedupEvent(fp, s.keep_id, "final", s.n_dups))
+        } else {
+          val batch = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+          var s = state.getOption
+          val out = Seq.newBuilder[FpDedupEvent]
+          batch.foreach { case (_, _, id) =>
+            s match {
+              case None =>
+                s = Some(FpDedupState(id, 0L))
+                out += FpDedupEvent(fp, id, "keep", 0L)
+              case Some(st) =>
+                s = Some(st.copy(n_dups = st.n_dups + 1))
+            }
+          }
+          s.foreach(state.update)
+          // timeout = last event seen + gap; EventTimeTimeout fires once the
+          // WATERMARK passes it, so eviction is replay-deterministic
+          state.setTimeoutTimestamp(batch.last._2.getTime + gapMs)
+          out.result().iterator
+        }
+    }
+  }
 
   /** Watermarked event-time sessionization: one row per (user, session
     * window) with event count and value sum — the streaming analog of the

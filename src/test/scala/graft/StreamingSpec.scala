@@ -108,6 +108,45 @@ class StreamingSpec extends SparkSpec {
       s"expected the recurrence to survive eviction: ${ids.toSeq}")
   }
 
+  test("custom-state dedup (flatMapGroupsWithState): survivor immediate, dup counts on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Long)]
+    val df = stream.toDF().toDF("ts", "text", "id")
+    val q = StreamingOps.dedupStreamWithCounts(df, "ts", "text", "id",
+      watermark = "5 minutes", gapMs = 5 * 60 * 1000L)
+      .writeStream.format("memory").queryName("dedup_counts")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // batch 1: first appearance (survivor, emitted immediately) + one dup
+      stream.addData(Seq(
+        (ts(0), "the quick brown fox", 1L),
+        (ts(1), "THE  quick brown fox", 2L), // dup after normalization
+        (ts(1), "unrelated text here", 3L)))
+      q.processAllAvailable()
+      val afterB1 = spark.table("dedup_counts")
+        .select("doc_id", "event", "n_dups").as[(String, String, Long)].collect().toSet
+      assert(afterB1 == Set(("1", "keep", 0L), ("3", "keep", 0L)), s"got $afterB1")
+      // batch 2: another dup, then advance the watermark far past the gap →
+      // the fingerprint's state times out and emits its accounting row
+      stream.addData(Seq((ts(3), "the quick  BROWN fox", 4L)))
+      q.processAllAvailable()
+      stream.addData(Seq((Timestamp.valueOf("2026-01-01 13:00:00"), "late mover", 9L)))
+      q.processAllAvailable()
+      stream.addData(Seq((Timestamp.valueOf("2026-01-01 13:30:00"), "even later", 10L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dedup_counts")
+      .select("doc_id", "event", "n_dups").as[(String, String, Long)].collect().toSet
+    // survivor 1 absorbed ids 2 and 4; survivor 3 absorbed none; both finals
+    // emitted after their timeouts (the 13:30 batch advances the watermark
+    // past the 13:00 batch's fingerprints too — not asserted for id 9/10
+    // finals since their timeout needs yet another watermark advance)
+    assert(rows.contains(("1", "final", 2L)), s"got $rows")
+    assert(rows.contains(("3", "final", 0L)), s"got $rows")
+    assert(!rows.exists(r => (r._1 == "2" || r._1 == "4") && r._2 == "keep"),
+      "a duplicate was emitted as survivor")
+  }
+
   test("watermarked session windows close after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Double)]

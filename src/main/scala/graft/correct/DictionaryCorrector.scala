@@ -1,7 +1,7 @@
 package graft.correct
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{Span, SpanRow}
 
@@ -123,7 +123,10 @@ object DictionaryCorrector {
                               minFrequency: Long, maxDist: Int = Int.MaxValue): DataFrame = {
     val vocab = vocabDf.filter(col("freq") >= minFrequency)
       .select(col("token").as("cand"), col("freq"))
-    val dl = udf((a: String, b: String) => graft.text.DamerauLevenshtein.distanceBanded(a, b))
+    // native codegen'd kernel, not a Scala UDF: the distance runs inside the
+    // broadcast theta-join's WholeStageCodegen span with no serde per pair
+    org.apache.spark.sql.graft.DamerauLevenshteinExpr.register(tokens.sparkSession)
+    val dl = (a: Column, b: Column) => call_function("dl_distance", a, b)
     val distinctTokens = tokens.select(col("token")).distinct()
     val inVocab = distinctTokens.join(vocab, col("token") === col("cand"), "left_semi")
       .select(col("token"), col("token").as("corrected"))

@@ -191,6 +191,84 @@ object DamerauLevenshtein {
   }
 
   /**
+   * Threshold-bounded OSA distance: returns `min(distance(s1, s2), k + 1)`
+   * in O(min(m,n)*k) time and O(k) space (vs the full DP's O(m*n)).
+   *
+   * Soundness of the k-band (Ukkonen): every unit-cost edit that moves the
+   * alignment off the main diagonal (insert/delete) costs 1, and a
+   * transposition keeps the diagonal offset unchanged, so any alignment of
+   * cost <= k never leaves |i - j| <= k. Cells outside the band can only
+   * lie on paths of cost > k, hence the banded DP computes the exact
+   * distance whenever it is <= k and a value > k otherwise — which this
+   * method clamps to k+1. That makes any comparison of the full distance
+   * against a literal threshold t <= k decision-equivalent on the bounded
+   * value (min(d, k+1) preserves the <, =, > relation to every t <= k).
+   *
+   * Early exit: when the minima of two consecutive DP rows both exceed k,
+   * no later cell can drop back (paths advance one row per indel/sub and
+   * two rows per transposition, so every path to a later row passes through
+   * one of the two), and the scan aborts.
+   */
+  def distanceWithin(s1: String, s2: String, k: Int): Int = {
+    if (k < 0) return 0 // degenerate threshold: every distance exceeds it
+    val over = k + 1
+    var a = codePoints(s1)
+    var b = codePoints(s2)
+    if (a.length < b.length) { val t = a; a = b; b = t }
+    val m = a.length
+    val n = b.length
+    if (m - n > k) return over // indel lower bound already exceeds k
+    if (n == 0) return math.min(m, over)
+    val d = k
+    val width = 2 * d + 1
+    val Inf = Int.MaxValue / 4
+
+    // Same shifted-band layout as distanceBandedCp: col = d + (colT - row).
+    var row2 = Array.fill(width)(Inf)
+    var row1 = Array.fill(width)(Inf)
+    var row0 = Array.fill(width)(Inf)
+    row1(d) = 0
+    var s = 1
+    while (s <= d && s <= m) { row1(d + s) = s * CostIndel; s += 1 }
+    var prevMin = 0
+    var row = 1
+    while (row <= n) {
+      java.util.Arrays.fill(row0, Inf)
+      var rowMin = Inf
+      var shift = -d
+      while (shift <= d) {
+        val colT = row + shift
+        if (colT >= 0 && colT <= m) {
+          val col = d + shift
+          val v =
+            if (colT == 0) row1(col + 1) + CostIndel
+            else {
+              val fromLeft  = if (col == 0) Inf else row0(col - 1) + CostIndel
+              val fromAbove = if (col == width - 1) Inf else row1(col + 1) + CostIndel
+              var fromDiag  = row1(col)
+              if (a(colT - 1) != b(row - 1)) fromDiag += CostSub
+              var best = math.min(math.min(fromLeft, fromAbove), fromDiag)
+              if (row >= 2 && colT >= 2 && a(colT - 1) == b(row - 2) && a(colT - 2) == b(row - 1)) {
+                val swap = row2(col) + CostSwap
+                if (swap < best) best = swap
+              }
+              best
+            }
+          row0(col) = v
+          if (v < rowMin) rowMin = v
+        }
+        shift += 1
+      }
+      if (rowMin > k && prevMin > k) return over
+      prevMin = rowMin
+      val t = row2; row2 = row1; row1 = row0; row0 = t
+      row += 1
+    }
+    val res = row1(d + (m - n))
+    if (res > k) over else res
+  }
+
+  /**
    * Normalized distance `dist / len(correct)` (code points).
    * Reference: edit_distance.py:126-131. Guards the `len(correct)==0`
    * division (the reference crashes without its eval-side filter,

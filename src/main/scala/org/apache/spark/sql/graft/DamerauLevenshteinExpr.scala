@@ -83,10 +83,15 @@ object DamerauLevenshteinExpr {
 /** `SparkSessionExtensions` injector:
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     DamerauLevenshteinExpr.functions.foreach { case (name, _, v) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[DamerauLevenshteinExpr].getName, name),
         (children: Seq[Expression]) => DamerauLevenshteinExpr(children(0), children(1), v)))
     }
+    ext.injectFunction((FunctionIdentifier("dl_distance_within"),
+      new ExpressionInfo(classOf[DlWithinExpr].getName, "dl_distance_within"),
+      (children: Seq[Expression]) => DlWithinExpr(children(0), children(1), children(2))))
+    ext.injectOptimizerRule(_ => BandedDistanceRewrite)
+  }
 }

@@ -99,4 +99,35 @@ class EditDistanceSpec extends AnyFunSuite {
       assert(distance(a, b) <= lev(a, b))
     }
   }
+
+  test("property: distanceWithin(a, b, k) == min(full, k+1) (800 random cases)") {
+    val r = new scala.util.Random(47)
+    (0 until 800).foreach { i =>
+      val a = randStr(r, 1 + r.nextInt(20))
+      val b = randStr(r, 1 + r.nextInt(20))
+      val k = r.nextInt(8)
+      val expect = math.min(distance(a, b), k + 1)
+      assert(distanceWithin(a, b, k) == expect,
+        s"within($a, $b, $k): got ${distanceWithin(a, b, k)}, want $expect")
+    }
+    // degenerate shapes
+    assert(distanceWithin("", "", 3) == 0)
+    assert(distanceWithin("", "abcd", 2) == 3)  // clamp: dist 4 > 2
+    assert(distanceWithin("abcd", "", 5) == 4)
+    assert(distanceWithin("ab", "ba", 0) == 1)  // k=0: equality test
+    assert(distanceWithin("ab", "ab", 0) == 0)
+    assert(distanceWithin("x", "y", -1) == 0)   // negative threshold
+  }
+
+  test("property: distanceWithin is exact on noised strings at OCR-scale thresholds") {
+    val r = new scala.util.Random(48)
+    val rng = new graft.gen.DetRng(11L)
+    (0 until 300).foreach { i =>
+      val t = graft.gen.DocGen.sentence(rng, 3 + r.nextInt(8))
+      val noisy = graft.gen.NoiseChannel.mutilateSpan("w", i, t, graft.gen.DocGen.goodChars)
+      val k = 2 + r.nextInt(4)
+      assert(distanceWithin(noisy, t, k) ==
+        math.min(distance(noisy, t), k + 1))
+    }
+  }
 }

@@ -59,4 +59,34 @@ class CorpusIOSpec extends SparkSpec {
     CorpusIO.saveHyperparams(spark, params, path)
     assert(CorpusIO.loadHyperparams(spark, path) == params)
   }
+
+  test("nested schema pruning: span-kind stats never read span text bytes") {
+    // At 100 TB the spans.text field is ~all of the corpus' bytes; a query
+    // over span kinds/counts must prune it at the parquet scan
+    // (spark.sql.optimizer.nestedSchemaPruning, on by default) — otherwise
+    // the scan I/O is the full corpus for a metadata-sized answer.
+    import graft.model.{Doc, Span}
+    val path = tmp("nested")
+    val docs = Seq(
+      Doc("d0", Seq(Span(Span.KindText, "some text", "", 0),
+                    Span(Span.KindMedia, "", "m0", 1))),
+      Doc("d1", Seq(Span(Span.KindText, "more text", "", 0))))
+    docs.toDS().write.parquet(path)
+    val q = spark.read.parquet(path)
+      .select(explode(col("spans")).as("s"))
+      .groupBy(col("s.kind")).agg(count(lit(1)).as("n"))
+    // assert on the scan's ReadSchema line (robust across v1/v2 scan exec
+    // nodes and AQE wrapping)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(readSchemas.nonEmpty, plan)
+    readSchemas.foreach { schema =>
+      assert(schema.contains("kind"), schema)
+      assert(!schema.contains("text") && !schema.contains("media_ref"),
+        s"span text/media_ref not pruned from the scan: $schema")
+    }
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map(Span.KindText -> 2L, Span.KindMedia -> 1L))
+  }
 }

@@ -372,6 +372,29 @@ object SparkEntry {
           k = 8, w = 8),
         minShared = 8, maxDocFreq = 64)),
 
+    // corpus-wide bigram counts (LM / BPE-tokenizer training statistic):
+    // grams built scan-side as a narrow per-row array, one hash agg keyed
+    // by gram (map-side partials), long tail pruned by the count predicate
+    "q_bigrams" -> ((s, dir) =>
+      graft.textanalysis.TextAnalysis.corpusNgramCounts(
+        tbl(s, dir, "documents"), n = 2, minCount = 3L)),
+
+    // deterministic hash-gated stratified sample: membership is a pure
+    // function of (doc_id, lang) — reproducible across runs/engines/
+    // partitionings, nested across growing fractions, scan-side narrow
+    "q_sample_strat" -> ((s, dir) =>
+      graft.pipeline.Sampling.stratifiedSample(
+        tbl(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang"))),
+
+    // column-profile census: rows/nulls/exact-distinct/min-max length per
+    // column (exact distinct = the oracle witness; approx_count_distinct is
+    // the documented 100 TB path)
+    "q_profile" -> ((s, dir) =>
+      graft.textanalysis.Profile.profile(
+        tbl(s, dir, "documents"), Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
     // Gopher-style repetition/boilerplate signals via the native one-pass
     // kernel (scan-side narrow; relational restatement equivalence-tested)
     // text coalesced to '' so a NULL row matches the oracle's LEFT-JOIN
@@ -914,6 +937,30 @@ object SparkEntry {
       // repetition signals: exploded token/bigram counts; top bigram picked
       // by (freq DESC, gram ASC) window — the deterministic tie-break the
       // kernel and the relational form implement as min(struct(-f, g))
+      "q_bigrams" ->
+        raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),
+           tk AS (SELECT doc_id, tok, i FROM (
+                    SELECT doc_id, unnest(string_split(nt, ' ')) AS tok,
+                           generate_subscripts(string_split(nt, ' '), 1) AS i
+                    FROM nt) t WHERE length(tok) > 0)
+           SELECT a.tok || ' ' || b.tok AS gram, CAST(count(*) AS BIGINT) AS n
+           FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+           GROUP BY 1 HAVING count(*) >= 3""",
+
+      "q_sample_strat" ->
+        raw"""SELECT doc_id, lang FROM documents
+           WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT)
+             < CASE WHEN lang = 'en' THEN 32768 WHEN lang = 'de' THEN 16384 ELSE 6554 END""",
+
+      "q_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        raw"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             CAST(min(length(CAST($c AS VARCHAR))) AS BIGINT) AS min_len,
+             CAST(max(length(CAST($c AS VARCHAR))) AS BIGINT) AS max_len
+           FROM documents"""
+      }.mkString("\n UNION ALL \n"),
+
       "q_repetition" ->
         raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),
            tk AS (SELECT doc_id, tok, i FROM (

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic (hash-gated) sampling for corpus curation — eval-set
+ * carve-outs, per-stratum downsampling, A/B corpus slices.
+ *
+ * `Dataset.sample`/`sampleBy` draw from a seeded RNG over the PARTITION
+ * stream, so membership changes whenever partitioning, ordering, or Spark
+ * version changes — useless for a reproducible corpus. Here membership is a
+ * pure function of the ROW: keep iff
+ * `md5(id)[0:4] as int  <  fraction * 65536`. That makes samples
+ *
+ *  - reproducible across runs, engines (oracle-checkable SQL), partitioning
+ *    and cluster size;
+ *  - NESTED for growing fractions: the 1% sample is a subset of the 10%
+ *    sample (same hash, higher cutoff) — the standard trick for consistent
+ *    eval sets as budgets grow;
+ *  - scan-side NARROW: a per-row predicate, no shuffle, pushes past
+ *    column pruning like any other filter.
+ *
+ * The 16-bit gate quantizes fractions to 1/65536 granularity — fine for
+ * curation (per-mille precision); not a statistical RNG.
+ */
+object Sampling {
+
+  /** 16-bit uniform hash of the id column: first 4 hex chars of md5. */
+  def gate16(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Cutoff for a fraction in [0, 1] on the 16-bit gate. */
+  private def cutoff(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    math.round(fraction * 65536.0)
+  }
+
+  /** Keep a deterministic `fraction` of rows, decided per-row by `idCol`. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(gate16(col(idCol)) < cutoff(fraction))
+
+  /**
+   * Per-stratum deterministic sampling: `fractions` maps stratum values
+   * (of `stratumCol`) to keep-fractions; strata not in the map keep
+   * `defaultFraction`. One scan, no shuffle — the stratum column just
+   * selects which cutoff the row's hash gate compares against.
+   */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    val cut = fractions.foldLeft(lit(cutoff(defaultFraction))) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(cutoff(f))).otherwise(acc)
+    }
+    df.filter(gate16(col(idCol)) < cut)
+  }
+}

@@ -154,6 +154,37 @@ object TextAnalysis {
    * Costs two exploded shuffles where the kernel form costs none — kept as
    * the oracle-shaped equivalence witness.
    */
+  /**
+   * Corpus-wide token n-gram counts — the statistic LM/tokenizer training
+   * (BPE merges, n-gram LMs, stop-phrase lists) consumes. Grams are built
+   * scan-side as a NARROW per-row array (no join against shifted copies of
+   * the token table), then one hash aggregation keyed by the gram string —
+   * map-side partial aggregation collapses repeats before the shuffle, so
+   * the exchange carries one (gram, count) row per distinct gram per
+   * partition, never per occurrence. `minCount` prunes the long tail AFTER
+   * the aggregation (a frequency predicate, like the vocab HAVING); at
+   * 100 TB pair it with a power-law-aware reserve: the distinct-gram space
+   * is what bounds state, and AQE splits the inevitable hot-gram skew.
+   *
+   * Tokens are the dedup layer's canonical lowercased whitespace tokens, so
+   * n-gram statistics, relevance, and dedup shingles share one tokenization.
+   */
+  def corpusNgramCounts(docs: org.apache.spark.sql.DataFrame, n: Int = 2,
+                        minCount: Long = 1L,
+                        textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = filter(graft.dedup.Dedup.tokens(col(textCol)), t => length(t) > 0)
+    val grams = graft.dedup.Dedup.let(toks) { t =>
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    docs.select(explode(grams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   def repetitionSignalsRelational(docs: org.apache.spark.sql.DataFrame,
                                   idCol: String = "doc_id",
                                   textCol: String = "text"): org.apache.spark.sql.DataFrame = {

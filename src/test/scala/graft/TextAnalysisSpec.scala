@@ -170,4 +170,72 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kernel == rel)
     assert(kernel.find(_._1 == 303L).get == ((303L, None, None, None)))
   }
+
+  test("corpus n-gram counts: hand fixture, threshold, and order sensitivity") {
+    val df = Seq(
+      "the cat sat",          // the cat, cat sat
+      "the cat ran",          // the cat, cat ran
+      "The  CAT sat",         // normalization: the cat, cat sat
+      "cat",                  // too short for bigrams
+      "").toDF("text")
+    val bi = TextAnalysis.corpusNgramCounts(df, n = 2, minCount = 1L)
+      .as[(String, Long)].collect().toMap
+    assert(bi == Map("the cat" -> 3L, "cat sat" -> 2L, "cat ran" -> 1L))
+    // threshold prunes the tail
+    val bi2 = TextAnalysis.corpusNgramCounts(df, n = 2, minCount = 2L)
+      .as[(String, Long)].collect().toMap
+    assert(bi2 == Map("the cat" -> 3L, "cat sat" -> 2L))
+    // trigram order: "sat the cat" ≠ "the cat sat" grams
+    val tri = TextAnalysis.corpusNgramCounts(df, n = 3, minCount = 1L)
+      .as[(String, Long)].collect().toMap
+    assert(tri == Map("the cat sat" -> 2L, "the cat ran" -> 1L))
+    // unigrams degenerate to token counts
+    val uni = TextAnalysis.corpusNgramCounts(df, n = 1, minCount = 3L)
+      .as[(String, Long)].collect().toMap
+    assert(uni == Map("the" -> 3L, "cat" -> 4L))
+  }
+
+  test("deterministic sampling: membership is row-pure, nested, and stratified") {
+    import graft.pipeline.Sampling
+    val df = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s10 = Sampling.deterministicSample(df, "doc_id", 0.10).as[(Long, String)].collect().toSet
+    val s30 = Sampling.deterministicSample(df, "doc_id", 0.30).as[(Long, String)].collect().toSet
+    assert(s10.subsetOf(s30), "samples are not nested")
+    // fractions land near target (16-bit gate on 2000 uniform-ish hashes)
+    assert(math.abs(s10.size / 2000.0 - 0.10) < 0.03, s"10% sample: ${s10.size}")
+    assert(math.abs(s30.size / 2000.0 - 0.30) < 0.04, s"30% sample: ${s30.size}")
+    // repartitioning must not change membership (row-pure, unlike df.sample)
+    val s10b = Sampling.deterministicSample(df.repartition(7), "doc_id", 0.10)
+      .as[(Long, String)].collect().toSet
+    assert(s10b == s10)
+    // stratified: each stratum honors its own fraction; default drops rest
+    val strat = Sampling.stratifiedSample(df, "lang", "doc_id", Map("en" -> 1.0))
+      .as[(Long, String)].collect()
+    assert(strat.forall(_._2 == "en") && strat.length == 500)
+    val mixed = Sampling.stratifiedSample(df, "lang", "doc_id",
+      Map("en" -> 1.0, "de" -> 0.2)).as[(Long, String)].collect()
+    assert(mixed.count(_._2 == "en") == 500)
+    val deKept = mixed.count(_._2 == "de")
+    assert(math.abs(deKept / 1500.0 - 0.2) < 0.04, s"de stratum kept $deKept/1500")
+  }
+
+  test("column profile: hand fixture incl. nulls and distincts") {
+    import graft.textanalysis.Profile
+    val df = Seq(
+      (Some(1L), Some("ab"), "en"),
+      (Some(2L), None, "en"),
+      (Some(3L), Some("wxyz"), "de"),
+      (None, Some("ab"), "de")).toDF("id", "text", "lang")
+    val p = Profile.profile(df, Seq("id", "text", "lang"))
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("id") == (("id", 4L, 1L, 3L, Some(1L), Some(1L))))
+    assert(p("text") == (("text", 4L, 1L, 2L, Some(2L), Some(4L))))
+    assert(p("lang") == (("lang", 4L, 0L, 2L, Some(2L), Some(2L))))
+    // approx path stays sane on the same fixture (error-free at this size)
+    val ap = Profile.profile(df, Seq("lang"), exactDistinct = false)
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])].collect().head
+    assert(ap._4 == 2L)
+  }
 }

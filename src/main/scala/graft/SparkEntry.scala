@@ -395,6 +395,15 @@ object SparkEntry {
       graft.textanalysis.Profile.profile(
         tbl(s, dir, "documents"), Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // exact duplicate-substring detection (Lee et al. ACL'22): doc pairs
+    // sharing an exact >= 25-char substring, found as diagonal runs of
+    // shared character 8-grams (islands trick), stop-hash df cap before the
+    // self-join — the character-precise complement to winnowing's sampled
+    // provenance matching (brute-force-LCS equivalence in SubstringDupSpec)
+    "q_shared_substrings" -> ((s, dir) =>
+      graft.textanalysis.SubstringDup.sharedSubstringPairs(
+        tbl(s, dir, "documents"), minLen = 25, k = 8, maxDocFreq = 64L)),
+
     // Gopher-style repetition/boilerplate signals via the native one-pass
     // kernel (scan-side narrow; relational restatement equivalence-tested)
     // text coalesced to '' so a NULL row matches the oracle's LEFT-JOIN
@@ -937,6 +946,31 @@ object SparkEntry {
       // repetition signals: exploded token/bigram counts; top bigram picked
       // by (freq DESC, gram ASC) window — the deterministic tie-break the
       // kernel and the relational form implement as min(struct(-f, g))
+      "q_shared_substrings" ->
+        raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),
+           hsv AS (SELECT doc_id,
+                 CASE WHEN length(nt) >= 8 THEN
+                   list_transform(range(1, length(nt) - 7 + 1),
+                     i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(substr(nt, CAST(i AS INT), 8), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                          (h, cp) -> (h * 131 + cp) % 2147483647))
+                 ELSE [] END AS hs FROM nt),
+           kg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, h FROM (
+                    SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS i FROM hsv) u),
+           dfc AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM kg GROUP BY h) WHERE c <= 64),
+           capped AS (SELECT kg.* FROM kg JOIN dfc USING (h)),
+           m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
+                 FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id),
+           isl AS (SELECT doc_a, doc_b, diag,
+                     pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+                   FROM m),
+           runs AS (SELECT doc_a, doc_b, diag, island, count(*) + 7 AS run_chars
+                    FROM isl GROUP BY 1, 2, 3, 4)
+           SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_runs,
+                  CAST(max(run_chars) AS BIGINT) AS max_run_chars
+           FROM runs WHERE run_chars >= 25 GROUP BY 1, 2""",
+
       "q_bigrams" ->
         raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),
            tk AS (SELECT doc_id, tok, i FROM (

@@ -1,0 +1,116 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact duplicate-substring detection across documents — the operator
+ * behind substring-level train-set dedup (Lee et al., "Deduplicating
+ * Training Data Makes Language Models Better", ACL 2022: repeated ≥50-char
+ * substrings are memorization fuel). Winnowing (T7) answers "which docs
+ * overlap, approximately, from sampled fingerprints"; this answers "which
+ * doc pairs share an EXACT substring of at least L characters, and how
+ * long" — character-precise, no sampling gap.
+ *
+ * Method (relational, no suffix array): a substring of length >= L shared
+ * by two docs is exactly a run of >= L-k+1 consecutive shared character
+ * k-grams. So:
+ *
+ *  1. per-doc k-gram hash table `(id, pos, h)` — built scan-side as a
+ *     NARROW per-row transform over the normalized text (no join against
+ *     shifted copies), then posexploded;
+ *  2. stop-hash document-frequency cap BEFORE the hash self-join (same
+ *     MOSS-style rule as Winnowing.matchPairs — a k-gram in m docs emits
+ *     m²/2 pair rows; boilerplate k-grams carry no pair-specific signal);
+ *  3. self-join on h (doc_a < doc_b): matched positions (pa, pb) of a
+ *     shared substring lie on one DIAGONAL pa-pb = const, at consecutive
+ *     pa — the standard islands trick (pa - row_number over the diagonal,
+ *     ordered by pa) labels each maximal run;
+ *  4. run length r k-grams => shared substring of r+k-1 chars; keep pairs
+ *     whose longest run reaches minLen.
+ *
+ * Scale shape: the shuffles carry (id, pos, 60-bit hash) triples, never
+ * text; join volume is linear in true overlap once the df cap removes
+ * boilerplate keys; the diagonal window partitions by (doc_a, doc_b, diag) —
+ * many small groups, no corpus-wide sort. At 100 TB, k-gram tables for the
+ * BIG side stream from the scan (no materialization), and the df cap is the
+ * same knob the provenance join already exposes.
+ *
+ * Hashes are md5-derived ([[graft.dedup.Dedup.seededHash]] shape) so the
+ * whole operator — including run/island arithmetic — restates 1:1 in the
+ * DuckDB oracle (`q_shared_substrings`). Hash collisions (2⁻⁶⁰) can in
+ * principle overcount a run; acceptable for a dedup signal and absent at
+ * oracle scale by construction (both engines hash identically, so they
+ * agree bit-for-bit even on a collision).
+ */
+object SubstringDup {
+
+  /** Per-position k-gram hashes of the normalized text: `(idCol, pos, h)`
+    * with pos 1-based; docs shorter than k yield no rows. Production path:
+    * the native `kgram_hashes` rolling-hash kernel — O(n) per doc, the
+    * whole hash array in one codegen'd scan-side call. */
+  def kgramHashTable(docs: DataFrame, k: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k-gram size must be >= 1, got $k")
+    org.apache.spark.sql.graft.WinnowExpr.register(docs.sparkSession)
+    docs.select(col(idCol),
+        posexplode(call_function("kgram_hashes", col(textCol), lit(k))).as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("h"))
+  }
+
+  /** md5-hash restatement of [[kgramHashTable]] — O(n·k) digest work per
+    * doc; kept as the portable-Column equivalence witness (same (id, pos)
+    * keys, engine-independent hash family). */
+  def kgramHashTableMd5(docs: DataFrame, k: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k-gram size must be >= 1, got $k")
+    val nt = graft.dedup.Dedup.normalizeText(col(textCol))
+    val grams = graft.dedup.Dedup.let(nt) { t =>
+      when(length(t) >= k,
+        transform(sequence(lit(1), length(t) - k + 1),
+          i => conv(substring(md5(substring(t, i, lit(k))), 1, 15), 16, 10).cast("long")))
+        .otherwise(array().cast("array<long>"))
+    }
+    docs.select(col(idCol), posexplode(grams).as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("h"))
+  }
+
+  /**
+   * Doc pairs sharing an exact substring of >= `minLen` characters:
+   * `(doc_a, doc_b, n_runs, max_run_chars)` — number of maximal shared runs
+   * reaching the threshold and the longest one's character length.
+   */
+  def sharedSubstringPairs(docs: DataFrame, minLen: Int, k: Int = 8,
+                           maxDocFreq: Long = 64L,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
+    val kg = kgramHashTable(docs, k, idCol, textCol)
+    // stop-hash df cap (count DISTINCT docs per hash; a doc repeating its
+    // own k-gram must not push the hash over the cap)
+    val df = kg.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col("h"))
+    val capped = kg.join(df, "h")
+    val a = capped.select(col("h"), col(idCol).as("doc_a"), col("pos").as("pa"))
+    val matches = a.join(
+        capped.select(col("h"), col(idCol).as("doc_b"), col("pos").as("pb")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    // islands: within a diagonal, consecutive pa values share pa - row_number
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+    val runs = matches
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("run_kgrams"))
+      .withColumn("run_chars", col("run_kgrams") + (k - 1))
+      .filter(col("run_chars") >= minLen)
+    runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_runs"), max(col("run_chars")).as("max_run_chars"))
+  }
+}

@@ -43,8 +43,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 object WinnowKernel {
   private val P31 = 2147483647L // 2^31 - 1
 
-  def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
-    require(k >= 1 && w >= 1, "winnow_fingerprints expects k >= 1 and w >= 1")
+  /** Normalized (Dedup.normalizeText semantics) rolling 31-bit polynomial
+    * k-gram hashes, one per 0-based k-gram position — the shared O(n) hash
+    * pass of [[fingerprints]] and the `kgram_hashes` expression. Empty for
+    * docs shorter than k. */
+  def rollingHashes(text: UTF8String, k: Int): Array[Long] = {
     // normalization mirrors Dedup.normalizeText (see MinHashKernel)
     val replaced = text.toLowerCase.toString.replaceAll("\\s+", " ")
     var st = 0
@@ -54,7 +57,7 @@ object WinnowKernel {
     val cps = replaced.substring(st, en).codePoints().toArray
 
     val n = cps.length - k + 1 // k-gram count
-    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    if (n <= 0) return Array.emptyLongArray
 
     // rolling hash: h_{i+1} = (h_i - cp_i·131^{k-1})·131 + cp_{i+k}  (mod p)
     var pow = 1L // 131^(k-1) mod p
@@ -72,6 +75,20 @@ object WinnowKernel {
       hs(i) = h
       i += 1
     }
+    hs
+  }
+
+  /** `kgram_hashes` entry: the full hash sequence as ArrayData. */
+  def kgramHashes(text: UTF8String, k: Int): ArrayData = {
+    require(k >= 1, "kgram_hashes expects k >= 1")
+    new GenericArrayData(rollingHashes(text, k))
+  }
+
+  def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    require(k >= 1 && w >= 1, "winnow_fingerprints expects k >= 1 and w >= 1")
+    val hs = rollingHashes(text, k)
+    val n = hs.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
 
     // monotonic deque of positions with strictly increasing hashes; popping
     // `>=` keeps the RIGHTMOST index among equal minima at the front
@@ -108,6 +125,32 @@ object WinnowKernel {
   }
 }
 
+/**
+ * Native full k-gram hash sequence — the pre-winnowing rolling-hash pass
+ * exposed on its own: `array<long>`, one 31-bit polynomial hash per 0-based
+ * k-gram position of the normalized text, O(n) per doc. This is the scan
+ * kernel of exact duplicate-substring detection
+ * ([[graft.textanalysis.SubstringDup]]): per-position md5 of substrings
+ * costs O(n·k) digest work per doc; this reuses each previous hash.
+ */
+case class KgramHashes(child: Expression, k: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kgram_hashes"
+
+  override def nullSafeEval(s: Any): Any =
+    WinnowKernel.kgramHashes(s.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WinnowKernel.kgramHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WinnowExpr {
   private def intLit(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -115,7 +158,8 @@ object WinnowExpr {
       "winnow_fingerprints expects foldable integer literals for k/w")
   }
 
-  /** Idempotent per-session registration: `winnow_fingerprints(text, k, w)`. */
+  /** Idempotent per-session registration: `winnow_fingerprints(text, k, w)`
+    * and `kgram_hashes(text, k)`. */
   def register(spark: SparkSession): Unit = {
     val id = FunctionIdentifier("winnow_fingerprints")
     if (!spark.sessionState.functionRegistry.functionExists(id)) {
@@ -126,6 +170,18 @@ object WinnowExpr {
         (children: Seq[Expression]) => {
           require(children.length == 3, "winnow_fingerprints expects (text, k, w)")
           WinnowFingerprints(children(0), intLit(children(1)), intLit(children(2)))
+        })
+    }
+    val kid = FunctionIdentifier("kgram_hashes")
+    if (!spark.sessionState.functionRegistry.functionExists(kid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        kid,
+        new ExpressionInfo(classOf[KgramHashes].getName, null, "kgram_hashes",
+          "rolling 31-bit polynomial k-gram hashes of the normalized text",
+          "", "", "", "hash_funcs", "4.0.0", "", "built-in"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "kgram_hashes expects (text, k)")
+          KgramHashes(children(0), intLit(children(1)))
         })
     }
   }

@@ -404,6 +404,14 @@ object SparkEntry {
       graft.textanalysis.SubstringDup.sharedSubstringPairs(
         tbl(s, dir, "documents"), minLen = 25, k = 8, maxDocFreq = 64L)),
 
+    // the dedup ACTION on those runs: merged per-doc removal intervals
+    // (lower doc id keeps its copy; overlapping/adjacent cuts merged by the
+    // cumulative-max islands trick) — removeDuplicateRuns applies them and
+    // SubstringDupSpec proves re-detection then finds nothing
+    "q_dup_intervals" -> ((s, dir) =>
+      graft.textanalysis.SubstringDup.duplicateRunIntervals(
+        tbl(s, dir, "documents"), minLen = 25, k = 8, maxDocFreq = 64L)),
+
     // Gopher-style repetition/boilerplate signals via the native one-pass
     // kernel (scan-side narrow; relational restatement equivalence-tested)
     // text coalesced to '' so a NULL row matches the oracle's LEFT-JOIN
@@ -585,6 +593,32 @@ object SparkEntry {
                   FROM gm JOIN ph p ON p.doc_id = gm.doc_id AND p.h = gm.mh GROUP BY 1),
          sel AS (SELECT * FROM selw UNION ALL SELECT * FROM gsel)"""
     }
+    // exact duplicate-substring CTE chain (k = 8, df cap 64, full text):
+    // rolling-hash k-gram table → capped self-join → diagonal islands →
+    // `runs` (doc_a, doc_b, diag, run_chars, pa_start, pb_start). Shared by
+    // q_shared_substrings and q_dup_intervals.
+    val substrRunCtes =
+      raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),
+         hsv AS (SELECT doc_id,
+               CASE WHEN length(nt) >= 8 THEN
+                 list_transform(range(1, length(nt) - 7 + 1),
+                   i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(substr(nt, CAST(i AS INT), 8), ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+                        (h, cp) -> (h * 131 + cp) % 2147483647))
+               ELSE [] END AS hs FROM nt),
+         kg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, h FROM (
+                  SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS i FROM hsv) u),
+         dfc AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM kg GROUP BY h) WHERE c <= 64),
+         capped AS (SELECT kg.* FROM kg JOIN dfc USING (h)),
+         m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
+               FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id),
+         isl AS (SELECT doc_a, doc_b, diag, pa,
+                   pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+                 FROM m),
+         runs AS (SELECT doc_a, doc_b, diag, island, count(*) + 7 AS run_chars,
+                    min(pa) AS pa_start, min(pa) - diag AS pb_start
+                  FROM isl GROUP BY 1, 2, 3, 4)"""
     // Explicit LEFT-FOLD sums for the embedding math: pins DuckDB to the same
     // accumulation order as Spark's `aggregate(zip_with(...))` expressions —
     // `sum()` over unnest has matched on every verified run but its order is
@@ -947,29 +981,29 @@ object SparkEntry {
       // by (freq DESC, gram ASC) window — the deterministic tie-break the
       // kernel and the relational form implement as min(struct(-f, g))
       "q_shared_substrings" ->
-        raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),
-           hsv AS (SELECT doc_id,
-                 CASE WHEN length(nt) >= 8 THEN
-                   list_transform(range(1, length(nt) - 7 + 1),
-                     i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                            list_transform(string_split(substr(nt, CAST(i AS INT), 8), ''),
-                              c -> CAST(ascii(c) AS BIGINT))),
-                          (h, cp) -> (h * 131 + cp) % 2147483647))
-                 ELSE [] END AS hs FROM nt),
-           kg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, h FROM (
-                    SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS i FROM hsv) u),
-           dfc AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM kg GROUP BY h) WHERE c <= 64),
-           capped AS (SELECT kg.* FROM kg JOIN dfc USING (h)),
-           m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
-                 FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id),
-           isl AS (SELECT doc_a, doc_b, diag,
-                     pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
-                   FROM m),
-           runs AS (SELECT doc_a, doc_b, diag, island, count(*) + 7 AS run_chars
-                    FROM isl GROUP BY 1, 2, 3, 4)
+        raw"""$substrRunCtes
            SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_runs,
                   CAST(max(run_chars) AS BIGINT) AS max_run_chars
            FROM runs WHERE run_chars >= 25 GROUP BY 1, 2""",
+
+      // the removal intervals: doc_b side of each run, merged per doc by
+      // the cumulative-max islands trick (same window math as the Spark
+      // side, so boundary arithmetic is contractual on both engines)
+      "q_dup_intervals" ->
+        raw"""$substrRunCtes,
+           iv AS (SELECT doc_b AS doc_id, pb_start AS s, pb_start + run_chars AS e
+                  FROM runs WHERE run_chars >= 25),
+           cmv AS (SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+                   FROM iv),
+           brk AS (SELECT doc_id, s, e,
+                     CASE WHEN cm IS NULL OR s > cm THEN 1 ELSE 0 END AS b FROM cmv),
+           grp AS (SELECT doc_id, s, e,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS g
+                   FROM brk)
+           SELECT doc_id, CAST(min(s) AS BIGINT) AS start_pos, CAST(max(e) AS BIGINT) AS end_pos
+           FROM grp GROUP BY doc_id, g""",
 
       "q_bigrams" ->
         raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),

@@ -78,15 +78,13 @@ object SubstringDup {
       .select(col(idCol), (col("p0") + 1).as("pos"), col("h"))
   }
 
-  /**
-   * Doc pairs sharing an exact substring of >= `minLen` characters:
-   * `(doc_a, doc_b, n_runs, max_run_chars)` — number of maximal shared runs
-   * reaching the threshold and the longest one's character length.
-   */
-  def sharedSubstringPairs(docs: DataFrame, minLen: Int, k: Int = 8,
-                           maxDocFreq: Long = 64L,
-                           idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame = {
+  /** Maximal shared-k-gram runs of >= `minLen` chars per (doc_a, doc_b,
+    * diagonal): `(doc_a, doc_b, diag, run_chars, pa_start, pb_start)` —
+    * the shared core of detection ([[sharedSubstringPairs]]) and removal
+    * ([[duplicateRunIntervals]]). */
+  private def sharedRuns(docs: DataFrame, minLen: Int, k: Int,
+                         maxDocFreq: Long, idCol: String,
+                         textCol: String): DataFrame = {
     require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
     val kg = kgramHashTable(docs, k, idCol, textCol)
     // stop-hash df cap (count DISTINCT docs per hash; a doc repeating its
@@ -104,13 +102,85 @@ object SubstringDup {
         (col("pa") - col("pb")).as("diag"))
     // islands: within a diagonal, consecutive pa values share pa - row_number
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
-    val runs = matches
+    matches
       .withColumn("island", col("pa") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
-      .agg(count(lit(1)).as("run_kgrams"))
+      .agg(count(lit(1)).as("run_kgrams"), min(col("pa")).as("pa_start"))
       .withColumn("run_chars", col("run_kgrams") + (k - 1))
       .filter(col("run_chars") >= minLen)
-    runs.groupBy(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("diag"), col("run_chars"),
+        col("pa_start"), (col("pa_start") - col("diag")).as("pb_start"))
+  }
+
+  /**
+   * Doc pairs sharing an exact substring of >= `minLen` characters:
+   * `(doc_a, doc_b, n_runs, max_run_chars)` — number of maximal shared runs
+   * reaching the threshold and the longest one's character length.
+   */
+  def sharedSubstringPairs(docs: DataFrame, minLen: Int, k: Int = 8,
+                           maxDocFreq: Long = 64L,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    sharedRuns(docs, minLen, k, maxDocFreq, idCol, textCol)
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_runs"), max(col("run_chars")).as("max_run_chars"))
+
+  /**
+   * The dedup ACTION derived from the runs (Lee et al.'s cut step): for
+   * every shared run the LOWER doc id keeps its copy (doc_a < doc_b by
+   * construction) and doc_b's occurrence becomes a removal interval
+   * `[start_pos, end_pos)` (1-based, normalized-text coordinates).
+   * Per-doc overlapping/adjacent intervals are merged with the cumulative-
+   * max islands trick (one window + one aggregation — no per-doc loops):
+   * an interval starts a new merge group iff its start exceeds the max end
+   * of every earlier interval. Output: `(idCol, start_pos, end_pos)`.
+   */
+  def duplicateRunIntervals(docs: DataFrame, minLen: Int, k: Int = 8,
+                            maxDocFreq: Long = 64L,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val iv = sharedRuns(docs, minLen, k, maxDocFreq, idCol, textCol)
+      .select(col("doc_b").as(idCol), col("pb_start").as("s"),
+        (col("pb_start") + col("run_chars")).as("e"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+    val cm = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("brk", when(cm.isNull || col("s") > cm, 1L).otherwise(0L))
+      .withColumn("grp",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("s")).cast("long").as("start_pos"), max(col("e")).cast("long").as("end_pos"))
+      .select(col(idCol), col("start_pos"), col("end_pos"))
+  }
+
+  /**
+   * Apply the removal intervals: every doc's normalized text with its
+   * duplicated spans cut out (`deduped_text`; docs with nothing to cut pass
+   * through). The cut is a pure Column fold over the doc's sorted interval
+   * list — `aggregate` walks the intervals left-to-right keeping the text
+   * between them — so the whole step is scan-side after one broadcast-sized
+   * join per doc with intervals (interval rows exist ONLY for docs with
+   * detected duplication, a tiny fraction of the corpus).
+   */
+  def removeDuplicateRuns(docs: DataFrame, minLen: Int, k: Int = 8,
+                          maxDocFreq: Long = 64L,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val ivs = duplicateRunIntervals(docs, minLen, k, maxDocFreq, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("start_pos").as("s"), col("end_pos").as("e"))))
+        .as("__ivs"))
+    val nt = graft.dedup.Dedup.normalizeText(col(textCol))
+    docs.join(ivs, Seq(idCol), "left")
+      .withColumn("__nt", nt)
+      .withColumn("deduped_text",
+        when(col("__ivs").isNull, col("__nt")).otherwise(
+          graft.dedup.Dedup.let(col("__nt")) { t =>
+            aggregate(col("__ivs"),
+              struct(lit(1L).as("p"), lit("").as("acc")),
+              (a, iv) => struct(iv("e").as("p"),
+                concat(a("acc"), substr(t, a("p"), iv("s") - a("p"))).as("acc")),
+              a => concat(a("acc"), substr(t, a("p"), (length(t) + 1) - a("p"))))
+          }))
+      .drop("__ivs", "__nt")
   }
 }

@@ -113,6 +113,47 @@ class SubstringDupSpec extends SparkSpec {
       pairsWith(SubstringDup.kgramHashTableMd5(docs, 6)))
   }
 
+  test("removal intervals: lower id keeps its copy; overlaps merge") {
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"alpha $shared omega"),
+      (2L, s"$shared beta"),                     // one cut vs doc 1
+      (3L, s"gamma $shared delta $shared")).toDF("doc_id", "text") // two cuts
+    val iv = SubstringDup.duplicateRunIntervals(docs, minLen = 30, k = 8)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(!iv.contains(1L), "the minimum-id holder must keep its copy")
+    assert(iv(2L).length == 1)
+    assert(iv(3L).length == 2, s"doc 3 has two occurrences: ${iv(3L).toSeq}")
+    // interval boundaries carry exact character coordinates: cutting them
+    // removes the shared block (plus any shared boundary chars) from doc 2
+    val deduped = SubstringDup.removeDuplicateRuns(docs, minLen = 30, k = 8)
+      .select($"doc_id", $"deduped_text").as[(Long, String)].collect().toMap
+    assert(deduped(1L) == norm(s"alpha $shared omega"), "survivor text untouched")
+    assert(!deduped(2L).contains("quick brown"))
+    assert(deduped(2L).endsWith("beta"))
+    assert(!deduped(3L).contains("quick brown"))
+  }
+
+  test("property: after removeDuplicateRuns re-detection finds nothing") {
+    val r = new scala.util.Random(53)
+    val rng = new graft.gen.DetRng(19L)
+    val base = (0 until 10).map(_ => DocGenHelpers.sentence(rng, 8 + r.nextInt(5)))
+    val texts = base.zipWithIndex.map { case (t, i) =>
+      if (i % 2 == 1) {
+        val donor = base(i - 1)
+        s"${DocGenHelpers.sentence(rng, 2)} ${donor.substring(0, donor.length * 2 / 3)} ${DocGenHelpers.sentence(rng, 2)}"
+      } else t
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val minLen = 20
+    val before = SubstringDup.sharedSubstringPairs(docs, minLen, k = 6, maxDocFreq = 1000L).count()
+    assert(before > 0, "fixture must contain shared substrings")
+    val deduped = SubstringDup.removeDuplicateRuns(docs, minLen, k = 6, maxDocFreq = 1000L)
+      .select($"doc_id", $"deduped_text".as("text"))
+    val after = SubstringDup.sharedSubstringPairs(deduped, minLen, k = 6, maxDocFreq = 1000L).count()
+    assert(after == 0L, s"re-detection still finds $after pairs")
+  }
+
   test("stop-hash df cap drops boilerplate-only pairs") {
     // 30 docs all share one boilerplate banner; only two share unique text
     val banner = "copyright footer all rights reserved banner"

@@ -404,6 +404,14 @@ object SparkEntry {
       graft.textanalysis.SubstringDup.sharedSubstringPairs(
         tbl(s, dir, "documents"), minLen = 25, k = 8, maxDocFreq = 64L)),
 
+    // CCNet-family LM quality filter: per-doc mean log-prob under the
+    // corpus's own add-α bigram model (low = high perplexity = suspect);
+    // log-probs folded in bigram position order (the q_bm25_doc discipline)
+    "q_lm_score" -> ((s, dir) =>
+      graft.textanalysis.LmScore.scoreDocs(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"),
+          Portable.round4(col("avg_logprob")).as("avg_logprob"))),
+
     // the dedup ACTION on those runs: merged per-doc removal intervals
     // (lower doc id keeps its copy; overlapping/adjacent cuts merged by the
     // cumulative-max islands trick) — removeDuplicateRuns applies them and
@@ -991,7 +999,7 @@ object SparkEntry {
       // side, so boundary arithmetic is contractual on both engines)
       "q_dup_intervals" ->
         raw"""$substrRunCtes,
-           iv AS (SELECT doc_b AS doc_id, pb_start AS s, pb_start + run_chars AS e
+           iv AS (SELECT DISTINCT doc_b AS doc_id, pb_start AS s, pb_start + run_chars AS e
                   FROM runs WHERE run_chars >= 25),
            cmv AS (SELECT doc_id, s, e,
                      max(e) OVER (PARTITION BY doc_id ORDER BY s, e
@@ -1004,6 +1012,28 @@ object SparkEntry {
                    FROM brk)
            SELECT doc_id, CAST(min(s) AS BIGINT) AS start_pos, CAST(max(e) AS BIGINT) AS end_pos
            FROM grp GROUP BY doc_id, g""",
+
+      // add-0.4 bigram LM self-trained on the corpus; ln on both engines,
+      // per-doc fold in bigram position order (associativity discipline)
+      "q_lm_score" ->
+        raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),
+           tk AS (SELECT doc_id, tok, i FROM (
+                    SELECT doc_id, unnest(string_split(nt, ' ')) AS tok,
+                           generate_subscripts(string_split(nt, ' '), 1) AS i
+                    FROM nt) t WHERE length(tok) > 0),
+           bg AS (SELECT a.doc_id, a.i, a.tok || ' ' || b.tok AS g, a.tok AS w1
+                  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           cu AS (SELECT tok AS w1, CAST(count(*) AS BIGINT) AS c_uni FROM tk GROUP BY 1),
+           cb AS (SELECT g, CAST(count(*) AS BIGINT) AS c_bi FROM bg GROUP BY 1),
+           vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cu),
+           lp AS (SELECT bg.doc_id, bg.i,
+                    ln((CAST(COALESCE(cb.c_bi, 0) AS DOUBLE) + 0.4) /
+                       (CAST(cu.c_uni AS DOUBLE) + 0.4 * CAST(vs.v AS DOUBLE))) AS lp
+                  FROM bg JOIN cu USING (w1) LEFT JOIN cb USING (g), vs)
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             ${Portable.round4Sql(
+               "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY i)), (a, x) -> a + x) / count(*)")} AS avg_logprob
+           FROM lp GROUP BY doc_id""",
 
       "q_bigrams" ->
         raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),

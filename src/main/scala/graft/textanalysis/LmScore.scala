@@ -1,0 +1,85 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * N-gram language-model quality scoring — the CCNet-family filter (Wenzek
+ * et al., LREC 2020: rank crawl documents by LM perplexity; far-tail docs
+ * are gibberish, boilerplate, or wrong-language). A full KenLM is external
+ * tooling; the in-engine form is a self-trained add-α bigram model:
+ *
+ *   logp(doc) = mean over bigrams (w1 w2) of
+ *               ln( (c(w1 w2) + α) / (c(w1) + α·V) )
+ *
+ * with corpus counts c(·), vocabulary size V, smoothing α. Scores are
+ * comparable corpus-wide; low mean log-prob = high perplexity = suspect.
+ *
+ * Scale shape: counts are the [[TextAnalysis.corpusNgramCounts]] hash
+ * aggregations; scoring joins each doc's bigrams against the count tables
+ * by gram (hash joins keyed on the gram string — at 100 TB these tables are
+ * the LM, sized by DISTINCT grams, not corpus tokens; broadcast when the
+ * pruned model fits). V arrives via `crossJoin(broadcast(1-row agg))` — no
+ * driver action. The per-doc mean folds log-probs IN BIGRAM POSITION ORDER
+ * (sorted collect + `aggregate`, the q_bm25_doc discipline): FP addition is
+ * not associative, so a bare `sum()` would be partition-order-dependent.
+ * The collected list is bounded by the doc's token count; at 100 TB the
+ * scale path is plain `sum()/count()` with last-ulp nondeterminism accepted
+ * (documented trade-off — the oracle-checked form is the contractual one).
+ */
+object LmScore {
+
+  val DefaultAlpha = 0.4
+
+  /**
+   * Per-doc mean bigram log-probability under the corpus's own add-α
+   * bigram LM: `(idCol, n_bigrams, avg_logprob)`. Docs with fewer than two
+   * tokens have no bigram evidence and are omitted (score undefined).
+   * `minCount` prunes rare grams from the model (they back off to the
+   * α-floor like unseen grams), shrinking the join tables.
+   */
+  def scoreDocs(docs: DataFrame, alpha: Double = DefaultAlpha,
+                minCount: Long = 1L,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val uni = TextAnalysis.corpusNgramCounts(docs, n = 1, minCount, textCol)
+      .select(col("gram").as("w1"), col("n").as("c_uni"))
+    val bi = TextAnalysis.corpusNgramCounts(docs, n = 2, minCount, textCol)
+      .select(col("gram"), col("n").as("c_bi"))
+    scoreWith(docs, uni, bi, alpha, idCol, textCol)
+  }
+
+  /**
+   * Score against an EXTERNAL model — the production CCNet shape: counts
+   * trained once on a reference corpus (their own `corpusNgramCounts`
+   * run, persisted), the crawl scored against it. Under an external model
+   * unseen grams hit the α-floor, so gibberish genuinely lands in the
+   * high-perplexity tail (self-training can't see its own grams as rare —
+   * see the spec's ordering note). `uniCounts` = `(w1, c_uni)`,
+   * `biCounts` = `(gram, c_bi)`.
+   */
+  def scoreWith(docs: DataFrame, uniCounts: DataFrame, biCounts: DataFrame,
+                alpha: Double = DefaultAlpha,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(alpha > 0.0, s"add-alpha smoothing needs alpha > 0, got $alpha")
+    val uni = uniCounts
+    val bi = biCounts
+    val vsize = uni.agg(count(lit(1)).as("v"))
+    val dg = TextAnalysis.docNgrams(docs, n = 2, idCol, textCol)
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+    val lp = dg
+      .join(bi, Seq("gram"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vsize))
+      .withColumn("lp", log(
+        (coalesce(col("c_bi"), lit(0L)).cast("double") + alpha) /
+        (coalesce(col("c_uni"), lit(0L)).cast("double") + lit(alpha) * col("v").cast("double"))))
+    lp.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+            x => x("lp")),
+          lit(0.0), (a, x) => a + x) / count(lit(1))).as("avg_logprob"))
+  }
+}

@@ -139,9 +139,15 @@ object SubstringDup {
                             maxDocFreq: Long = 64L,
                             idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
+    // DISTINCT before the merge window: several partner docs can contribute
+    // the IDENTICAL interval (the same duplicated block shared with each),
+    // and duplicate (s, e) sort keys make a ROWS-frame running window
+    // engine-order-sensitive (observed as an intermittent DuckDB parallel-
+    // window misordering); tie-peers carry no information for merging
     val iv = sharedRuns(docs, minLen, k, maxDocFreq, idCol, textCol)
       .select(col("doc_b").as(idCol), col("pb_start").as("s"),
         (col("pb_start") + col("run_chars")).as("e"))
+      .distinct()
     val w = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
     val cm = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
     iv.withColumn("brk", when(cm.isNull || col("s") > cm, 1L).otherwise(0L))

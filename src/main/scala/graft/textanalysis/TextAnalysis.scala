@@ -169,21 +169,32 @@ object TextAnalysis {
    * Tokens are the dedup layer's canonical lowercased whitespace tokens, so
    * n-gram statistics, relevance, and dedup shingles share one tokenization.
    */
-  def corpusNgramCounts(docs: org.apache.spark.sql.DataFrame, n: Int = 2,
-                        minCount: Long = 1L,
-                        textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+  /** Token n-gram array of the normalized text — the scan-side builder
+    * shared by [[corpusNgramCounts]] and [[docNgrams]]. */
+  def ngramArray(textCol: Column, n: Int): Column = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val toks = filter(graft.dedup.Dedup.tokens(col(textCol)), t => length(t) > 0)
-    val grams = graft.dedup.Dedup.let(toks) { t =>
+    val toks = filter(graft.dedup.Dedup.tokens(textCol), t => length(t) > 0)
+    graft.dedup.Dedup.let(toks) { t =>
       when(size(t) >= n,
         transform(sequence(lit(0), size(t) - n),
           i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*)))
         .otherwise(array().cast("array<string>"))
     }
-    docs.select(explode(grams).as("gram"))
+  }
+
+  /** Per-doc positioned n-grams `(idCol, pos, gram)`, pos 0-based. */
+  def docNgrams(docs: org.apache.spark.sql.DataFrame, n: Int,
+                idCol: String = "doc_id",
+                textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+      posexplode(ngramArray(col(textCol), n)).as(Seq("pos", "gram")))
+
+  def corpusNgramCounts(docs: org.apache.spark.sql.DataFrame, n: Int = 2,
+                        minCount: Long = 1L,
+                        textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(explode(ngramArray(col(textCol), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-  }
 
   def repetitionSignalsRelational(docs: org.apache.spark.sql.DataFrame,
                                   idCol: String = "doc_id",

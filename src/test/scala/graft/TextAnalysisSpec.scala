@@ -220,6 +220,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(deKept / 1500.0 - 0.2) < 0.04, s"de stratum kept $deKept/1500")
   }
 
+  test("LM score: matches a naive reimplementation; gibberish scores lower") {
+    import graft.textanalysis.LmScore
+    val texts = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the cat"),
+      (3L, "mat the on sat cat the"),  // same unigrams, scrambled bigrams
+      (4L, "zzq qxj vvk"))             // gibberish: all singleton grams
+    val df = texts.toDF("doc_id", "text")
+    val got = LmScore.scoreDocs(df, alpha = 0.4)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // naive reference
+    val toks = texts.map { case (id, t) => id -> t.split(" ").toSeq }
+    val cu = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val cb = toks.flatMap { case (_, ws) => ws.sliding(2).map(_.mkString(" ")) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val v = cu.size
+    toks.foreach { case (id, ws) =>
+      val lps = ws.sliding(2).toSeq.map { p =>
+        val g = p.mkString(" ")
+        math.log((cb.getOrElse(g, 0) + 0.4) / (cu(p.head) + 0.4 * v))
+      }
+      val expect = lps.foldLeft(0.0)(_ + _) / lps.size
+      assert(got(id)._1 == lps.size.toLong)
+      assert(math.abs(got(id)._2 - expect) < 1e-12, s"doc $id: ${got(id)._2} vs $expect")
+    }
+    // ordering property: repeated common bigrams score above the same
+    // unigrams scrambled into unseen-context bigrams. (A gibberish doc is
+    // NOT automatically lowest under a self-trained add-α model: its
+    // singleton bigrams sit on singleton prefixes, where the conditional
+    // P(w2|w1) is high — perplexity filtering presumes the LM is trained on
+    // a reference corpus, not the doc's own grams; with an external count
+    // table the same code penalizes it via the α-floor.)
+    assert(got(1L)._2 > got(3L)._2)
+
+    // external reference model (the production CCNet shape): gibberish DOES
+    // land in the high-perplexity tail — its grams are absent and take the
+    // α-floor, while in-distribution docs ride real counts
+    val ref = Seq((10L, "the cat sat on the mat"), (11L, "the cat sat on the cat"))
+      .toDF("doc_id", "text")
+    val uni = graft.textanalysis.TextAnalysis.corpusNgramCounts(ref, 1)
+      .select($"gram".as("w1"), $"n".as("c_uni"))
+    val bi = graft.textanalysis.TextAnalysis.corpusNgramCounts(ref, 2)
+      .select($"gram", $"n".as("c_bi"))
+    val ext = LmScore.scoreWith(df, uni, bi)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(ext(1L) > ext(4L), s"in-distribution ${ext(1L)} must beat gibberish ${ext(4L)}")
+    assert(ext(1L) > ext(3L), "real bigrams must beat scrambled ones")
+  }
+
   test("column profile: hand fixture incl. nulls and distincts") {
     import graft.textanalysis.Profile
     val df = Seq(

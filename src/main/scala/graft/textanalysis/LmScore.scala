@@ -44,8 +44,11 @@ object LmScore {
                 textCol: String = "text"): DataFrame = {
     val uni = TextAnalysis.corpusNgramCounts(docs, n = 1, minCount, textCol)
       .select(col("gram").as("w1"), col("n").as("c_uni"))
-    val bi = TextAnalysis.corpusNgramCounts(docs, n = 2, minCount, textCol)
-      .select(col("gram"), col("n").as("c_bi"))
+    // self-trained bigram counts share the positioned-bigram shape the
+    // scorer builds anyway (same scan→explode subtree as scoreWith's dg)
+    val bi = TextAnalysis.docNgrams(docs, n = 2, idCol, textCol)
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_bi"))
+      .filter(col("c_bi") >= minCount)
     scoreWith(docs, uni, bi, alpha, idCol, textCol)
   }
 

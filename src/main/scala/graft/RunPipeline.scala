@@ -27,6 +27,12 @@ import graft.pipeline.CheckpointedRun
  *                                  #   near-cc:t    = + full pair verification and exact
  *                                  #                  transitive clusters (Jaccard >= t)
  *                                  #   near-simhash:d = + SimHash Hamming <= d clusters (default d 3)
+ *   [--sample f]                   # deterministic hash-gated sample of the input docs
+ *                                  #   (md5(doc_id) gate: reproducible, nested across f)
+ *   [--quality-gate q[:d]]         # drop text docs with quality < q or duplicate-token
+ *                                  #   ratio > d (default d 0.6); media-only docs pass
+ *                                  # curation order: sample -> gate -> dedup (narrow
+ *                                  # filters first, shuffle-bearing dedup last)
  *   [--run-id run1] [--spans-col spans] [--clean-spans-col spans]
  *   [--buckets 64] [--group-size 8] [--salted true]
  * }}}
@@ -104,6 +110,27 @@ object RunPipeline {
     deduped.unionByName(noText).drop("__txt", "__n")
   }
 
+  /** Quality gate over the concatenated text spans (same text key and
+    * media-only passthrough policy as [[dedupDocs]]): keep text docs with
+    * `quality >= q` and `dup_token_ratio <= d`. Both signals are scan-side
+    * narrow expressions — no shuffle. `spec` grammar: `q` or `q:d`. */
+  private def gateDocs(docs: org.apache.spark.sql.DataFrame,
+                       spansCol: String, spec: String): org.apache.spark.sql.DataFrame = {
+    val (q, d) = spec.split(":", 2) match {
+      case Array(qs, ds) => (qs.toDouble, ds.toDouble)
+      case Array(qs) => (qs.toDouble, 0.6)
+    }
+    val txt = concat_ws(" ",
+      transform(filter(col(spansCol), sp => sp.getField("kind") === "text"),
+        sp => sp.getField("text")))
+    val tagged = docs.withColumn("__txt", txt)
+      .withColumn("__n", coalesce(length(graft.dedup.Dedup.normalizeText(col("__txt"))), lit(0)))
+    val kept = graft.streaming.StreamingOps.qualityGate(
+        tagged.where(col("__n") > 0), "__txt", q, d)
+      .drop("quality", "dup_token_ratio", "dup_bigram_frac")
+    kept.unionByName(tagged.where(col("__n") === 0)).drop("__txt", "__n")
+  }
+
   /** The submitted job, factored from [[main]] so tests drive it with their
     * own session. Returns the JSON metrics line. */
   def run(spark: SparkSession, a: Map[String, String]): String = {
@@ -127,10 +154,17 @@ object RunPipeline {
     val salted = a.getOrElse("salted", "true").toBoolean
     val correctorName = a.getOrElse("corrector", "noisy")
     val dedupMode = a.getOrElse("dedup", "none")
+    val sampleFrac = a.get("sample").map(_.toDouble)
+    val gateSpec = a.get("quality-gate")
 
     val t0 = System.nanoTime()
     val docs0 = spark.read.parquet(input)
-    val docs = if (dedupMode == "none") docs0 else dedupDocs(docs0, spansCol, dedupMode)
+    // curation order: narrow row-pure filters first (sample, then the
+    // quality gate), shuffle-bearing dedup last over the smallest survivor set
+    val sampled = sampleFrac.fold(docs0)(f =>
+      graft.pipeline.Sampling.deterministicSample(docs0, "doc_id", f))
+    val gated = gateSpec.fold(sampled)(s => gateDocs(sampled, spansCol, s))
+    val docs = if (dedupMode == "none") gated else dedupDocs(gated, spansCol, dedupMode)
     val cleanDocs = if (clean == input) docs else spark.read.parquet(clean)
 
     val corrector = correctorName match {
@@ -148,13 +182,16 @@ object RunPipeline {
     }
 
     val lineage = s"input=$input clean=$clean corrector=$correctorName minFreq=$minFreq " +
-      s"buckets=$nBuckets groupSize=$groupSize salted=$salted dedup=$dedupMode"
+      s"buckets=$nBuckets groupSize=$groupSize salted=$salted dedup=$dedupMode" +
+      sampleFrac.map(f => s" sample=$f").getOrElse("") +
+      gateSpec.map(g => s" gate=$g").getOrElse("")
     // stage token fingerprints the SOURCES: a resume of this output dir with
     // a different input/clean table (or spans columns, or dedup setting)
     // must rebuild its stages instead of silently reusing the previous
     // source's rows
     val stageToken = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$input|$clean|$spansCol|$cleanSpansCol|$dedupMode".getBytes("UTF-8"))
+      .digest((s"$input|$clean|$spansCol|$cleanSpansCol|$dedupMode" +
+        s"|${sampleFrac.getOrElse("")}|${gateSpec.getOrElse("")}").getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     // docs_in comes from the staged bucketed copy WHILE it exists (an
     // empty-projection parquet count — footers only), inside the timed run;
@@ -170,12 +207,13 @@ object RunPipeline {
       spansCol = spansCol, nBuckets = nBuckets, groupSize = groupSize,
       salted = salted, lineage = lineage, cleanSpansCol = cleanSpansCol,
       stageToken = stageToken, onStaged = staged => docsIn = Some(staged.count()))
-    // pre-dedup count: a footer-metadata parquet count of the raw input (no
-    // dedup plan attached); skipped entirely on a no-op resume, and equal to
-    // docs_in by definition when dedup is off
+    // pre-curation count: a footer-metadata parquet count of the raw input
+    // (no curation plan attached); skipped entirely on a no-op resume, and
+    // equal to docs_in by definition when no curation step is active
+    val curationOff = dedupMode == "none" && sampleFrac.isEmpty && gateSpec.isEmpty
     val docsInPre: Option[Long] =
       if (docsIn.isEmpty) None
-      else if (dedupMode == "none") docsIn
+      else if (curationOff) docsIn
       else Some(docs0.count())
     val total = CheckpointedRun.metrics(spark, state, runId)
     val sec = (System.nanoTime() - t0) / 1e9
@@ -185,9 +223,15 @@ object RunPipeline {
     def num(fmt: String, v: Double) = Portable.jsonNum(fmt, v)
     def jsonStr(x: String) = Portable.jsonStr(x)
     def optLong(o: Option[Long]) = o.map(_.toString).getOrElse("null")
-    val dedupRemoved = for (pre <- docsInPre; post <- docsIn) yield pre - post
+    // docs_removed = the full curation delta (sample + gate + dedup);
+    // dedup_removed keeps its original single-step meaning and is null when
+    // sample/gate are also active (the delta is then not attributable)
+    val docsRemoved = for (pre <- docsInPre; post <- docsIn) yield pre - post
+    val dedupRemoved =
+      if (sampleFrac.isEmpty && gateSpec.isEmpty) docsRemoved else None
     s"""{"run_id":${jsonStr(runId)},"docs_in":${optLong(docsIn)},""" +
-      s""""docs_in_pre":${optLong(docsInPre)},"dedup_removed":${optLong(dedupRemoved)},""" +
+      s""""docs_in_pre":${optLong(docsInPre)},"docs_removed":${optLong(docsRemoved)},""" +
+      s""""dedup_removed":${optLong(dedupRemoved)},""" +
       s""""spans_this_invocation":${m.n},""" +
       s""""spans_total":${total.n},"cer":${num("%.4f", total.avgDistance)},""" +
       s""""pct_perfect":${num("%.4f", total.percentPerfect)},"wall_sec":${num("%.1f", sec)},""" +

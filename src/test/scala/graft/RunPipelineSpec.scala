@@ -174,4 +174,57 @@ class RunPipelineSpec extends SparkSpec {
     val out = spark.read.parquet(s"$base/out").drop("bucket")
     assert(graft.pipeline.CorrectionPipeline.spanSequenceViolations(out, in).count() == 0)
   }
+
+  test("--sample and --quality-gate curate before correction; resume honors them") {
+    val base = Files.createTempDirectory("runpipeline9").toString
+    // 30 healthy docs + 30 spam docs ("spam spam spam ..." -> dup_token_ratio
+    // ~1) + 2 media-only docs (must pass any gate untouched)
+    val healthy = longDocs(30, "", 0)
+    val spam = spark.range(30).select(
+      concat(lit("spam"), col("id")).as("doc_id"),
+      array(struct(lit("text").as("kind"),
+        concat_ws(" ", (0 until 40).map(_ => lit("lorem")): _*).as("text"),
+        lit("").as("media_ref"), lit(0).cast("int").as("offset"))).as("spans"))
+    val media = spark.range(2).select(
+      concat(lit("media"), col("id")).as("doc_id"),
+      array(struct(lit("media").as("kind"), lit("").as("text"),
+        lit("m0").as("media_ref"), lit(0).cast("int").as("offset"))).as("spans"))
+    healthy.union(spam).union(media).write.parquet(s"$base/in")
+
+    // gate only (quality floor 0: isolate the dup-token-ratio rule)
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "quality-gate" -> "0.0:0.5", "buckets" -> "4", "group-size" -> "2"))
+    assert(out.contains(""""docs_in":32"""), out)         // 30 healthy + 2 media
+    assert(out.contains(""""docs_in_pre":62"""), out)
+    assert(out.contains(""""docs_removed":30"""), out)
+    assert(out.contains(""""dedup_removed":null"""), out) // not attributable to dedup
+    val written = spark.read.parquet(s"$base/out")
+    assert(written.filter(col("doc_id").startsWith("spam")).count() == 0)
+    assert(written.filter(col("doc_id").startsWith("media")).count() == 2,
+      "media-only docs must pass the gate")
+
+    // sample composes with the gate; membership is the deterministic
+    // Sampling gate (row-pure), so the expected survivor set is computable
+    val frac = 0.5
+    val expectSampled = spark.read.parquet(s"$base/in")
+      .where(graft.pipeline.Sampling.gate16(col("doc_id")) < math.round(frac * 65536.0))
+    val expectedIds = expectSampled.select("doc_id").collect().map(_.getString(0))
+      .filterNot(_.startsWith("spam")).toSet // gate then removes sampled spam
+    val out2 = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out2", "corrector" -> "null",
+      "sample" -> frac.toString, "quality-gate" -> "0.0:0.5",
+      "buckets" -> "4", "group-size" -> "2"))
+    val written2 = spark.read.parquet(s"$base/out2")
+    assert(written2.select("doc_id").distinct().collect().map(_.getString(0)).toSet
+      == expectedIds, out2)
+
+    // no-op resume of the curated run: same command, null counts
+    val again = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out2", "corrector" -> "null",
+      "sample" -> frac.toString, "quality-gate" -> "0.0:0.5",
+      "buckets" -> "4", "group-size" -> "2"))
+    assert(again.contains(""""docs_in":null"""), again)
+    assert(again.contains(""""docs_removed":null"""), again)
+  }
 }

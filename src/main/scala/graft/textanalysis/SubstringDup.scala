@@ -86,6 +86,12 @@ object SubstringDup {
                          maxDocFreq: Long, idCol: String,
                          textCol: String): DataFrame = {
     require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
+    // NOTE on recompute-vs-materialize: the kg subtree feeds the df-cap agg
+    // and both self-join sides, so the plan re-executes the scan→explode
+    // chain; an explicit localCheckpoint of kg/capped was MEASURED SLOWER
+    // at sf0.1 (4.45 s → 5.26 s best-warm) — the narrow codegen'd rebuild
+    // is cheaper than materializing ~10⁷ (id, pos, h) rows, so recompute is
+    // the chosen trade until the input text no longer fits the scan cache
     val kg = kgramHashTable(docs, k, idCol, textCol)
     // stop-hash df cap (count DISTINCT docs per hash; a doc repeating its
     // own k-gram must not push the hash over the cap)

@@ -31,8 +31,14 @@ import graft.pipeline.CheckpointedRun
  *                                  #   (md5(doc_id) gate: reproducible, nested across f)
  *   [--quality-gate q[:d]]         # drop text docs with quality < q or duplicate-token
  *                                  #   ratio > d (default d 0.6); media-only docs pass
- *                                  # curation order: sample -> gate -> dedup (narrow
- *                                  # filters first, shuffle-bearing dedup last)
+ *   [--lm-model /data/lm]          # reference bigram-LM count tables (LmScore.saveModel
+ *                                  #   layout: uni/ + bi/ parquet)
+ *   [--lm-min-logprob x]           # with --lm-model: drop text docs whose mean bigram
+ *                                  #   log-prob under the reference model is < x (CCNet-
+ *                                  #   style perplexity filter); docs with no bigram
+ *                                  #   evidence (< 2 tokens) and media-only docs pass
+ *                                  # curation order: sample -> quality gate -> LM filter
+ *                                  # -> dedup (narrow/cheap first, shuffle-bearing last)
  *   [--run-id run1] [--spans-col spans] [--clean-spans-col spans]
  *   [--buckets 64] [--group-size 8] [--salted true]
  * }}}
@@ -131,6 +137,29 @@ object RunPipeline {
     kept.unionByName(tagged.where(col("__n") === 0)).drop("__txt", "__n")
   }
 
+  /** CCNet-style LM perplexity filter against a persisted reference model:
+    * keep text docs whose mean bigram log-prob is >= `minLp`. Docs without
+    * bigram evidence (fewer than 2 tokens) and media-only docs pass — the
+    * filter only acts where the model has something to say. The score join
+    * carries (doc_id, score) only; the model tables are sized by distinct
+    * grams. */
+  private def lmFilterDocs(docs: org.apache.spark.sql.DataFrame, spansCol: String,
+                           modelDir: String, minLp: Double): org.apache.spark.sql.DataFrame = {
+    import graft.textanalysis.LmScore
+    val spark = docs.sparkSession
+    val (uni, bi) = LmScore.loadModel(spark, modelDir)
+    val txt = concat_ws(" ",
+      transform(filter(col(spansCol), sp => sp.getField("kind") === "text"),
+        sp => sp.getField("text")))
+    val tagged = docs.withColumn("__txt", txt)
+    val scores = LmScore.scoreWith(tagged.select(col("doc_id"), col("__txt")), uni, bi,
+        idCol = "doc_id", textCol = "__txt")
+      .select(col("doc_id"), col("avg_logprob"))
+    tagged.join(scores, Seq("doc_id"), "left")
+      .where(col("avg_logprob").isNull || col("avg_logprob") >= minLp)
+      .drop("__txt", "avg_logprob")
+  }
+
   /** The submitted job, factored from [[main]] so tests drive it with their
     * own session. Returns the JSON metrics line. */
   def run(spark: SparkSession, a: Map[String, String]): String = {
@@ -156,15 +185,22 @@ object RunPipeline {
     val dedupMode = a.getOrElse("dedup", "none")
     val sampleFrac = a.get("sample").map(_.toDouble)
     val gateSpec = a.get("quality-gate")
+    val lmModel = a.get("lm-model")
+    val lmMinLp = a.get("lm-min-logprob").map(_.toDouble)
+    require(lmMinLp.isEmpty || lmModel.nonEmpty, "--lm-min-logprob needs --lm-model")
 
     val t0 = System.nanoTime()
     val docs0 = spark.read.parquet(input)
     // curation order: narrow row-pure filters first (sample, then the
-    // quality gate), shuffle-bearing dedup last over the smallest survivor set
+    // quality gate), the model-join LM filter next, shuffle-bearing dedup
+    // last over the smallest survivor set
     val sampled = sampleFrac.fold(docs0)(f =>
       graft.pipeline.Sampling.deterministicSample(docs0, "doc_id", f))
     val gated = gateSpec.fold(sampled)(s => gateDocs(sampled, spansCol, s))
-    val docs = if (dedupMode == "none") gated else dedupDocs(gated, spansCol, dedupMode)
+    val lmFiltered = (for { m <- lmModel; lp <- lmMinLp }
+      yield lmFilterDocs(gated, spansCol, m, lp)).getOrElse(gated)
+    val docs = if (dedupMode == "none") lmFiltered
+               else dedupDocs(lmFiltered, spansCol, dedupMode)
     val cleanDocs = if (clean == input) docs else spark.read.parquet(clean)
 
     val corrector = correctorName match {
@@ -184,14 +220,16 @@ object RunPipeline {
     val lineage = s"input=$input clean=$clean corrector=$correctorName minFreq=$minFreq " +
       s"buckets=$nBuckets groupSize=$groupSize salted=$salted dedup=$dedupMode" +
       sampleFrac.map(f => s" sample=$f").getOrElse("") +
-      gateSpec.map(g => s" gate=$g").getOrElse("")
+      gateSpec.map(g => s" gate=$g").getOrElse("") +
+      (for { m <- lmModel; lp <- lmMinLp } yield s" lm=$m>=$lp").getOrElse("")
     // stage token fingerprints the SOURCES: a resume of this output dir with
     // a different input/clean table (or spans columns, or dedup setting)
     // must rebuild its stages instead of silently reusing the previous
     // source's rows
     val stageToken = java.security.MessageDigest.getInstance("MD5")
       .digest((s"$input|$clean|$spansCol|$cleanSpansCol|$dedupMode" +
-        s"|${sampleFrac.getOrElse("")}|${gateSpec.getOrElse("")}").getBytes("UTF-8"))
+        s"|${sampleFrac.getOrElse("")}|${gateSpec.getOrElse("")}" +
+        s"|${lmModel.getOrElse("")}|${lmMinLp.getOrElse("")}").getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     // docs_in comes from the staged bucketed copy WHILE it exists (an
     // empty-projection parquet count — footers only), inside the timed run;
@@ -210,7 +248,8 @@ object RunPipeline {
     // pre-curation count: a footer-metadata parquet count of the raw input
     // (no curation plan attached); skipped entirely on a no-op resume, and
     // equal to docs_in by definition when no curation step is active
-    val curationOff = dedupMode == "none" && sampleFrac.isEmpty && gateSpec.isEmpty
+    val curationOff = dedupMode == "none" && sampleFrac.isEmpty && gateSpec.isEmpty &&
+      (lmModel.isEmpty || lmMinLp.isEmpty)
     val docsInPre: Option[Long] =
       if (docsIn.isEmpty) None
       else if (curationOff) docsIn
@@ -228,7 +267,9 @@ object RunPipeline {
     // sample/gate are also active (the delta is then not attributable)
     val docsRemoved = for (pre <- docsInPre; post <- docsIn) yield pre - post
     val dedupRemoved =
-      if (sampleFrac.isEmpty && gateSpec.isEmpty) docsRemoved else None
+      if (sampleFrac.isEmpty && gateSpec.isEmpty && (lmModel.isEmpty || lmMinLp.isEmpty))
+        docsRemoved
+      else None
     s"""{"run_id":${jsonStr(runId)},"docs_in":${optLong(docsIn)},""" +
       s""""docs_in_pre":${optLong(docsInPre)},"docs_removed":${optLong(docsRemoved)},""" +
       s""""dedup_removed":${optLong(dedupRemoved)},""" +

@@ -85,4 +85,29 @@ object LmScore {
             x => x("lp")),
           lit(0.0), (a, x) => a + x) / count(lit(1))).as("avg_logprob"))
   }
+
+  /** Persist a reference model trained on `refDocs`: `dir/uni` (w1, c_uni)
+    * and `dir/bi` (gram, c_bi) parquet — the artifact [[scoreWith]] and the
+    * spark-submit `--lm-model` flag consume. */
+  def saveModel(refDocs: DataFrame, dir: String, minCount: Long = 1L,
+                textCol: String = "text"): Unit = {
+    TextAnalysis.corpusNgramCounts(refDocs, n = 1, minCount, textCol)
+      .select(col("gram").as("w1"), col("n").as("c_uni"))
+      .write.mode("overwrite").parquet(s"$dir/uni")
+    TextAnalysis.corpusNgramCounts(refDocs, n = 2, minCount, textCol)
+      .select(col("gram"), col("n").as("c_bi"))
+      .write.mode("overwrite").parquet(s"$dir/bi")
+  }
+
+  /** Load a persisted reference model, asserting the expected schemas. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                dir: String): (DataFrame, DataFrame) = {
+    val uni = spark.read.parquet(s"$dir/uni")
+    val bi = spark.read.parquet(s"$dir/bi")
+    require(uni.columns.toSet == Set("w1", "c_uni"),
+      s"LM model $dir/uni must have (w1, c_uni), got ${uni.columns.mkString(",")}")
+    require(bi.columns.toSet == Set("gram", "c_bi"),
+      s"LM model $dir/bi must have (gram, c_bi), got ${bi.columns.mkString(",")}")
+    (uni, bi)
+  }
 }

@@ -227,4 +227,43 @@ class RunPipelineSpec extends SparkSpec {
     assert(again.contains(""""docs_in":null"""), again)
     assert(again.contains(""""docs_removed":null"""), again)
   }
+
+  test("--lm-model/--lm-min-logprob drops out-of-distribution docs") {
+    import graft.textanalysis.LmScore
+    import spark.implicits._
+    val base = Files.createTempDirectory("runpipeline10").toString
+    val rng = new graft.gen.DetRng(23L)
+    val healthyTexts = (0 until 20).map(i => (f"doc$i%02d", DocGen.sentence(rng, 10)))
+    val gibberish = (0 until 8).map(i => (f"gib$i%02d",
+      (0 until 10).map(j => s"zx${i}q${j}v").mkString(" ")))
+    // reference model: trained on the healthy distribution only
+    LmScore.saveModel(healthyTexts.toDF("doc_id", "text"), s"$base/lm")
+
+    def spanDocs(rows: Seq[(String, String)]) = rows.toDF("doc_id", "__t").select(
+      col("doc_id"), array(struct(lit("text").as("kind"), col("__t").as("text"),
+        lit("").as("media_ref"), lit(0).cast("int").as("offset"))).as("spans"))
+    spanDocs(healthyTexts ++ gibberish).write.parquet(s"$base/in")
+
+    // pick the threshold between the two score populations (both computed
+    // through the same public scorer, so the spec pins filter semantics,
+    // not a magic constant)
+    val (uni, bi) = LmScore.loadModel(spark, s"$base/lm")
+    val scores = LmScore.scoreWith((healthyTexts ++ gibberish).toDF("doc_id", "text"), uni, bi)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val minHealthy = healthyTexts.map(t => scores(t._1)).min
+    val maxGib = gibberish.map(t => scores(t._1)).max
+    assert(maxGib < minHealthy, s"populations must separate: $maxGib vs $minHealthy")
+    val cut = (minHealthy + maxGib) / 2
+
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "lm-model" -> s"$base/lm", "lm-min-logprob" -> cut.toString,
+      "buckets" -> "4", "group-size" -> "2"))
+    assert(out.contains(""""docs_in":20"""), out)
+    assert(out.contains(""""docs_removed":8"""), out)
+    assert(out.contains(""""dedup_removed":null"""), out)
+    val written = spark.read.parquet(s"$base/out")
+    assert(written.filter(col("doc_id").startsWith("gib")).count() == 0)
+    assert(written.select("doc_id").distinct().count() == 20)
+  }
 }

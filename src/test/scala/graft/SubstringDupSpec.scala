@@ -154,6 +154,28 @@ class SubstringDupSpec extends SparkSpec {
     assert(after == 0L, s"re-detection still finds $after pairs")
   }
 
+  test("winnow-prefiltered form ≡ plain form (exactness guarantee at minLen >= 2k-1)") {
+    val r = new scala.util.Random(54)
+    val rng = new graft.gen.DetRng(29L)
+    val base = (0 until 14).map(_ => DocGenHelpers.sentence(rng, 7 + r.nextInt(5)))
+    val texts = base.zipWithIndex.map { case (t, i) =>
+      if (i % 2 == 1) {
+        val donor = base(i - 1)
+        s"${DocGenHelpers.sentence(rng, 2)} ${donor.substring(0, donor.length * 3 / 4)}"
+      } else t
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val plain = SubstringDup.sharedSubstringPairs(docs, minLen = 15, k = 8, maxDocFreq = 10000L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val pre = SubstringDup.sharedSubstringPairsPrefiltered(docs, minLen = 15, k = 8, maxDocFreq = 10000L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(plain.nonEmpty, "fixture must produce shared-substring pairs")
+    assert(pre == plain)
+    intercept[IllegalArgumentException] { // guarantee window enforced
+      SubstringDup.sharedSubstringPairsPrefiltered(docs, minLen = 10, k = 8)
+    }
+  }
+
   test("stop-hash df cap drops boilerplate-only pairs") {
     // 30 docs all share one boilerplate banner; only two share unique text
     val banner = "copyright footer all rights reserved banner"

@@ -75,6 +75,20 @@ object RunPipeline {
     try println(run(spark, a)) finally spark.stop()
   }
 
+  /** The pipeline's canonical "document text" key — concatenated text-span
+    * contents — plus its normalized length, shared by every curation step
+    * (dedup, quality gate, LM filter) so they can never disagree on what a
+    * document's text is. Returns the frame tagged with `__txt` and `__n`. */
+  private def tagDocText(docs: org.apache.spark.sql.DataFrame,
+                         spansCol: String): org.apache.spark.sql.DataFrame = {
+    val txt = concat_ws(" ",
+      transform(filter(col(spansCol), sp => sp.getField("kind") === "text"),
+        sp => sp.getField("text")))
+    docs.withColumn("__txt", txt)
+      .withColumn("__n",
+        coalesce(length(graft.dedup.Dedup.normalizeText(col("__txt"))), lit(0)))
+  }
+
   /** Duplicate collapse over the interleaved-docs table — the standard
     * web-pipeline order (dedup BEFORE the expensive correction kernel; every
     * duplicate removed here saves a full correction pass). The dedup key is
@@ -97,11 +111,7 @@ object RunPipeline {
         case Array(_, v) => v.toDouble
         case _ => default
       }
-    val txt = concat_ws(" ",
-      transform(filter(col(spansCol), sp => sp.getField("kind") === "text"),
-        sp => sp.getField("text")))
-    val tagged = docs.withColumn("__txt", txt)
-      .withColumn("__n", coalesce(length(Dedup.normalizeText(col("__txt"))), lit(0)))
+    val tagged = tagDocText(docs, spansCol)
     val hasText = tagged.where(col("__n") > 0)
     val noText = tagged.where(col("__n") === 0)
     val deduped = mode.takeWhile(_ != ':') match {
@@ -126,11 +136,7 @@ object RunPipeline {
       case Array(qs, ds) => (qs.toDouble, ds.toDouble)
       case Array(qs) => (qs.toDouble, 0.6)
     }
-    val txt = concat_ws(" ",
-      transform(filter(col(spansCol), sp => sp.getField("kind") === "text"),
-        sp => sp.getField("text")))
-    val tagged = docs.withColumn("__txt", txt)
-      .withColumn("__n", coalesce(length(graft.dedup.Dedup.normalizeText(col("__txt"))), lit(0)))
+    val tagged = tagDocText(docs, spansCol)
     val kept = graft.streaming.StreamingOps.qualityGate(
         tagged.where(col("__n") > 0), "__txt", q, d)
       .drop("quality", "dup_token_ratio", "dup_bigram_frac")
@@ -148,16 +154,13 @@ object RunPipeline {
     import graft.textanalysis.LmScore
     val spark = docs.sparkSession
     val (uni, bi) = LmScore.loadModel(spark, modelDir)
-    val txt = concat_ws(" ",
-      transform(filter(col(spansCol), sp => sp.getField("kind") === "text"),
-        sp => sp.getField("text")))
-    val tagged = docs.withColumn("__txt", txt)
+    val tagged = tagDocText(docs, spansCol)
     val scores = LmScore.scoreWith(tagged.select(col("doc_id"), col("__txt")), uni, bi,
         idCol = "doc_id", textCol = "__txt")
       .select(col("doc_id"), col("avg_logprob"))
     tagged.join(scores, Seq("doc_id"), "left")
       .where(col("avg_logprob").isNull || col("avg_logprob") >= minLp)
-      .drop("__txt", "avg_logprob")
+      .drop("__txt", "__n", "avg_logprob")
   }
 
   /** The submitted job, factored from [[main]] so tests drive it with their
@@ -187,7 +190,10 @@ object RunPipeline {
     val gateSpec = a.get("quality-gate")
     val lmModel = a.get("lm-model")
     val lmMinLp = a.get("lm-min-logprob").map(_.toDouble)
-    require(lmMinLp.isEmpty || lmModel.nonEmpty, "--lm-min-logprob needs --lm-model")
+    // both-or-neither: --lm-model alone would otherwise be a SILENT no-op
+    // (an operator shipping an "LM-filtered" corpus that was never filtered)
+    require(lmModel.isEmpty == lmMinLp.isEmpty,
+      "--lm-model and --lm-min-logprob must be provided together")
 
     val t0 = System.nanoTime()
     val docs0 = spark.read.parquet(input)

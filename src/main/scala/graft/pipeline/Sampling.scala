@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
-  /** 16-bit uniform hash of the id column: first 4 hex chars of md5. */
+  /** 16-bit uniform hash of the id column: first 4 hex chars of md5.
+    * A NULL id gates to 0 — null-id rows are KEPT by every fraction > 0
+    * (and dropped at fraction 0), so `--sample 1.0` is a true identity
+    * instead of silently losing rows to null-propagation. */
   def gate16(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+    coalesce(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"), lit(0L))
 
   /** Cutoff for a fraction in [0, 1] on the 16-bit gate. */
   private def cutoff(fraction: Double): Long = {

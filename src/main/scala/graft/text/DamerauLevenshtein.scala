@@ -211,7 +211,9 @@ object DamerauLevenshtein {
    */
   def distanceWithin(s1: String, s2: String, k: Int): Int = {
     if (k < 0) return 0 // degenerate threshold: every distance exceeds it
-    val over = k + 1
+    // k+1 must not overflow; any true distance is < Int.MaxValue, so a
+    // saturated marker preserves min(dist, k+1) semantics at the extreme
+    val over = if (k == Int.MaxValue) Int.MaxValue else k + 1
     var a = codePoints(s1)
     var b = codePoints(s2)
     if (a.length < b.length) { val t = a; a = b; b = t }
@@ -219,7 +221,12 @@ object DamerauLevenshtein {
     val n = b.length
     if (m - n > k) return over // indel lower bound already exceeds k
     if (n == 0) return math.min(m, over)
-    val d = k
+    // clamp the band to the longer length (cf. distanceBandedCp): every cell
+    // satisfies |colT - row| <= m, so d = m already covers the full DP —
+    // without the clamp a huge threshold (k ~ 2^30, reachable automatically
+    // through BandedDistanceRewrite) would overflow `2 * d + 1` and allocate
+    // O(k) state per call for sentence-length strings
+    val d = math.min(k, m)
     val width = 2 * d + 1
     val Inf = Int.MaxValue / 4
 

@@ -87,11 +87,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     DamerauLevenshteinExpr.functions.foreach { case (name, _, v) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[DamerauLevenshteinExpr].getName, name),
-        (children: Seq[Expression]) => DamerauLevenshteinExpr(children(0), children(1), v)))
+        (children: Seq[Expression]) => {
+          require(children.length == 2, s"$name expects 2 arguments")
+          DamerauLevenshteinExpr(children(0), children(1), v)
+        }))
     }
     ext.injectFunction((FunctionIdentifier("dl_distance_within"),
       new ExpressionInfo(classOf[DlWithinExpr].getName, "dl_distance_within"),
-      (children: Seq[Expression]) => DlWithinExpr(children(0), children(1), children(2))))
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "dl_distance_within expects 3 arguments")
+        DlWithinExpr(children(0), children(1), children(2))
+      }))
     ext.injectOptimizerRule(_ => BandedDistanceRewrite)
   }
 }

@@ -117,6 +117,12 @@ class EditDistanceSpec extends AnyFunSuite {
     assert(distanceWithin("ab", "ba", 0) == 1)  // k=0: equality test
     assert(distanceWithin("ab", "ab", 0) == 0)
     assert(distanceWithin("x", "y", -1) == 0)   // negative threshold
+    // huge thresholds clamp the band to the string length instead of
+    // allocating O(k) state (or overflowing 2k+1) — the rewrite rule feeds
+    // ANY literal here, so the kernel must stay exact and cheap for k >> len
+    assert(distanceWithin("kitten", "sitting", 1 << 30) == 3)
+    assert(distanceWithin("kitten", "sitting", Int.MaxValue) == 3)
+    assert(distanceWithin("ab", "ba", 1000000) == 1)
   }
 
   test("property: distanceWithin is exact on noised strings at OCR-scale thresholds") {

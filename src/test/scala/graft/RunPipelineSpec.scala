@@ -265,5 +265,13 @@ class RunPipelineSpec extends SparkSpec {
     val written = spark.read.parquet(s"$base/out")
     assert(written.filter(col("doc_id").startsWith("gib")).count() == 0)
     assert(written.select("doc_id").distinct().count() == 20)
+
+    // --lm-model alone must FAIL LOUDLY, not silently skip the filter
+    val e = intercept[IllegalArgumentException] {
+      RunPipeline.run(spark, Map(
+        "input" -> s"$base/in", "output" -> s"$base/out3", "corrector" -> "null",
+        "lm-model" -> s"$base/lm", "buckets" -> "4", "group-size" -> "2"))
+    }
+    assert(e.getMessage.contains("provided together"), e.getMessage)
   }
 }

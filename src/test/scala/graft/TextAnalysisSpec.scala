@@ -209,6 +209,12 @@ class TextAnalysisSpec extends SparkSpec {
     val s10b = Sampling.deterministicSample(df.repartition(7), "doc_id", 0.10)
       .as[(Long, String)].collect().toSet
     assert(s10b == s10)
+    // null ids gate to 0: kept by any fraction > 0, dropped at 0 — so
+    // fraction 1.0 is a true identity (no silent null-propagation loss)
+    val withNull = Seq((Some(1L), "en"), (None, "en")).toDF("doc_id", "lang")
+    assert(Sampling.deterministicSample(withNull, "doc_id", 1.0).count() == 2)
+    assert(Sampling.deterministicSample(withNull, "doc_id", 0.0).count() == 0)
+
     // stratified: each stratum honors its own fraction; default drops rest
     val strat = Sampling.stratifiedSample(df, "lang", "doc_id", Map("en" -> 1.0))
       .as[(Long, String)].collect()

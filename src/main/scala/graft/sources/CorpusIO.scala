@@ -82,4 +82,25 @@ object CorpusIO {
     val row = spark.read.json(path).head()
     row.schema.fieldNames.map(n => n -> row.getAs[Any](n).toString.toDouble).toMap
   }
+
+  /** Interleaved-docs table sink in a chosen columnar format. `parquet` is
+    * the default everywhere; `orc` is the drop-in alternative some lakes
+    * standardize on — both carry the nested spans struct, column pruning,
+    * and predicate pushdown, so the rest of the engine is format-agnostic. */
+  def writeDocs(df: DataFrame, path: String, format: String = "parquet"): Unit = {
+    require(Set("parquet", "orc")(format), s"unsupported docs format: $format")
+    df.write.mode("overwrite").format(format).save(path)
+  }
+
+  /** Scan an interleaved-docs table, asserting the contract columns
+    * (`doc_id` + a spans array) are present before anything downstream
+    * dereferences them. */
+  def readDocs(spark: SparkSession, path: String, format: String = "parquet",
+               spansCol: String = "spans"): DataFrame = {
+    require(Set("parquet", "orc")(format), s"unsupported docs format: $format")
+    val df = spark.read.format(format).load(path)
+    require(df.columns.contains("doc_id") && df.columns.contains(spansCol),
+      s"docs table at $path must have (doc_id, $spansCol), got ${df.columns.mkString(",")}")
+    df
+  }
 }

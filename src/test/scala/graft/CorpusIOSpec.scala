@@ -60,6 +60,33 @@ class CorpusIOSpec extends SparkSpec {
     assert(CorpusIO.loadHyperparams(spark, path) == params)
   }
 
+  test("ORC docs round-trip: nested spans survive and prune like parquet") {
+    import graft.model.{Doc, Span}
+    val docs = Seq(
+      Doc("d0", Seq(Span(Span.KindText, "orc text", "", 0),
+                    Span(Span.KindMedia, "", "m1", 1))),
+      Doc("d1", Seq(Span(Span.KindText, "more orc", "", 0))))
+    val path = tmp("orcdocs")
+    CorpusIO.writeDocs(docs.toDS().toDF(), path, "orc")
+    val back = CorpusIO.readDocs(spark, path, "orc").as[Doc].collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(back == docs.map(d => d.doc_id -> d).toMap)
+    // nested column pruning works on the ORC scan too
+    val q = CorpusIO.readDocs(spark, path, "orc")
+      .select(explode(col("spans")).as("s")).groupBy(col("s.kind"))
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(s =>
+      s.contains("kind") && !s.contains("text")), readSchemas.mkString("\n"))
+    // contract violation fails loudly
+    val bad = tmp("badorc")
+    Seq(("x", 1)).toDF("a", "b").write.mode("overwrite").orc(bad)
+    intercept[IllegalArgumentException] { CorpusIO.readDocs(spark, bad, "orc") }
+    intercept[IllegalArgumentException] { CorpusIO.writeDocs(docs.toDS().toDF(), path, "avro") }
+  }
+
   test("nested schema pruning: span-kind stats never read span text bytes") {
     // At 100 TB the spans.text field is ~all of the corpus' bytes; a query
     // over span kinds/counts must prune it at the parquet scan

@@ -39,6 +39,8 @@ import graft.pipeline.CheckpointedRun
  *                                  #   evidence (< 2 tokens) and media-only docs pass
  *                                  # curation order: sample -> quality gate -> LM filter
  *                                  # -> dedup (narrow/cheap first, shuffle-bearing last)
+ *   [--input-format parquet|orc]   # input + clean table format (CorpusIO.readDocs:
+ *                                  #   asserts the (doc_id, spans) contract on scan)
  *   [--run-id run1] [--spans-col spans] [--clean-spans-col spans]
  *   [--buckets 64] [--group-size 8] [--salted true]
  * }}}
@@ -196,7 +198,8 @@ object RunPipeline {
       "--lm-model and --lm-min-logprob must be provided together")
 
     val t0 = System.nanoTime()
-    val docs0 = spark.read.parquet(input)
+    val fmt = a.getOrElse("input-format", "parquet")
+    val docs0 = graft.sources.CorpusIO.readDocs(spark, input, fmt, spansCol)
     // curation order: narrow row-pure filters first (sample, then the
     // quality gate), the model-join LM filter next, shuffle-bearing dedup
     // last over the smallest survivor set
@@ -207,7 +210,8 @@ object RunPipeline {
       yield lmFilterDocs(gated, spansCol, m, lp)).getOrElse(gated)
     val docs = if (dedupMode == "none") lmFiltered
                else dedupDocs(lmFiltered, spansCol, dedupMode)
-    val cleanDocs = if (clean == input) docs else spark.read.parquet(clean)
+    val cleanDocs = if (clean == input) docs
+                    else graft.sources.CorpusIO.readDocs(spark, clean, fmt, cleanSpansCol)
 
     val corrector = correctorName match {
       case "null" => NullCorrector

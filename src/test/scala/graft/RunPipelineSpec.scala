@@ -266,6 +266,13 @@ class RunPipelineSpec extends SparkSpec {
     assert(written.filter(col("doc_id").startsWith("gib")).count() == 0)
     assert(written.select("doc_id").distinct().count() == 20)
 
+    // ORC input end-to-end via --input-format (same docs, same contract)
+    spanDocs(healthyTexts).write.mode("overwrite").orc(s"$base/in_orc")
+    val orcOut = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in_orc", "output" -> s"$base/out_orc", "corrector" -> "null",
+      "input-format" -> "orc", "buckets" -> "4", "group-size" -> "2"))
+    assert(orcOut.contains(""""docs_in":20"""), orcOut)
+
     // --lm-model alone must FAIL LOUDLY, not silently skip the filter
     val e = intercept[IllegalArgumentException] {
       RunPipeline.run(spark, Map(

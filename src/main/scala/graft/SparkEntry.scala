@@ -404,6 +404,16 @@ object SparkEntry {
       graft.textanalysis.SubstringDup.sharedSubstringPairs(
         tbl(s, dir, "documents"), minLen = 25, k = 8, maxDocFreq = 64L)),
 
+    // train/eval decontamination (GPT-3 appendix-C style): flag training
+    // docs sharing a 13-token n-gram with the benchmark corpus — here the
+    // deterministic 5% sample plays the leaked eval set, so every leaked
+    // doc must flag itself (plus any true cross-doc collisions)
+    "q_decontam" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.textanalysis.Decontamination.contaminationReport(
+        docs, graft.pipeline.Sampling.deterministicSample(docs, "doc_id", 0.05), n = 13)
+    }),
+
     // CCNet-family LM quality filter: per-doc mean log-prob under the
     // corpus's own add-α bigram model (low = high perplexity = suspect);
     // log-probs folded in bigram position order (the q_bm25_doc discipline)
@@ -1012,6 +1022,21 @@ object SparkEntry {
                    FROM brk)
            SELECT doc_id, CAST(min(s) AS BIGINT) AS start_pos, CAST(max(e) AS BIGINT) AS end_pos
            FROM grp GROUP BY doc_id, g""",
+
+      // 13-gram collision check; eval = the md5-gated 5% sample (cutoff
+      // round(0.05 * 65536) = 3277), grams via list slicing
+      "q_decontam" ->
+        raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),
+           tl AS (SELECT doc_id, list_filter(string_split(nt, ' '), t -> length(t) > 0) AS l FROM nt),
+           tg AS (SELECT doc_id, unnest(CASE WHEN len(l) >= 13 THEN
+                    list_transform(range(1, len(l) - 13 + 2),
+                      i -> array_to_string(l[CAST(i AS INT):CAST(i + 12 AS INT)], ' '))
+                  ELSE [] END) AS gram FROM tl),
+           ev AS (SELECT DISTINCT gram FROM tg
+                  WHERE doc_id IN (SELECT doc_id FROM documents
+                    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT) < 3277))
+           SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(t.gram) AS sample_gram
+           FROM tg t JOIN ev USING (gram) GROUP BY 1""",
 
       // add-0.4 bigram LM self-trained on the corpus; ln on both engines,
       // per-doc fold in bigram position order (associativity discipline)

@@ -276,6 +276,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ext(1L) > ext(3L), "real bigrams must beat scrambled ones")
   }
 
+  test("decontamination: eval n-gram collisions flag exactly the leaked docs") {
+    import graft.textanalysis.Decontamination
+    val phrase = "the quick brown fox jumps over the lazy dog again" // 10 tokens
+    val train = Seq(
+      (1L, s"intro words here $phrase closing words"),   // contains the phrase
+      (2L, "totally unrelated training document content with many plain tokens"),
+      (3L, s"another leak site $phrase end"),
+      (4L, "short doc")).toDF("doc_id", "text")          // < n tokens: never flagged
+    val eval = Seq((100L, s"benchmark question: $phrase answer")).toDF("doc_id", "text")
+
+    val report = Decontamination.contaminationReport(train, eval, n = 10)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(report.keySet == Set(1L, 3L))
+    // doc 1: the 10-gram window sliding over "...here the quick ... dog again closing..."
+    // collides once with the eval phrase itself (only the exact window matches)
+    assert(report(1L)._2 == 1L && report(1L)._3 == phrase)
+    assert(report(3L)._2 == 1L)
+
+    val clean = Decontamination.decontaminate(train, eval, n = 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 4L))
+    // a longer collision window yields multiple hits per doc
+    val multi = Decontamination.contaminationReport(train, eval, n = 5)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._2).toMap
+    assert(multi(1L) > 1L)
+  }
+
   test("column profile: hand fixture incl. nulls and distincts") {
     import graft.textanalysis.Profile
     val df = Seq(

@@ -31,6 +31,9 @@ import graft.pipeline.CheckpointedRun
  *                                  #   (md5(doc_id) gate: reproducible, nested across f)
  *   [--quality-gate q[:d]]         # drop text docs with quality < q or duplicate-token
  *                                  #   ratio > d (default d 0.6); media-only docs pass
+ *   [--decontam /data/eval[:n]]    # drop training docs sharing an n-token n-gram
+ *                                  #   (default n 13) with the eval/benchmark docs table
+ *                                  #   (same interleaved-docs shape; GPT-3-style rule)
  *   [--lm-model /data/lm]          # reference bigram-LM count tables (LmScore.saveModel
  *                                  #   layout: uni/ + bi/ parquet)
  *   [--lm-min-logprob x]           # with --lm-model: drop text docs whose mean bigram
@@ -38,7 +41,8 @@ import graft.pipeline.CheckpointedRun
  *                                  #   style perplexity filter); docs with no bigram
  *                                  #   evidence (< 2 tokens) and media-only docs pass
  *                                  # curation order: sample -> quality gate -> LM filter
- *                                  # -> dedup (narrow/cheap first, shuffle-bearing last)
+ *                                  # -> decontam -> dedup (narrow/cheap first,
+ *                                  # shuffle-bearing last)
  *   [--input-format parquet|orc]   # input + clean table format (CorpusIO.readDocs:
  *                                  #   asserts the (doc_id, spans) contract on scan)
  *   [--run-id run1] [--spans-col spans] [--clean-spans-col spans]
@@ -145,6 +149,26 @@ object RunPipeline {
     kept.unionByName(tagged.where(col("__n") === 0)).drop("__txt", "__n")
   }
 
+  /** Benchmark decontamination: drop training docs sharing an n-token
+    * n-gram with the eval corpus (GPT-3 appendix-C rule). Both sides are
+    * interleaved-docs tables; the shared text key is [[tagDocText]]. Eval
+    * grams are distinct + broadcast — the training text never shuffles.
+    * `spec` grammar: `path` or `path:n`. */
+  private def decontamDocs(docs: org.apache.spark.sql.DataFrame, spansCol: String,
+                           spec: String, fmt: String): org.apache.spark.sql.DataFrame = {
+    val (path, n) = spec.split(":", 2) match {
+      case Array(pth, nn) => (pth, nn.toInt)
+      case Array(pth) => (pth, 13)
+    }
+    val spark = docs.sparkSession
+    val evalDocs = graft.sources.CorpusIO.readDocs(spark, path.stripSuffix("/"), fmt, spansCol)
+    val train = tagDocText(docs, spansCol)
+    val eval = tagDocText(evalDocs, spansCol).select(col("doc_id"), col("__txt"))
+    graft.textanalysis.Decontamination.decontaminate(
+        train, eval, n, idCol = "doc_id", textCol = "__txt")
+      .drop("__txt", "__n")
+  }
+
   /** CCNet-style LM perplexity filter against a persisted reference model:
     * keep text docs whose mean bigram log-prob is >= `minLp`. Docs without
     * bigram evidence (fewer than 2 tokens) and media-only docs pass — the
@@ -190,6 +214,7 @@ object RunPipeline {
     val dedupMode = a.getOrElse("dedup", "none")
     val sampleFrac = a.get("sample").map(_.toDouble)
     val gateSpec = a.get("quality-gate")
+    val decontamSpec = a.get("decontam")
     val lmModel = a.get("lm-model")
     val lmMinLp = a.get("lm-min-logprob").map(_.toDouble)
     // both-or-neither: --lm-model alone would otherwise be a SILENT no-op
@@ -208,8 +233,10 @@ object RunPipeline {
     val gated = gateSpec.fold(sampled)(s => gateDocs(sampled, spansCol, s))
     val lmFiltered = (for { m <- lmModel; lp <- lmMinLp }
       yield lmFilterDocs(gated, spansCol, m, lp)).getOrElse(gated)
-    val docs = if (dedupMode == "none") lmFiltered
-               else dedupDocs(lmFiltered, spansCol, dedupMode)
+    val decontamed = decontamSpec.fold(lmFiltered)(
+      spec => decontamDocs(lmFiltered, spansCol, spec, fmt))
+    val docs = if (dedupMode == "none") decontamed
+               else dedupDocs(decontamed, spansCol, dedupMode)
     val cleanDocs = if (clean == input) docs
                     else graft.sources.CorpusIO.readDocs(spark, clean, fmt, cleanSpansCol)
 
@@ -231,6 +258,7 @@ object RunPipeline {
       s"buckets=$nBuckets groupSize=$groupSize salted=$salted dedup=$dedupMode" +
       sampleFrac.map(f => s" sample=$f").getOrElse("") +
       gateSpec.map(g => s" gate=$g").getOrElse("") +
+      decontamSpec.map(d => s" decontam=$d").getOrElse("") +
       (for { m <- lmModel; lp <- lmMinLp } yield s" lm=$m>=$lp").getOrElse("")
     // stage token fingerprints the SOURCES: a resume of this output dir with
     // a different input/clean table (or spans columns, or dedup setting)
@@ -239,7 +267,8 @@ object RunPipeline {
     val stageToken = java.security.MessageDigest.getInstance("MD5")
       .digest((s"$input|$clean|$spansCol|$cleanSpansCol|$dedupMode" +
         s"|${sampleFrac.getOrElse("")}|${gateSpec.getOrElse("")}" +
-        s"|${lmModel.getOrElse("")}|${lmMinLp.getOrElse("")}").getBytes("UTF-8"))
+        s"|${lmModel.getOrElse("")}|${lmMinLp.getOrElse("")}" +
+        s"|${decontamSpec.getOrElse("")}").getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     // docs_in comes from the staged bucketed copy WHILE it exists (an
     // empty-projection parquet count — footers only), inside the timed run;
@@ -259,7 +288,7 @@ object RunPipeline {
     // (no curation plan attached); skipped entirely on a no-op resume, and
     // equal to docs_in by definition when no curation step is active
     val curationOff = dedupMode == "none" && sampleFrac.isEmpty && gateSpec.isEmpty &&
-      (lmModel.isEmpty || lmMinLp.isEmpty)
+      decontamSpec.isEmpty && (lmModel.isEmpty || lmMinLp.isEmpty)
     val docsInPre: Option[Long] =
       if (docsIn.isEmpty) None
       else if (curationOff) docsIn
@@ -277,7 +306,8 @@ object RunPipeline {
     // sample/gate are also active (the delta is then not attributable)
     val docsRemoved = for (pre <- docsInPre; post <- docsIn) yield pre - post
     val dedupRemoved =
-      if (sampleFrac.isEmpty && gateSpec.isEmpty && (lmModel.isEmpty || lmMinLp.isEmpty))
+      if (sampleFrac.isEmpty && gateSpec.isEmpty && decontamSpec.isEmpty &&
+          (lmModel.isEmpty || lmMinLp.isEmpty))
         docsRemoved
       else None
     s"""{"run_id":${jsonStr(runId)},"docs_in":${optLong(docsIn)},""" +

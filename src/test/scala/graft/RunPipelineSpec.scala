@@ -273,6 +273,19 @@ class RunPipelineSpec extends SparkSpec {
       "input-format" -> "orc", "buckets" -> "4", "group-size" -> "2"))
     assert(orcOut.contains(""""docs_in":20"""), orcOut)
 
+    // --decontam: docs sharing an 8-gram with the eval table are dropped
+    // (the fixture sentences are 10 tokens, so the default 13-gram window
+    // would never fire — the :n override is part of what's under test)
+    spanDocs(healthyTexts).write.mode("overwrite").parquet(s"$base/in_all")
+    // eval = one leaked training doc verbatim
+    spanDocs(Seq(("eval00", healthyTexts.head._2))).write.parquet(s"$base/eval")
+    val dOut = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in_all", "output" -> s"$base/out_dc", "corrector" -> "null",
+      "decontam" -> s"$base/eval:8", "buckets" -> "4", "group-size" -> "2"))
+    assert(dOut.contains(""""docs_in":19"""), dOut)  // the leaked doc dropped
+    val dcWritten = spark.read.parquet(s"$base/out_dc")
+    assert(dcWritten.filter(col("doc_id") === healthyTexts.head._1).count() == 0)
+
     // --lm-model alone must FAIL LOUDLY, not silently skip the filter
     val e = intercept[IllegalArgumentException] {
       RunPipeline.run(spark, Map(

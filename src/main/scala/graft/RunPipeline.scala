@@ -156,9 +156,17 @@ object RunPipeline {
     * `spec` grammar: `path` or `path:n`. */
   private def decontamDocs(docs: org.apache.spark.sql.DataFrame, spansCol: String,
                            spec: String, fmt: String): org.apache.spark.sql.DataFrame = {
-    val (path, n) = spec.split(":", 2) match {
-      case Array(pth, nn) => (pth, nn.toInt)
-      case Array(pth) => (pth, 13)
+    // format note: the eval table reads with --decontam-format (default:
+    // the training --input-format) — benchmark dumps are produced once and
+    // need not share the training corpus' lake format
+    // the spec carries a PATH, which may itself contain colons (s3a://,
+    // hdfs://, file:/) — the :n override is recognized only as a NUMERIC
+    // suffix after the last colon, unlike the numeric-only gate/dedup specs
+    val (path, n) = spec.lastIndexOf(':') match {
+      case i if i >= 0 && spec.substring(i + 1).nonEmpty &&
+        spec.substring(i + 1).forall(_.isDigit) =>
+        (spec.substring(0, i), spec.substring(i + 1).toInt)
+      case _ => (spec, 13)
     }
     val spark = docs.sparkSession
     val evalDocs = graft.sources.CorpusIO.readDocs(spark, path.stripSuffix("/"), fmt, spansCol)
@@ -234,7 +242,8 @@ object RunPipeline {
     val lmFiltered = (for { m <- lmModel; lp <- lmMinLp }
       yield lmFilterDocs(gated, spansCol, m, lp)).getOrElse(gated)
     val decontamed = decontamSpec.fold(lmFiltered)(
-      spec => decontamDocs(lmFiltered, spansCol, spec, fmt))
+      spec => decontamDocs(lmFiltered, spansCol, spec,
+        a.getOrElse("decontam-format", fmt)))
     val docs = if (dedupMode == "none") decontamed
                else dedupDocs(decontamed, spansCol, dedupMode)
     val cleanDocs = if (clean == input) docs
@@ -268,7 +277,7 @@ object RunPipeline {
       .digest((s"$input|$clean|$spansCol|$cleanSpansCol|$dedupMode" +
         s"|${sampleFrac.getOrElse("")}|${gateSpec.getOrElse("")}" +
         s"|${lmModel.getOrElse("")}|${lmMinLp.getOrElse("")}" +
-        s"|${decontamSpec.getOrElse("")}").getBytes("UTF-8"))
+        s"|${decontamSpec.getOrElse("")}|$fmt").getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     // docs_in comes from the staged bucketed copy WHILE it exists (an
     // empty-projection parquet count — footers only), inside the timed run;

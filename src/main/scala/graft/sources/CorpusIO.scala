@@ -92,15 +92,25 @@ object CorpusIO {
     df.write.mode("overwrite").format(format).save(path)
   }
 
-  /** Scan an interleaved-docs table, asserting the contract columns
-    * (`doc_id` + a spans array) are present before anything downstream
-    * dereferences them. */
+  /** Scan an interleaved-docs table, asserting the contract — `doc_id`
+    * plus a spans column that is an `array<struct<...kind, text...>>` —
+    * STRUCTURALLY, before anything downstream dereferences span fields
+    * (a name-only check would let a scalar `spans` column fail later with
+    * an opaque AnalysisException deep in the pipeline). */
   def readDocs(spark: SparkSession, path: String, format: String = "parquet",
                spansCol: String = "spans"): DataFrame = {
     require(Set("parquet", "orc")(format), s"unsupported docs format: $format")
     val df = spark.read.format(format).load(path)
     require(df.columns.contains("doc_id") && df.columns.contains(spansCol),
       s"docs table at $path must have (doc_id, $spansCol), got ${df.columns.mkString(",")}")
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val ok = df.schema(spansCol).dataType match {
+      case ArrayType(st: StructType, _) =>
+        Set("kind", "text").subsetOf(st.fieldNames.toSet)
+      case _ => false
+    }
+    require(ok, s"docs table at $path: column $spansCol must be " +
+      s"array<struct<kind, text, ...>>, got ${df.schema(spansCol).dataType.simpleString}")
     df
   }
 }

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
  * Scale shape: eval n-grams are DISTINCT grams of a benchmark corpus —
  * thousands-to-millions of short strings, broadcast-friendly; the train side
  * explodes its n-grams scan-side ([[TextAnalysis.docNgrams]] shape) and
- * LEFT SEMI joins per gram, so the only wide work is one broadcast (or hash)
- * join keyed by the gram string and one count per flagged doc. The train
- * corpus text itself never shuffles.
+ * LEFT SEMI joins per gram, so the only wide work is one join keyed by the
+ * gram string (broadcast by default — `broadcastEval = false` selects a
+ * shuffled hash join for very large eval corpora) and one count per flagged
+ * doc. The train corpus text itself never shuffles.
  */
 object Decontamination {
 
@@ -29,12 +30,19 @@ object Decontamination {
    */
   def contaminationReport(train: DataFrame, eval: DataFrame, n: Int = 13,
                           idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
+                          textCol: String = "text",
+                          broadcastEval: Boolean = true): DataFrame = {
     val evalGrams = eval
       .select(explode(TextAnalysis.ngramArray(col(textCol), n)).as("gram"))
       .distinct()
+    // broadcastEval is an EXPLICIT choice, not a silent fallback: the hint
+    // bypasses autoBroadcastJoinThreshold, so the caller asserts the
+    // distinct eval-gram set fits the driver (true for typical benchmark
+    // suites). For a very large eval corpus pass false — the semi-join then
+    // plans as an ordinary shuffled hash join.
+    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
     TextAnalysis.docNgrams(train, n, idCol, textCol)
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .join(evalSide, Seq("gram"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), min(col("gram")).as("sample_gram"))
   }
@@ -43,8 +51,9 @@ object Decontamination {
     * (1 = the standard strict rule). */
   def contaminatedIds(train: DataFrame, eval: DataFrame, n: Int = 13,
                       minHits: Long = 1L, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame =
-    contaminationReport(train, eval, n, idCol, textCol)
+                      textCol: String = "text",
+                      broadcastEval: Boolean = true): DataFrame =
+    contaminationReport(train, eval, n, idCol, textCol, broadcastEval)
       .filter(col("n_hits") >= minHits)
       .select(col(idCol))
 
@@ -52,7 +61,8 @@ object Decontamination {
     * id — the train table itself never shuffles by content). */
   def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 13,
                     minHits: Long = 1L, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
-    train.join(contaminatedIds(train, eval, n, minHits, idCol, textCol),
+                    textCol: String = "text",
+                    broadcastEval: Boolean = true): DataFrame =
+    train.join(contaminatedIds(train, eval, n, minHits, idCol, textCol, broadcastEval),
       Seq(idCol), "left_anti")
 }

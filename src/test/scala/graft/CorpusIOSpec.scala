@@ -84,6 +84,12 @@ class CorpusIOSpec extends SparkSpec {
     val bad = tmp("badorc")
     Seq(("x", 1)).toDF("a", "b").write.mode("overwrite").orc(bad)
     intercept[IllegalArgumentException] { CorpusIO.readDocs(spark, bad, "orc") }
+    // right NAME, wrong SHAPE: a scalar spans column must fail at the scan
+    // assertion, not later with an opaque field-dereference error
+    val badShape = tmp("badshape")
+    Seq(("d0", "not an array")).toDF("doc_id", "spans").write.parquet(badShape)
+    val e = intercept[IllegalArgumentException] { CorpusIO.readDocs(spark, badShape) }
+    assert(e.getMessage.contains("array<struct"), e.getMessage)
     intercept[IllegalArgumentException] { CorpusIO.writeDocs(docs.toDS().toDF(), path, "avro") }
   }
 

@@ -286,6 +286,16 @@ class RunPipelineSpec extends SparkSpec {
     val dcWritten = spark.read.parquet(s"$base/out_dc")
     assert(dcWritten.filter(col("doc_id") === healthyTexts.head._1).count() == 0)
 
+    // URI-shaped eval paths survive the :n parsing (colon inside the path is
+    // NOT an n override — only a numeric suffix is); n stays 13, which never
+    // fires on these 10-token docs, so all 20 pass through
+    val colonDir = s"$base/ev:al"
+    spanDocs(Seq(("eval01", healthyTexts.head._2))).write.parquet(colonDir)
+    val uOut = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in_all", "output" -> s"$base/out_uri", "corrector" -> "null",
+      "decontam" -> colonDir, "buckets" -> "4", "group-size" -> "2"))
+    assert(uOut.contains(""""docs_in":20"""), uOut)
+
     // --lm-model alone must FAIL LOUDLY, not silently skip the filter
     val e = intercept[IllegalArgumentException] {
       RunPipeline.run(spark, Map(

@@ -31,7 +31,8 @@ object Bench {
     "q_dedup_cc", "q_tfidf", "q_bm25", "q_repetition", "q_winnow",
     "q_corpus_rollup", "q_winnow_pairs", "q_len_quantiles",
     "q_bm25_doc", "q_quality_gate", "q_bigrams", "q_sample_strat", "q_profile",
-    "q_shared_substrings", "q_dup_intervals", "q_lm_score", "q_decontam")
+    "q_shared_substrings", "q_dup_intervals", "q_lm_score", "q_decontam",
+    "q_pii_scrub")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

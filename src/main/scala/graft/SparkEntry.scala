@@ -9,7 +9,7 @@ import graft.dedup.{ConnectedComponents, Dedup}
 import graft.pipeline.CorrectionPipeline
 import graft.similarity.Similarity
 import graft.text.{DamerauLevenshtein, TextFunctions}
-import graft.textanalysis.{Relevance, TextAnalysis}
+import graft.textanalysis.{Pii, Relevance, TextAnalysis}
 
 /**
  * Driver contract (see SURVEY.md §5 "Oracle cross-check" and §7 step 8).
@@ -403,6 +403,19 @@ object SparkEntry {
     "q_shared_substrings" -> ((s, dir) =>
       graft.textanalysis.SubstringDup.sharedSubstringPairs(
         tbl(s, dir, "documents"), minLen = 25, k = 8, maxDocFreq = 64L)),
+
+    // PII scrub (C4/RefinedWeb family): detect + redact emails/IPv4/phones
+    // with typed placeholders and per-doc audit counts. PII is synthesized
+    // deterministically from the row (the q_html_* precedent) since the
+    // corpus itself is clean — both engines build the identical dirty text
+    "q_pii_scrub" -> ((s, dir) => {
+      val dirty = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact doc"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" from 10.2."), (col("doc_id") % 256).cast("string"), lit(".7"),
+          lit(" call +1 (555) 01"), (col("doc_id") % 90 + 10).cast("string")).as("text"))
+      graft.textanalysis.Pii.scrub(dirty)
+    }),
 
     // train/eval decontamination (GPT-3 appendix-C style): flag training
     // docs sharing a 13-token n-gram with the benchmark corpus — here the
@@ -1022,6 +1035,24 @@ object SparkEntry {
                    FROM brk)
            SELECT doc_id, CAST(min(s) AS BIGINT) AS start_pos, CAST(max(e) AS BIGINT) AS end_pos
            FROM grp GROUP BY doc_id, g""",
+
+      // PII patterns restricted to Java-regex ∩ RE2 syntax; replacement
+      // order (email → phone → ip) is contractual on both engines
+      "q_pii_scrub" ->
+        raw"""WITH dirty AS (SELECT doc_id,
+             text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+             ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ||
+             ' call +1 (555) 01' || CAST(doc_id % 90 + 10 AS VARCHAR) AS text
+           FROM documents)
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '${Pii.EmailRe}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+             CAST(len(regexp_extract_all(text, '${Pii.PhoneRe}')) AS BIGINT) AS n_phones,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '${Pii.EmailRe}', '[EMAIL]', 'g'),
+               '${Pii.PhoneRe}', '[PHONE]', 'g'),
+               '${Pii.Ipv4Re}', '[IP]', 'g') AS redacted
+           FROM dirty""",
 
       // 13-gram collision check; eval = the md5-gated 5% sample (cutoff
       // round(0.05 * 65536) = 3277), grams via list slicing

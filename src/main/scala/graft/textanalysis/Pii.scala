@@ -1,0 +1,57 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * PII detection and redaction — the scrub step web-corpus pipelines run
+ * before training (C4 / RefinedWeb family: replace emails, IPs, phone
+ * numbers with typed placeholders; keep counts as per-doc audit signals).
+ *
+ * Pure Column expressions (`regexp_extract_all` / `regexp_replace`) — one
+ * scan-side pass per row, no shuffle, whole-stage codegen. The patterns
+ * deliberately use only syntax shared by Java regex (Spark) and RE2
+ * (DuckDB/Go — no backreferences, no lookaround), so every signal and the
+ * redacted text itself are oracle-checkable cross-engine.
+ *
+ * Scope note: regex PII catches FORMATS (addresses, numbers), not semantic
+ * identity (names need an NER model — that is model-inference surface, not
+ * engine surface; the redaction hook is where it would plug in).
+ */
+object Pii {
+
+  /** Email addresses (conservative practical form). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (format match; does not range-check octets). */
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** International-format phone numbers: +country then 7-18 digits with
+    * common separators, ending in a digit. Domestic formats are too
+    * ambiguous for a regex pass (dates, ids) and stay out by design. */
+  val PhoneRe = "\\+[0-9][0-9 ()./-]{6,18}[0-9]"
+
+  def emailCount(text: Column): Column = size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+  def ipv4Count(text: Column): Column = size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
+  def phoneCount(text: Column): Column = size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+
+  /** Typed-placeholder redaction. Order matters and is contractual:
+    * emails first (an address may embed digit runs), then phones, then
+    * IPs — both engines apply the identical sequence. */
+  def redact(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "[EMAIL]")
+    val p = regexp_replace(e, PhoneRe, "[PHONE]")
+    regexp_replace(p, Ipv4Re, "[IP]")
+  }
+
+  /** Per-doc audit report + scrubbed text:
+    * `(idCol, n_emails, n_ipv4, n_phones, redacted)`. */
+  def scrub(docs: org.apache.spark.sql.DataFrame,
+            idCol: String = "doc_id",
+            textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+      emailCount(col(textCol)).cast("long").as("n_emails"),
+      ipv4Count(col(textCol)).cast("long").as("n_ipv4"),
+      phoneCount(col(textCol)).cast("long").as("n_phones"),
+      redact(col(textCol)).as("redacted"))
+}

@@ -303,6 +303,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(multi(1L) > 1L)
   }
 
+  test("PII scrub: detection counts and typed redaction, hand fixtures") {
+    import graft.textanalysis.Pii
+    val df = Seq(
+      (1L, "write to alice.smith+spam@mail.example.org or bob@ex.co today"),
+      (2L, "server at 192.168.0.17 and backup 10.0.0.1 port 8080"),
+      (3L, "call +1 (555) 123-4567 or +44 20 7946 0958 now"),
+      (4L, "no pii here, just 3.14 and version 1.2.3 and a-b@c"),  // decoys
+      (5L, "mixed: x@y.io at 8.8.8.8 dial +33 1 42 68 53 00")).toDF("doc_id", "text")
+    val r = Pii.scrub(df).as[(Long, Long, Long, Long, String)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L)._2 == 2 && r(1L)._3 == 0 && r(1L)._4 == 0)
+    assert(r(1L)._5 == "write to [EMAIL] or [EMAIL] today")
+    assert(r(2L)._3 == 2 && r(2L)._5 == "server at [IP] and backup [IP] port 8080")
+    assert(r(3L)._4 == 2 && r(3L)._5 == "call [PHONE] or [PHONE] now")
+    // decoys: 3.14 / 1.2.3 are not IPs (need 4 octets), a-b@c has no TLD
+    assert(r(4L)._2 == 0 && r(4L)._3 == 0 && r(4L)._4 == 0)
+    assert(r(4L)._5 == "no pii here, just 3.14 and version 1.2.3 and a-b@c")
+    assert(r(5L)._2 == 1 && r(5L)._3 == 1 && r(5L)._4 == 1)
+    assert(r(5L)._5 == "mixed: [EMAIL] at [IP] dial [PHONE]")
+  }
+
   test("column profile: hand fixture incl. nulls and distincts") {
     import graft.textanalysis.Profile
     val df = Seq(

@@ -43,6 +43,9 @@ import graft.pipeline.CheckpointedRun
  *                                  # curation order: sample -> quality gate -> LM filter
  *                                  # -> decontam -> dedup (narrow/cheap first,
  *                                  # shuffle-bearing last)
+ *   [--pii-scrub true]             # redact emails/IPv4/intl phones in TEXT spans with
+ *                                  #   typed placeholders (Pii.redact) before correction;
+ *                                  #   media spans untouched
  *   [--input-format parquet|orc]   # input + clean table format (CorpusIO.readDocs:
  *                                  #   asserts the (doc_id, spans) contract on scan)
  *   [--run-id run1] [--spans-col spans] [--clean-spans-col spans]
@@ -177,6 +180,21 @@ object RunPipeline {
       .drop("__txt", "__n")
   }
 
+  /** Span-level PII scrub: text spans pass through [[graft.textanalysis.Pii.redact]]
+    * (typed placeholders), media spans untouched — a narrow per-row array
+    * transform, no shuffle. Runs BEFORE correction so downstream artifacts
+    * (vocab, corrected corpus, CER pairs) never carry raw addresses. */
+  private def piiScrubDocs(docs: org.apache.spark.sql.DataFrame,
+                           spansCol: String): org.apache.spark.sql.DataFrame =
+    docs.withColumn(spansCol, transform(col(spansCol), sp =>
+      struct(
+        sp.getField("kind").as("kind"),
+        when(sp.getField("kind") === "text",
+          graft.textanalysis.Pii.redact(sp.getField("text")))
+          .otherwise(sp.getField("text")).as("text"),
+        sp.getField("media_ref").as("media_ref"),
+        sp.getField("offset").as("offset"))))
+
   /** CCNet-style LM perplexity filter against a persisted reference model:
     * keep text docs whose mean bigram log-prob is >= `minLp`. Docs without
     * bigram evidence (fewer than 2 tokens) and media-only docs pass — the
@@ -223,6 +241,7 @@ object RunPipeline {
     val sampleFrac = a.get("sample").map(_.toDouble)
     val gateSpec = a.get("quality-gate")
     val decontamSpec = a.get("decontam")
+    val piiScrub = a.get("pii-scrub").exists(_.toBoolean)
     val lmModel = a.get("lm-model")
     val lmMinLp = a.get("lm-min-logprob").map(_.toDouble)
     // both-or-neither: --lm-model alone would otherwise be a SILENT no-op
@@ -244,8 +263,9 @@ object RunPipeline {
     val decontamed = decontamSpec.fold(lmFiltered)(
       spec => decontamDocs(lmFiltered, spansCol, spec,
         a.getOrElse("decontam-format", fmt)))
-    val docs = if (dedupMode == "none") decontamed
-               else dedupDocs(decontamed, spansCol, dedupMode)
+    val scrubbed = if (piiScrub) piiScrubDocs(decontamed, spansCol) else decontamed
+    val docs = if (dedupMode == "none") scrubbed
+               else dedupDocs(scrubbed, spansCol, dedupMode)
     val cleanDocs = if (clean == input) docs
                     else graft.sources.CorpusIO.readDocs(spark, clean, fmt, cleanSpansCol)
 
@@ -268,6 +288,7 @@ object RunPipeline {
       sampleFrac.map(f => s" sample=$f").getOrElse("") +
       gateSpec.map(g => s" gate=$g").getOrElse("") +
       decontamSpec.map(d => s" decontam=$d").getOrElse("") +
+      (if (piiScrub) " pii-scrub" else "") +
       (for { m <- lmModel; lp <- lmMinLp } yield s" lm=$m>=$lp").getOrElse("")
     // stage token fingerprints the SOURCES: a resume of this output dir with
     // a different input/clean table (or spans columns, or dedup setting)
@@ -277,7 +298,7 @@ object RunPipeline {
       .digest((s"$input|$clean|$spansCol|$cleanSpansCol|$dedupMode" +
         s"|${sampleFrac.getOrElse("")}|${gateSpec.getOrElse("")}" +
         s"|${lmModel.getOrElse("")}|${lmMinLp.getOrElse("")}" +
-        s"|${decontamSpec.getOrElse("")}|$fmt").getBytes("UTF-8"))
+        s"|${decontamSpec.getOrElse("")}|$fmt|$piiScrub").getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     // docs_in comes from the staged bucketed copy WHILE it exists (an
     // empty-projection parquet count — footers only), inside the timed run;

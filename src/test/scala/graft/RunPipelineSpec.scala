@@ -296,6 +296,28 @@ class RunPipelineSpec extends SparkSpec {
       "decontam" -> colonDir, "buckets" -> "4", "group-size" -> "2"))
     assert(uOut.contains(""""docs_in":20"""), uOut)
 
+    // --pii-scrub: text spans redacted, media spans untouched
+    val piiDocs = Seq(
+      ("p0", "mail me at alice@example.org or 10.0.0.7"),
+      ("p1", "clean text with no addresses at all")).toDF("doc_id", "__t").select(
+      col("doc_id"), array(
+        struct(lit("text").as("kind"), col("__t").as("text"),
+          lit("").as("media_ref"), lit(0).cast("int").as("offset")),
+        struct(lit("media").as("kind"), lit("alice@example.org").as("text"),
+          lit("m9").as("media_ref"), lit(1).cast("int").as("offset"))).as("spans"))
+    piiDocs.write.parquet(s"$base/in_pii")
+    RunPipeline.run(spark, Map(
+      "input" -> s"$base/in_pii", "output" -> s"$base/out_pii", "corrector" -> "null",
+      "pii-scrub" -> "true", "buckets" -> "2", "group-size" -> "2"))
+    val piiOut = spark.read.parquet(s"$base/out_pii")
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.kind"), col("s.text")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(piiOut(("p0", "text")) == "mail me at [EMAIL] or [IP]")
+    assert(piiOut(("p1", "text")) == "clean text with no addresses at all")
+    assert(piiOut(("p0", "media")) == "alice@example.org",
+      "media spans must pass the scrub untouched")
+
     // --lm-model alone must FAIL LOUDLY, not silently skip the filter
     val e = intercept[IllegalArgumentException] {
       RunPipeline.run(spark, Map(

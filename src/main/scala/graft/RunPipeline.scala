@@ -41,8 +41,9 @@ import graft.pipeline.CheckpointedRun
  *                                  #   style perplexity filter); docs with no bigram
  *                                  #   evidence (< 2 tokens) and media-only docs pass
  *                                  # curation order: sample -> quality gate -> LM filter
- *                                  # -> decontam -> dedup (narrow/cheap first,
- *                                  # shuffle-bearing last)
+ *                                  # -> decontam -> PII scrub -> dedup (narrow/cheap
+ *                                  # first, shuffle-bearing last; dedup keys on the
+ *                                  # REDACTED text when the scrub is on)
  *   [--pii-scrub true]             # redact emails/IPv4/intl phones in TEXT spans with
  *                                  #   typed placeholders (Pii.redact) before correction;
  *                                  #   media spans untouched
@@ -91,7 +92,7 @@ object RunPipeline {
   private def tagDocText(docs: org.apache.spark.sql.DataFrame,
                          spansCol: String): org.apache.spark.sql.DataFrame = {
     val txt = concat_ws(" ",
-      transform(filter(col(spansCol), sp => sp.getField("kind") === "text"),
+      transform(filter(col(spansCol), sp => sp.getField("kind") === graft.model.Span.KindText),
         sp => sp.getField("text")))
     docs.withColumn("__txt", txt)
       .withColumn("__n",
@@ -182,14 +183,16 @@ object RunPipeline {
 
   /** Span-level PII scrub: text spans pass through [[graft.textanalysis.Pii.redact]]
     * (typed placeholders), media spans untouched — a narrow per-row array
-    * transform, no shuffle. Runs BEFORE correction so downstream artifacts
-    * (vocab, corrected corpus, CER pairs) never carry raw addresses. */
+    * transform, no shuffle. Runs BEFORE correction, and when a separate
+    * --clean ground-truth table is supplied THAT side is scrubbed too (see
+    * run()) — so vocab, corrected corpus, AND the CER pairs all see
+    * placeholders, and the CER score measures correction, not redaction. */
   private def piiScrubDocs(docs: org.apache.spark.sql.DataFrame,
                            spansCol: String): org.apache.spark.sql.DataFrame =
     docs.withColumn(spansCol, transform(col(spansCol), sp =>
       struct(
         sp.getField("kind").as("kind"),
-        when(sp.getField("kind") === "text",
+        when(sp.getField("kind") === graft.model.Span.KindText,
           graft.textanalysis.Pii.redact(sp.getField("text")))
           .otherwise(sp.getField("text")).as("text"),
         sp.getField("media_ref").as("media_ref"),
@@ -253,8 +256,9 @@ object RunPipeline {
     val fmt = a.getOrElse("input-format", "parquet")
     val docs0 = graft.sources.CorpusIO.readDocs(spark, input, fmt, spansCol)
     // curation order: narrow row-pure filters first (sample, then the
-    // quality gate), the model-join LM filter next, shuffle-bearing dedup
-    // last over the smallest survivor set
+    // quality gate), the model-join LM filter and decontam next, the PII
+    // scrub after all drops are decided (scrub only survivors), and the
+    // shuffle-bearing dedup last — keying on the redacted text by design
     val sampled = sampleFrac.fold(docs0)(f =>
       graft.pipeline.Sampling.deterministicSample(docs0, "doc_id", f))
     val gated = gateSpec.fold(sampled)(s => gateDocs(sampled, spansCol, s))
@@ -266,8 +270,12 @@ object RunPipeline {
     val scrubbed = if (piiScrub) piiScrubDocs(decontamed, spansCol) else decontamed
     val docs = if (dedupMode == "none") scrubbed
                else dedupDocs(scrubbed, spansCol, dedupMode)
-    val cleanDocs = if (clean == input) docs
-                    else graft.sources.CorpusIO.readDocs(spark, clean, fmt, cleanSpansCol)
+    val cleanDocs0 = if (clean == input) docs
+                     else graft.sources.CorpusIO.readDocs(spark, clean, fmt, cleanSpansCol)
+    // the truth table must see the same redaction as the input, or every
+    // placeholder scores as character errors and the vocab learns raw PII
+    val cleanDocs = if (piiScrub && clean != input) piiScrubDocs(cleanDocs0, cleanSpansCol)
+                    else cleanDocs0
 
     val corrector = correctorName match {
       case "null" => NullCorrector

@@ -1036,23 +1036,28 @@ object SparkEntry {
            SELECT doc_id, CAST(min(s) AS BIGINT) AS start_pos, CAST(max(e) AS BIGINT) AS end_pos
            FROM grp GROUP BY doc_id, g""",
 
-      // PII patterns restricted to Java-regex ∩ RE2 syntax; replacement
-      // order (email → phone → ip) is contractual on both engines
+      // PII patterns restricted to Java-regex ∩ RE2 syntax; the sequential
+      // replacement order (email → phone → ip) is contractual on both
+      // engines, and counts are staged the same way so they equal the
+      // placeholders actually emitted
       "q_pii_scrub" ->
         raw"""WITH dirty AS (SELECT doc_id,
              text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com' ||
              ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ||
              ' call +1 (555) 01' || CAST(doc_id % 90 + 10 AS VARCHAR) AS text
-           FROM documents)
+           FROM documents),
+           st AS (SELECT doc_id, text,
+             regexp_replace(text, '${Pii.EmailRe}', '[EMAIL]', 'g') AS after_email
+           FROM dirty),
+           st2 AS (SELECT doc_id, text, after_email,
+             regexp_replace(after_email, '${Pii.PhoneRe}', '[PHONE]', 'g') AS after_phone
+           FROM st)
            SELECT doc_id,
              CAST(len(regexp_extract_all(text, '${Pii.EmailRe}')) AS BIGINT) AS n_emails,
-             CAST(len(regexp_extract_all(text, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ipv4,
-             CAST(len(regexp_extract_all(text, '${Pii.PhoneRe}')) AS BIGINT) AS n_phones,
-             regexp_replace(regexp_replace(regexp_replace(text,
-               '${Pii.EmailRe}', '[EMAIL]', 'g'),
-               '${Pii.PhoneRe}', '[PHONE]', 'g'),
-               '${Pii.Ipv4Re}', '[IP]', 'g') AS redacted
-           FROM dirty""",
+             CAST(len(regexp_extract_all(after_phone, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+             CAST(len(regexp_extract_all(after_email, '${Pii.PhoneRe}')) AS BIGINT) AS n_phones,
+             regexp_replace(after_phone, '${Pii.Ipv4Re}', '[IP]', 'g') AS redacted
+           FROM st2""",
 
       // 13-gram collision check; eval = the md5-gated 5% sample (cutoff
       // round(0.05 * 65536) = 3277), grams via list slicing

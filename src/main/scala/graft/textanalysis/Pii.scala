@@ -35,23 +35,35 @@ object Pii {
   def ipv4Count(text: Column): Column = size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
   def phoneCount(text: Column): Column = size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
 
+  /** Text after the email pass — stage 1 of the contractual sequence. */
+  def afterEmails(text: Column): Column = regexp_replace(text, EmailRe, "[EMAIL]")
+
+  /** Text after the email + phone passes — stage 2. */
+  def afterPhones(text: Column): Column = regexp_replace(afterEmails(text), PhoneRe, "[PHONE]")
+
   /** Typed-placeholder redaction. Order matters and is contractual:
     * emails first (an address may embed digit runs), then phones, then
     * IPs — both engines apply the identical sequence. */
-  def redact(text: Column): Column = {
-    val e = regexp_replace(text, EmailRe, "[EMAIL]")
-    val p = regexp_replace(e, PhoneRe, "[PHONE]")
-    regexp_replace(p, Ipv4Re, "[IP]")
-  }
+  def redact(text: Column): Column = regexp_replace(afterPhones(text), Ipv4Re, "[IP]")
 
   /** Per-doc audit report + scrubbed text:
-    * `(idCol, n_emails, n_ipv4, n_phones, redacted)`. */
+    * `(idCol, n_emails, n_ipv4, n_phones, redacted)`.
+    *
+    * Counts are SEQUENTIAL — each stage counts on the previous stage's
+    * output, exactly like the redaction itself — so every count equals the
+    * number of placeholders of that type actually emitted, and the audit
+    * books always reconcile against the redacted text. (Raw-text counts
+    * would not: a phone-shaped digit run inside an email local part, or an
+    * IPv4 swallowed by an adjacent phone match, would be counted but never
+    * replaced.) */
   def scrub(docs: org.apache.spark.sql.DataFrame,
             idCol: String = "doc_id",
-            textCol: String = "text"): org.apache.spark.sql.DataFrame =
+            textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
     docs.select(col(idCol),
-      emailCount(col(textCol)).cast("long").as("n_emails"),
-      ipv4Count(col(textCol)).cast("long").as("n_ipv4"),
-      phoneCount(col(textCol)).cast("long").as("n_phones"),
-      redact(col(textCol)).as("redacted"))
+      emailCount(t).cast("long").as("n_emails"),
+      ipv4Count(afterPhones(t)).cast("long").as("n_ipv4"),
+      phoneCount(afterEmails(t)).cast("long").as("n_phones"),
+      redact(t).as("redacted"))
+  }
 }

@@ -318,6 +318,16 @@ class RunPipelineSpec extends SparkSpec {
     assert(piiOut(("p0", "media")) == "alice@example.org",
       "media spans must pass the scrub untouched")
 
+    // with a SEPARATE --clean table, the truth side is scrubbed too: the
+    // null corrector then scores CER 0 (placeholder vs placeholder), not
+    // per-character errors against raw addresses
+    piiDocs.write.parquet(s"$base/truth_pii")
+    val piiCer = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in_pii", "output" -> s"$base/out_pii2", "corrector" -> "null",
+      "clean" -> s"$base/truth_pii", "pii-scrub" -> "true",
+      "buckets" -> "2", "group-size" -> "2"))
+    assert(piiCer.contains(""""cer":0.0000"""), piiCer)
+
     // --lm-model alone must FAIL LOUDLY, not silently skip the filter
     val e = intercept[IllegalArgumentException] {
       RunPipeline.run(spark, Map(

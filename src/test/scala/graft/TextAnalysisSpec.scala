@@ -324,6 +324,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(5L)._5 == "mixed: [EMAIL] at [IP] dial [PHONE]")
   }
 
+  test("PII scrub: counts reconcile with emitted placeholders (sequential books)") {
+    import graft.textanalysis.Pii
+    val df = Seq(
+      // phone-shaped digit run INSIDE an email local part: the email pass
+      // consumes it, so zero [PHONE] placeholders and n_phones must be 0
+      (1L, "reach user+15551234567@gmail.com today"),
+      // PhoneRe's class admits dots/spaces, so it swallows the adjacent IP:
+      // zero [IP] emitted and n_ipv4 must be 0
+      (2L, "call +1 555 0100 10.2.3.4 now")).toDF("doc_id", "text")
+    val r = Pii.scrub(df).as[(Long, Long, Long, Long, String)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L)._2 == 1 && r(1L)._4 == 0, r(1L).toString)
+    assert(r(1L)._5 == "reach [EMAIL] today")
+    assert(r(2L)._4 == 1 && r(2L)._3 == 0, r(2L).toString)
+    assert(!r(2L)._5.contains("[IP]"))
+    // invariant: each count == occurrences of its placeholder
+    r.values.foreach { case (_, ne, ni, np, red) =>
+      def occ(m: String) = m.r.findAllIn(red).size
+      assert(occ("\\[EMAIL\\]") == ne && occ("\\[IP\\]") == ni && occ("\\[PHONE\\]") == np)
+    }
+  }
+
   test("column profile: hand fixture incl. nulls and distincts") {
     import graft.textanalysis.Profile
     val df = Seq(

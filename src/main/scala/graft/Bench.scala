@@ -32,7 +32,7 @@ object Bench {
     "q_corpus_rollup", "q_winnow_pairs", "q_len_quantiles",
     "q_bm25_doc", "q_quality_gate", "q_bigrams", "q_sample_strat", "q_profile",
     "q_shared_substrings", "q_dup_intervals", "q_lm_score", "q_decontam",
-    "q_pii_scrub")
+    "q_pii_scrub", "q_source_quota", "q_seq_pack")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -404,6 +404,23 @@ object SparkEntry {
       graft.textanalysis.SubstringDup.sharedSubstringPairs(
         tbl(s, dir, "documents"), minLen = 25, k = 8, maxDocFreq = 64L)),
 
+    // sequence-packing index (GPT-style pack-then-chunk): per-doc global
+    // token offset and first/last 512-token training-sequence ids, computed
+    // with the two-phase prefix sum (identical to a global window,
+    // spec-asserted across bucket sizes)
+    "q_seq_pack" -> ((s, dir) =>
+      graft.pipeline.Packing.packSequences(
+        tbl(s, dir, "documents"), seqLen = 512)),
+
+    // per-source diversity quota (the web-recipe "domain cap"): top 30 docs
+    // per source by length, deterministic doc_id tie-break — WindowGroupLimit
+    // keeps the per-source sort partial map-side
+    "q_source_quota" -> ((s, dir) =>
+      graft.pipeline.Sampling.perSourceQuota(
+        tbl(s, dir, "documents"), "source", "doc_id", k = 30,
+        rankCols = Seq(col("n_chars").desc))
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     // PII scrub (C4/RefinedWeb family): detect + redact emails/IPv4/phones
     // with typed placeholders and per-doc audit counts. PII is synthesized
     // deterministically from the row (the q_html_* precedent) since the
@@ -1035,6 +1052,28 @@ object SparkEntry {
                    FROM brk)
            SELECT doc_id, CAST(min(s) AS BIGINT) AS start_pos, CAST(max(e) AS BIGINT) AS end_pos
            FROM grp GROUP BY doc_id, g""",
+
+      // global running sum restated directly (the two-phase Spark form is
+      // window-identical by construction); same canonical token count
+      "q_seq_pack" ->
+        raw"""WITH t AS (SELECT doc_id,
+               CAST(len(list_filter(string_split($normText, ' '), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+             FROM documents),
+           c AS (SELECT doc_id, n_tokens,
+               COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+             FROM t)
+           SELECT doc_id, n_tokens, CAST(tok_start AS BIGINT) AS tok_start,
+             CAST(floor(tok_start / 512) AS BIGINT) AS start_bin,
+             CAST(CASE WHEN n_tokens = 0 THEN floor(tok_start / 512)
+                  ELSE floor((tok_start + n_tokens - 1) / 512) END AS BIGINT) AS end_bin
+           FROM c""",
+
+      "q_source_quota" ->
+        raw"""SELECT doc_id, source, n_chars FROM (
+             SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+             FROM documents) WHERE rn <= 30""",
 
       // PII patterns restricted to Java-regex ∩ RE2 syntax; the sequential
       // replacement order (email → phone → ip) is contractual on both

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence packing bookkeeping — the pretraining preprocessing step that
+ * concatenates documents in a deterministic order and slices the token
+ * stream into fixed-length training sequences (GPT-style "pack then
+ * chunk"). This operator computes, per document, WHERE in that stream it
+ * lands: its global token offset and the first/last sequence (bin) ids it
+ * occupies — the index a downstream batch writer consumes.
+ *
+ * Scale design: a naive global running sum is a single-partition window —
+ * unusable at 100 TB. Here the prefix sum is TWO-PHASE: documents are
+ * bucketed by `floor(id / bucketSize)` (monotone numeric ids — exactly what
+ * a corpus with assigned sequence ids has), the in-bucket running sum is an
+ * ordinary per-bucket window (parallel across buckets), and the bucket
+ * base offsets come from a window over the per-bucket totals — a table with
+ * one row per bucket, orders of magnitude smaller than the corpus, then
+ * broadcast back. Result is IDENTICAL to the global window for every
+ * bucketSize (spec-asserted), so bucketSize is purely a parallelism knob.
+ *
+ * Tokens are the canonical normalized whitespace tokens
+ * ([[graft.dedup.Dedup.tokens]], empties dropped) — the same count every
+ * other text operator uses.
+ */
+object Packing {
+
+  def packSequences(docs: DataFrame, seqLen: Int, bucketSize: Long = 4096L,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(seqLen >= 1, s"sequence length must be >= 1, got $seqLen")
+    require(bucketSize >= 1, s"bucket size must be >= 1, got $bucketSize")
+    val toks = docs.select(col(idCol),
+      size(filter(graft.dedup.Dedup.tokens(col(textCol)), t => length(t) > 0))
+        .cast("long").as("n_tokens"),
+      floor(col(idCol) / bucketSize).as("__b"))
+    val inBucket = Window.partitionBy(col("__b")).orderBy(col(idCol))
+    val withLocal = toks.withColumn("__cum_in",
+      coalesce(sum(col("n_tokens")).over(
+        inBucket.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // per-bucket totals: tiny (|buckets| rows) — the single-order window
+    // below runs over THIS table, never the corpus
+    val totals = toks.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__tot"))
+    val base = totals.withColumn("__base",
+      coalesce(sum(col("__tot")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__base"))
+    withLocal.join(broadcast(base), "__b")
+      .withColumn("tok_start", col("__base") + col("__cum_in"))
+      .select(col(idCol), col("n_tokens"), col("tok_start"),
+        floor(col("tok_start") / seqLen).cast("long").as("start_bin"),
+        when(col("n_tokens") === 0, floor(col("tok_start") / seqLen))
+          .otherwise(floor((col("tok_start") + col("n_tokens") - 1) / seqLen))
+          .cast("long").as("end_bin"))
+  }
+}

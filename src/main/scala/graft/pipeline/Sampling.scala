@@ -58,4 +58,28 @@ object Sampling {
     }
     df.filter(gate16(col(idCol)) < cut)
   }
+
+  /**
+   * Per-source diversity quota — cap documents per source/domain so no
+   * single crawl host dominates the training mix (the standard "domain
+   * cap" of web-corpus recipes). Keeps the top `k` docs per `sourceCol`
+   * by `rankCols` (e.g. quality DESC), with `idCol` as the deterministic
+   * final tie-break.
+   *
+   * Scale shape: one shuffle keyed by source; within each source the
+   * window sorts that source's rows only (Spark 3.5+ inserts
+   * WindowGroupLimit, so partial per-partition top-k runs map-side before
+   * the exchange — a mega-source never sorts fully). Hot sources are an
+   * aggregation-key skew, AQE-splittable.
+   */
+  def perSourceQuota(df: DataFrame, sourceCol: String, idCol: String, k: Int,
+                     rankCols: Seq[org.apache.spark.sql.Column] = Seq.empty): DataFrame = {
+    require(k >= 1, s"quota must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(rankCols :+ col(idCol): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

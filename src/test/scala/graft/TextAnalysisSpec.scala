@@ -346,6 +346,45 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("per-source quota: caps each source at k with deterministic ranking") {
+    import graft.pipeline.Sampling
+    val df = (1L to 10L).map(i => (i, "a", 100 - i)) ++ Seq((20L, "b", 5L), (21L, "b", 9L))
+    val docs = df.toDF("doc_id", "source", "n_chars")
+    val kept = Sampling.perSourceQuota(docs, "source", "doc_id", k = 3,
+      rankCols = Seq(col("n_chars").desc))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // source a: ids 1,2,3 have the largest n_chars (99,98,97); b keeps both
+    assert(kept.map(_._1).toSeq == Seq(1L, 2L, 3L, 20L, 21L))
+    // tie-break on doc_id: equal ranks resolve low-id-first
+    val ties = Seq((5L, "c", 7L), (3L, "c", 7L), (9L, "c", 7L)).toDF("doc_id", "source", "n_chars")
+    val keptTies = Sampling.perSourceQuota(ties, "source", "doc_id", k = 2,
+      rankCols = Seq(col("n_chars").desc)).as[(Long, String, Long)].collect().map(_._1).sorted
+    assert(keptTies.toSeq == Seq(3L, 5L))
+  }
+
+  test("sequence packing: hand fixture and bucket-size invariance") {
+    import graft.pipeline.Packing
+    val docs = Seq(
+      (1L, "one two three"),        // 3 tokens, start 0
+      (2L, "four five"),            // 2 tokens, start 3 → spans the L=4 boundary
+      (3L, "six seven eight nine"), // 4 tokens, start 5
+      (4L, "")).toDF("doc_id", "text") // 0 tokens, start 9, occupies nothing
+    val r = Packing.packSequences(docs, seqLen = 4, bucketSize = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (1L, 3L, 0L, 0L, 0L),
+      (2L, 2L, 3L, 0L, 1L),   // tokens 3..4: bins 0 and 1
+      (3L, 4L, 5L, 1L, 2L),   // tokens 5..8: bins 1 and 2
+      (4L, 0L, 9L, 2L, 2L)))
+    // two-phase prefix sum ≡ global, for every bucketing
+    val big = (0L until 200L).map(i => (i, ("tok " * (1 + (i % 7)).toInt).trim)).toDF("doc_id", "text")
+    val ref = Packing.packSequences(big, 16, bucketSize = 1L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    for (bs <- Seq(2L, 7L, 64L, 100000L))
+      assert(Packing.packSequences(big, 16, bucketSize = bs)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet == ref, s"bucketSize $bs")
+  }
+
   test("column profile: hand fixture incl. nulls and distincts") {
     import graft.textanalysis.Profile
     val df = Seq(

@@ -93,6 +93,29 @@ class CorpusIOSpec extends SparkSpec {
     intercept[IllegalArgumentException] { CorpusIO.writeDocs(docs.toDS().toDF(), path, "avro") }
   }
 
+  test("partitioned docs sink: lang filter prunes partitions at the scan") {
+    val path = tmp("partdocs")
+    val docs = Seq(
+      ("d0", "en", "hello world"), ("d1", "en", "more english"),
+      ("d2", "de", "hallo welt"), ("d3", "fr", "bonjour")).toDF("doc_id", "lang", "text")
+    CorpusIO.writeDocsPartitioned(docs.withColumn("spans",
+      array(struct(lit("text").as("kind"), col("text").as("text"),
+        lit("").as("media_ref"), lit(0).cast("int").as("offset"))))
+      .drop("text"), path, Seq("lang"))
+    val q = CorpusIO.readDocs(spark, path).filter(col("lang") === "en")
+    // the filter must become a PartitionFilter (directory pruning), not a
+    // post-scan row filter over all partitions' bytes
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters:")).toSeq
+    assert(pf.nonEmpty && pf.exists(_.contains("lang")), plan)
+    assert(q.select("doc_id").as[String].collect().sorted.toSeq == Seq("d0", "d1"))
+    // partition column validation
+    intercept[IllegalArgumentException] {
+      CorpusIO.writeDocsPartitioned(docs, tmp("bad"), Seq("nope"))
+    }
+  }
+
   test("nested schema pruning: span-kind stats never read span text bytes") {
     // At 100 TB the spans.text field is ~all of the corpus' bytes; a query
     // over span kinds/counts must prune it at the parquet scan

@@ -1064,8 +1064,9 @@ object SparkEntry {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
              FROM t)
            SELECT doc_id, n_tokens, CAST(tok_start AS BIGINT) AS tok_start,
-             CAST(floor(tok_start / 512) AS BIGINT) AS start_bin,
-             CAST(CASE WHEN n_tokens = 0 THEN floor(tok_start / 512)
+             CAST(CASE WHEN n_tokens = 0 THEN NULL
+                  ELSE floor(tok_start / 512) END AS BIGINT) AS start_bin,
+             CAST(CASE WHEN n_tokens = 0 THEN NULL
                   ELSE floor((tok_start + n_tokens - 1) / 512) END AS BIGINT) AS end_bin
            FROM c""",
 

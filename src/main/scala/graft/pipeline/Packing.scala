@@ -33,10 +33,23 @@ object Packing {
                     textCol: String = "text"): DataFrame = {
     require(seqLen >= 1, s"sequence length must be >= 1, got $seqLen")
     require(bucketSize >= 1, s"bucket size must be >= 1, got $bucketSize")
+    // fail FAST on a non-numeric id: floor(id / bucketSize) over strings
+    // would throw mid-stage under ANSI, or (ANSI off) silently null every
+    // bucket key and return an empty join — an index claiming zero docs
+    require(docs.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packSequences needs a numeric monotone $idCol for bucketing, got " +
+        docs.schema(idCol).dataType.simpleString)
+    // materialize the tokenized projection ONCE: both the per-bucket window
+    // and the totals aggregate consume it, and without a boundary each
+    // branch re-tokenizes the full corpus (2× the dominant cost). Unlike
+    // the SubstringDup case (see measure-before-materialize), the
+    // checkpointed shape here is 3 narrow columns per DOC — tiny next to
+    // the text scan it saves.
     val toks = docs.select(col(idCol),
       size(filter(graft.dedup.Dedup.tokens(col(textCol)), t => length(t) > 0))
         .cast("long").as("n_tokens"),
       floor(col(idCol) / bucketSize).as("__b"))
+      .localCheckpoint(true)
     val inBucket = Window.partitionBy(col("__b")).orderBy(col(idCol))
     val withLocal = toks.withColumn("__cum_in",
       coalesce(sum(col("n_tokens")).over(
@@ -48,11 +61,17 @@ object Packing {
       coalesce(sum(col("__tot")).over(
         Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__b"), col("__base"))
+    // a zero-token doc occupies NO sequence — its bins are NULL (a
+    // tok_start landing exactly on a boundary at corpus end would otherwise
+    // name a phantom bin past the last real sequence, and downstream
+    // writers sizing output as max(end_bin)+1 would allocate it)
     withLocal.join(broadcast(base), "__b")
       .withColumn("tok_start", col("__base") + col("__cum_in"))
       .select(col(idCol), col("n_tokens"), col("tok_start"),
-        floor(col("tok_start") / seqLen).cast("long").as("start_bin"),
-        when(col("n_tokens") === 0, floor(col("tok_start") / seqLen))
+        when(col("n_tokens") === 0, lit(null))
+          .otherwise(floor(col("tok_start") / seqLen))
+          .cast("long").as("start_bin"),
+        when(col("n_tokens") === 0, lit(null))
           .otherwise(floor((col("tok_start") + col("n_tokens") - 1) / seqLen))
           .cast("long").as("end_bin"))
   }

@@ -83,28 +83,25 @@ object CorpusIO {
     row.schema.fieldNames.map(n => n -> row.getAs[Any](n).toString.toDouble).toMap
   }
 
-  /** Partitioned interleaved-docs sink: `partitionBy` on low-cardinality
-    * routing columns (lang, source, split) so downstream per-partition
-    * consumers — per-language corrector models, per-source audits — read
-    * ONLY their partition's bytes (storage-enforced partition pruning; the
-    * CorpusIOSpec asserts `PartitionFilters` reach the scan). At 100 TB the
-    * partition columns ARE the data-layout index; never partition by a
-    * high-cardinality key (doc_id would create one directory per doc). */
-  def writeDocsPartitioned(df: DataFrame, path: String, partCols: Seq[String],
-                           format: String = "parquet"): Unit = {
-    require(Set("parquet", "orc")(format), s"unsupported docs format: $format")
-    require(partCols.nonEmpty && partCols.forall(df.columns.contains),
-      s"partition columns ${partCols.mkString(",")} must exist in ${df.columns.mkString(",")}")
-    df.write.mode("overwrite").format(format).partitionBy(partCols: _*).save(path)
-  }
-
   /** Interleaved-docs table sink in a chosen columnar format. `parquet` is
     * the default everywhere; `orc` is the drop-in alternative some lakes
     * standardize on — both carry the nested spans struct, column pruning,
-    * and predicate pushdown, so the rest of the engine is format-agnostic. */
-  def writeDocs(df: DataFrame, path: String, format: String = "parquet"): Unit = {
+    * and predicate pushdown, so the rest of the engine is format-agnostic.
+    *
+    * Non-empty `partCols` routes the layout by those low-cardinality
+    * columns (lang, source, split) so per-partition consumers — per-
+    * language corrector models, per-source audits — read ONLY their
+    * partition's bytes (storage-enforced pruning; CorpusIOSpec asserts
+    * `PartitionFilters` reach the scan). At 100 TB the partition columns
+    * ARE the data-layout index; never partition by a high-cardinality key
+    * (doc_id would create one directory per doc). */
+  def writeDocs(df: DataFrame, path: String, format: String = "parquet",
+                partCols: Seq[String] = Seq.empty): Unit = {
     require(Set("parquet", "orc")(format), s"unsupported docs format: $format")
-    df.write.mode("overwrite").format(format).save(path)
+    require(partCols.forall(df.columns.contains),
+      s"partition columns ${partCols.mkString(",")} must exist in ${df.columns.mkString(",")}")
+    val w = df.write.mode("overwrite").format(format)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).save(path)
   }
 
   /** Scan an interleaved-docs table, asserting the contract — `doc_id`

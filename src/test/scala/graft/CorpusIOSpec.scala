@@ -98,10 +98,10 @@ class CorpusIOSpec extends SparkSpec {
     val docs = Seq(
       ("d0", "en", "hello world"), ("d1", "en", "more english"),
       ("d2", "de", "hallo welt"), ("d3", "fr", "bonjour")).toDF("doc_id", "lang", "text")
-    CorpusIO.writeDocsPartitioned(docs.withColumn("spans",
+    CorpusIO.writeDocs(docs.withColumn("spans",
       array(struct(lit("text").as("kind"), col("text").as("text"),
         lit("").as("media_ref"), lit(0).cast("int").as("offset"))))
-      .drop("text"), path, Seq("lang"))
+      .drop("text"), path, partCols = Seq("lang"))
     val q = CorpusIO.readDocs(spark, path).filter(col("lang") === "en")
     // the filter must become a PartitionFilter (directory pruning), not a
     // post-scan row filter over all partitions' bytes
@@ -112,7 +112,7 @@ class CorpusIOSpec extends SparkSpec {
     assert(q.select("doc_id").as[String].collect().sorted.toSeq == Seq("d0", "d1"))
     // partition column validation
     intercept[IllegalArgumentException] {
-      CorpusIO.writeDocsPartitioned(docs, tmp("bad"), Seq("nope"))
+      CorpusIO.writeDocs(docs, tmp("bad"), partCols = Seq("nope"))
     }
   }
 

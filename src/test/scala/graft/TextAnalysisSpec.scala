@@ -370,19 +370,30 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "six seven eight nine"), // 4 tokens, start 5
       (4L, "")).toDF("doc_id", "text") // 0 tokens, start 9, occupies nothing
     val r = Packing.packSequences(docs, seqLen = 4, bucketSize = 2L)
-      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().sortBy(_._1)
     assert(r.toSeq == Seq(
-      (1L, 3L, 0L, 0L, 0L),
-      (2L, 2L, 3L, 0L, 1L),   // tokens 3..4: bins 0 and 1
-      (3L, 4L, 5L, 1L, 2L),   // tokens 5..8: bins 1 and 2
-      (4L, 0L, 9L, 2L, 2L)))
+      (1L, 3L, 0L, Some(0L), Some(0L)),
+      (2L, 2L, 3L, Some(0L), Some(1L)),   // tokens 3..4: bins 0 and 1
+      (3L, 4L, 5L, Some(1L), Some(2L)),   // tokens 5..8: bins 1 and 2
+      (4L, 0L, 9L, None, None)))          // empty doc occupies NO sequence
+    // boundary case: empty doc whose offset lands exactly on a seqLen edge
+    // must NOT name a phantom bin past the last real sequence
+    val edge = Seq((1L, "a b c d"), (2L, "")).toDF("doc_id", "text")
+    val er = Packing.packSequences(edge, seqLen = 4)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(er(1) == ((2L, 0L, 4L, None, None)))
+    assert(er.flatMap(_._5).max == 0L, "only bin 0 exists")
     // two-phase prefix sum ≡ global, for every bucketing
     val big = (0L until 200L).map(i => (i, ("tok " * (1 + (i % 7)).toInt).trim)).toDF("doc_id", "text")
     val ref = Packing.packSequences(big, 16, bucketSize = 1L)
-      .as[(Long, Long, Long, Long, Long)].collect().toSet
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
     for (bs <- Seq(2L, 7L, 64L, 100000L))
       assert(Packing.packSequences(big, 16, bucketSize = bs)
-        .as[(Long, Long, Long, Long, Long)].collect().toSet == ref, s"bucketSize $bs")
+        .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet == ref, s"bucketSize $bs")
+    // non-numeric ids fail FAST (ANSI-off would otherwise silently empty)
+    intercept[IllegalArgumentException] {
+      Packing.packSequences(Seq(("d0", "x y")).toDF("doc_id", "text"), 4)
+    }
   }
 
   test("column profile: hand fixture incl. nulls and distincts") {

@@ -249,6 +249,92 @@ object MediaCodec extends Serializable {
       (nFrames + 1023) / 1024, feats)
   }
 
+  // ---- perceptual hash (image near-dup) ----
+
+  /** 64-bit difference hash (dHash): box-average the luminance onto a 9×8
+    * grid, emit one bit per horizontal gradient (cell > right neighbor).
+    * Robust to uniform brightness/contrast shifts and resizing (the grid
+    * normalizes scale); NOT robust to crops/rotations by design — that is
+    * embedding-ANN territory (N1–N3). Decodable images only (P6 PPM +
+    * ImageIO formats); `None` for audio/video/undecodable payloads. */
+  def dHash64(blob: MediaBlob): Option[Long] = {
+    if (isPpm(blob.bytes)) Some(dHashPpm(blob))
+    else if (isJpeg(blob.bytes) || isPng(blob.bytes) || isGif(blob.bytes) || isBmp(blob.bytes))
+      scala.util.Try(dHashImageIo(blob)).toOption
+    else None
+  }
+
+  /** Shared grid fold: `lumSum(cx, cy)` returns (sum, count) of luminance
+    * over grid cell (cx, cy) of a 9×8 layout. */
+  private def dHashFromGrid(lumCell: (Int, Int) => Double): Long = {
+    val grid = Array.tabulate(8, 9)((cy, cx) => lumCell(cx, cy))
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val cy = i / 8; val cx = i % 8
+      if (grid(cy)(cx) > grid(cy)(cx + 1)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  private def dHashPpm(blob: MediaBlob): Long = {
+    val b = blob.bytes
+    val (hdr, afterHdr) = parseHeaderInts(b, 2, 3)
+    val (w, h, maxval) = (hdr(0), hdr(1), hdr(2))
+    require(w > 0 && h > 0 && maxval > 0 && maxval < 256, "unsupported PPM")
+    require(w.toLong * h * 3 <= b.length.toLong, "truncated PPM payload")
+    val start = afterHdr + 1
+    dHashFromGrid { (cx, cy) =>
+      val x0 = cx * w / 9; val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
+      val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+      var s = 0.0; var n = 0
+      var y = y0
+      while (y < y1 && y < h) {
+        var x = x0
+        while (x < x1 && x < w) {
+          val o = start + (y * w + x) * 3
+          s += 0.299 * (b(o) & 0xFF) + 0.587 * (b(o + 1) & 0xFF) + 0.114 * (b(o + 2) & 0xFF)
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      if (n == 0) 0.0 else s / n
+    }
+  }
+
+  private def dHashImageIo(blob: MediaBlob): Long = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(blob.bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      require(readers.hasNext, "no ImageIO reader for payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(in, true, true)
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        require(w > 0 && h > 0 && w.toLong * h <= MaxImagePixels, "image dims out of bounds")
+        val img = reader.read(0)
+        dHashFromGrid { (cx, cy) =>
+          val x0 = cx * w / 9; val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
+          val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+          var s = 0.0; var n = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val argb = img.getRGB(x, y)
+              s += 0.299 * ((argb >> 16) & 0xFF) + 0.587 * ((argb >> 8) & 0xFF) + 0.114 * (argb & 0xFF)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          if (n == 0) 0.0 else s / n
+        }
+      } finally reader.dispose()
+    } finally in.close()
+  }
+
   /** Minimal deterministic PCM16 mono WAV encoder. */
   def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2

@@ -118,6 +118,50 @@ object Multimodal {
     }
   }
 
+  /**
+   * Image near-duplicate pairs via 64-bit perceptual dHash — dedup ACROSS
+   * the media modality (the text-side D1–D6 operators cannot see a
+   * re-encoded or resized copy of the same picture; the dHash grid can).
+   * Pigeonhole banding exactly like the SimHash text path: two hashes
+   * within Hamming distance d agree on at least one of d+1 bit-bands, so
+   * candidate generation is a self-equi-join on (band, band_bits) and only
+   * candidates pay the exact `bit_count(xor)` verification.
+   *
+   * Scale shape: blobs decode once to (media_ref, 8-byte hash) — the bytes
+   * never shuffle; the join carries (band key, ref, hash) rows only.
+   * Output: `(ref_a, ref_b, hamming)`, ref_a < ref_b.
+   */
+  def imageNearDupPairs(blobs: Dataset[MediaBlob], maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val hashes = blobs.mapPartitions(_.flatMap(b =>
+        MediaCodec.dHash64(b).map(h => (b.media_ref, h))))
+      .toDF("media_ref", "dhash")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val bandCols = (0 until nBands).map { i =>
+      val lo = i * width
+      val w = if (i == nBands - 1) 64 - lo else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      struct(lit(i).as("band"),
+        (shiftrightunsigned(col("dhash"), lo).bitwiseAND(lit(mask))).as("key"))
+    }
+    val banded = hashes.select(col("media_ref"), col("dhash"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("media_ref"), col("dhash"), col("b.band"), col("b.key"))
+    val a = banded.select(col("band"), col("key"),
+      col("media_ref").as("ref_a"), col("dhash").as("ha"))
+    val bb = banded.select(col("band"), col("key"),
+      col("media_ref").as("ref_b"), col("dhash").as("hb"))
+    a.join(bb, Seq("band", "key"))
+      .where(col("ref_a") < col("ref_b"))
+      .select(col("ref_a"), col("ref_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic frame sampling for video rows: every `stride`-th frame
     * index up to `maxFrames` — pure expression, oracle-expressible. */
   def sampleFrames(features: DataFrame, stride: Int = 10, maxFrames: Int = 8): DataFrame =

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.gen.DocGen
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaCodec, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -206,5 +206,40 @@ class MultimodalSpec extends SparkSpec {
     assert(mediaRows.filter($"features".isNull).count() == 0)
     val textRows = enriched.filter($"kind" === "text")
     assert(textRows.filter($"features".isNotNull).count() == 0)
+  }
+
+  test("image near-dup: dHash survives resize and brightness shift, not reversal") {
+    import graft.multimodal.Multimodal.MediaBlob
+    def gradientPpm(w: Int, h: Int, reverse: Boolean, shift: Int): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = (if (reverse) (w - 1 - x) else x) * 255 / (w - 1)
+        val v = math.min(255, base + shift).toByte
+        val o = (y * w + x) * 3
+        rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+      }
+      MediaCodec.encodePpm(w, h, rgb)
+    }
+    def blob(ref: String, bytes: Array[Byte]) = MediaBlob(ref, "image", bytes, bytes.length)
+    val base = blob("img_base", gradientPpm(36, 24, reverse = false, 0))
+    val resized = blob("img_resized", gradientPpm(18, 16, reverse = false, 0))
+    val brighter = blob("img_bright", gradientPpm(36, 24, reverse = false, 30))
+    val reversed = blob("img_rev", gradientPpm(36, 24, reverse = true, 0))
+    val wav = blob("aud_1", MediaCodec.encodeWav(8000, Array.fill(100)(0.toShort)))
+
+    // kernel-level: gradients align across scale/brightness, invert on reversal
+    val hBase = MediaCodec.dHash64(base).get
+    assert(MediaCodec.dHash64(resized).get == hBase)
+    assert(MediaCodec.dHash64(brighter).get == hBase)
+    assert(java.lang.Long.bitCount(MediaCodec.dHash64(reversed).get ^ hBase) > 32)
+    assert(MediaCodec.dHash64(wav).isEmpty, "audio has no perceptual image hash")
+
+    // operator-level: banding + verification find exactly the near group
+    val blobs = spark.createDataset(Seq(base, resized, brighter, reversed, wav))
+    val pairs = graft.multimodal.Multimodal.imageNearDupPairs(blobs, maxHamming = 6)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs == Set(
+      ("img_base", "img_bright"), ("img_base", "img_resized"),
+      ("img_bright", "img_resized")), pairs.toString)
   }
 }

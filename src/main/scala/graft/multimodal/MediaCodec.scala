@@ -255,19 +255,38 @@ object MediaCodec extends Serializable {
     * grid, emit one bit per horizontal gradient (cell > right neighbor).
     * Robust to uniform brightness/contrast shifts and resizing (the grid
     * normalizes scale); NOT robust to crops/rotations by design — that is
-    * embedding-ANN territory (N1–N3). Decodable images only (P6 PPM +
-    * ImageIO formats); `None` for audio/video/undecodable payloads. */
+    * embedding-ANN territory (N1–N3) — and BLIND to flat content (any
+    * solid-color image hashes to 0; pre-filter near-zero-variance images
+    * via the feature histogram if that matters). Decodable images only
+    * (P6 PPM + ImageIO formats); `None` for audio/video/undecodable or
+    * MALFORMED payloads — a corrupt blob must never kill a task (same
+    * contract as [[decode]]). */
   def dHash64(blob: MediaBlob): Option[Long] = {
-    if (isPpm(blob.bytes)) Some(dHashPpm(blob))
+    if (isPpm(blob.bytes)) scala.util.Try(dHashPpm(blob)).toOption
     else if (isJpeg(blob.bytes) || isPng(blob.bytes) || isGif(blob.bytes) || isBmp(blob.bytes))
       scala.util.Try(dHashImageIo(blob)).toOption
     else None
   }
 
-  /** Shared grid fold: `lumSum(cx, cy)` returns (sum, count) of luminance
-    * over grid cell (cx, cy) of a 9×8 layout. */
-  private def dHashFromGrid(lumCell: (Int, Int) => Double): Long = {
-    val grid = Array.tabulate(8, 9)((cy, cx) => lumCell(cx, cy))
+  /** Grid fold shared by both decode paths: `lumAt(x, y)` returns the pixel
+    * luminance; cells are box-averaged with the SAME deterministic stride
+    * budget as [[decodeImageIo]] (O(1) work per image regardless of size —
+    * a 60 Mpx photo must not cost 60M pixel reads in the hash kernel). */
+  private def dHashFromLum(w: Int, h: Int, lumAt: (Int, Int) => Double): Long = {
+    val step = math.max(1, math.ceil(math.sqrt(w.toLong * h / SamplePixelBudget.toDouble)).toInt)
+    def cellMean(cx: Int, cy: Int): Double = {
+      val x0 = cx * w / 9; val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
+      val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+      var s = 0.0; var n = 0
+      var y = y0
+      while (y < y1 && y < h) {
+        var x = x0
+        while (x < x1 && x < w) { s += lumAt(x, y); n += 1; x += step }
+        y += step
+      }
+      if (n == 0) 0.0 else s / n
+    }
+    val grid = Array.tabulate(8, 9)((cy, cx) => cellMean(cx, cy))
     var bits = 0L
     var i = 0
     while (i < 64) {
@@ -285,22 +304,11 @@ object MediaCodec extends Serializable {
     require(w > 0 && h > 0 && maxval > 0 && maxval < 256, "unsupported PPM")
     require(w.toLong * h * 3 <= b.length.toLong, "truncated PPM payload")
     val start = afterHdr + 1
-    dHashFromGrid { (cx, cy) =>
-      val x0 = cx * w / 9; val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
-      val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
-      var s = 0.0; var n = 0
-      var y = y0
-      while (y < y1 && y < h) {
-        var x = x0
-        while (x < x1 && x < w) {
-          val o = start + (y * w + x) * 3
-          s += 0.299 * (b(o) & 0xFF) + 0.587 * (b(o + 1) & 0xFF) + 0.114 * (b(o + 2) & 0xFF)
-          n += 1; x += 1
-        }
-        y += 1
-      }
-      if (n == 0) 0.0 else s / n
-    }
+    require(b.length.toLong >= start.toLong + w.toLong * h * 3, "truncated PPM payload")
+    dHashFromLum(w, h, (x, y) => {
+      val o = start + (y * w + x) * 3
+      0.299 * (b(o) & 0xFF) + 0.587 * (b(o + 1) & 0xFF) + 0.114 * (b(o + 2) & 0xFF)
+    })
   }
 
   private def dHashImageIo(blob: MediaBlob): Long = {
@@ -315,22 +323,10 @@ object MediaCodec extends Serializable {
         val w = reader.getWidth(0); val h = reader.getHeight(0)
         require(w > 0 && h > 0 && w.toLong * h <= MaxImagePixels, "image dims out of bounds")
         val img = reader.read(0)
-        dHashFromGrid { (cx, cy) =>
-          val x0 = cx * w / 9; val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
-          val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
-          var s = 0.0; var n = 0
-          var y = y0
-          while (y < y1 && y < h) {
-            var x = x0
-            while (x < x1 && x < w) {
-              val argb = img.getRGB(x, y)
-              s += 0.299 * ((argb >> 16) & 0xFF) + 0.587 * ((argb >> 8) & 0xFF) + 0.114 * (argb & 0xFF)
-              n += 1; x += 1
-            }
-            y += 1
-          }
-          if (n == 0) 0.0 else s / n
-        }
+        dHashFromLum(w, h, (x, y) => {
+          val argb = img.getRGB(x, y)
+          0.299 * ((argb >> 16) & 0xFF) + 0.587 * ((argb >> 8) & 0xFF) + 0.114 * (argb & 0xFF)
+        })
       } finally reader.dispose()
     } finally in.close()
   }

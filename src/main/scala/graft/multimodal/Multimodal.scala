@@ -138,28 +138,50 @@ object Multimodal {
     val hashes = blobs.mapPartitions(_.flatMap(b =>
         MediaCodec.dHash64(b).map(h => (b.media_ref, h))))
       .toDF("media_ref", "dhash")
+    // EXACT-hash collapse before pair enumeration (the same discipline as
+    // the text path's dedupExact pre-step): k byte-identical logos would
+    // otherwise put k refs in every band bucket and emit k²/2 pairs. Each
+    // distinct hash is represented by its min ref; `n_refs` carries the
+    // collapsed duplicate mass.
+    val groups = hashes.groupBy(col("dhash"))
+      .agg(min(col("media_ref")).as("rep"), count(lit(1)).as("n_refs"))
+    // balanced contiguous bit-bands (widths differ by ≤ 1), pigeonhole-
+    // complete for Hamming ≤ nBands - 1 — the 64-bit sibling of
+    // Dedup.bandRanges/simHashBands
     val nBands = maxHamming + 1
-    val width = 64 / nBands
     val bandCols = (0 until nBands).map { i =>
-      val lo = i * width
-      val w = if (i == nBands - 1) 64 - lo else width
+      val lo = i * 64 / nBands
+      val w = (i + 1) * 64 / nBands - lo
       val mask = if (w >= 64) -1L else (1L << w) - 1L
-      struct(lit(i).as("band"),
-        (shiftrightunsigned(col("dhash"), lo).bitwiseAND(lit(mask))).as("key"))
+      shiftrightunsigned(col("dhash"), lo).bitwiseAND(lit(mask))
     }
-    val banded = hashes.select(col("media_ref"), col("dhash"),
-        explode(array(bandCols: _*)).as("b"))
-      .select(col("media_ref"), col("dhash"), col("b.band"), col("b.key"))
+    val banded = groups.select(col("rep"), col("dhash"), col("n_refs"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
     val a = banded.select(col("band"), col("key"),
-      col("media_ref").as("ref_a"), col("dhash").as("ha"))
+      col("rep").as("ref_a"), col("dhash").as("ha"), col("n_refs").as("n_refs_a"))
     val bb = banded.select(col("band"), col("key"),
-      col("media_ref").as("ref_b"), col("dhash").as("hb"))
+      col("rep").as("ref_b"), col("dhash").as("hb"), col("n_refs").as("n_refs_b"))
     a.join(bb, Seq("band", "key"))
       .where(col("ref_a") < col("ref_b"))
-      .select(col("ref_a"), col("ref_b"),
+      .select(col("ref_a"), col("ref_b"), col("n_refs_a"), col("n_refs_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact perceptual-duplicate groups — the collapse [[imageNearDupPairs]]
+    * runs internally, exposed for direct use: one row per distinct dHash
+    * with its representative (min ref), member count, and member list
+    * (bounded by the group size; the common case is small — for corpora
+    * with million-copy logos aggregate counts only). */
+  def imageExactDupGroups(blobs: Dataset[MediaBlob]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap(b => MediaCodec.dHash64(b).map(h => (b.media_ref, h))))
+      .toDF("media_ref", "dhash")
+      .groupBy(col("dhash"))
+      .agg(min(col("media_ref")).as("rep"), count(lit(1)).as("n_refs"),
+        sort_array(collect_list(col("media_ref"))).as("refs"))
   }
 
   /** Deterministic frame sampling for video rows: every `stride`-th frame

@@ -210,36 +210,59 @@ class MultimodalSpec extends SparkSpec {
 
   test("image near-dup: dHash survives resize and brightness shift, not reversal") {
     import graft.multimodal.Multimodal.MediaBlob
-    def gradientPpm(w: Int, h: Int, reverse: Boolean, shift: Int): Array[Byte] = {
+    def lumPpm(w: Int, h: Int)(lum: (Int, Int) => Int): Array[Byte] = {
       val rgb = new Array[Byte](w * h * 3)
       for (y <- 0 until h; x <- 0 until w) {
-        val base = (if (reverse) (w - 1 - x) else x) * 255 / (w - 1)
-        val v = math.min(255, base + shift).toByte
+        val v = math.min(255, lum(x, y)).toByte
         val o = (y * w + x) * 3
         rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
       }
       MediaCodec.encodePpm(w, h, rgb)
     }
+    def gradient(w: Int, h: Int, reverse: Boolean, shift: Int) =
+      lumPpm(w, h)((x, _) => (if (reverse) (w - 1 - x) else x) * 255 / (w - 1) + shift)
+    // 9×8-grid-aligned checkerboard: NON-monotone content whose hash has
+    // mixed bits — catches grid/axis regressions a monotone gradient (hash
+    // 0L) cannot (defined in grid coordinates, so resize-invariant)
+    def checker(w: Int, h: Int) =
+      lumPpm(w, h)((x, y) => if ((x * 9 / w + y * 8 / h) % 2 == 0) 220 else 30)
     def blob(ref: String, bytes: Array[Byte]) = MediaBlob(ref, "image", bytes, bytes.length)
-    val base = blob("img_base", gradientPpm(36, 24, reverse = false, 0))
-    val resized = blob("img_resized", gradientPpm(18, 16, reverse = false, 0))
-    val brighter = blob("img_bright", gradientPpm(36, 24, reverse = false, 30))
-    val reversed = blob("img_rev", gradientPpm(36, 24, reverse = true, 0))
-    val wav = blob("aud_1", MediaCodec.encodeWav(8000, Array.fill(100)(0.toShort)))
 
-    // kernel-level: gradients align across scale/brightness, invert on reversal
+    val base = blob("img_base", gradient(36, 24, reverse = false, 0))
+    val resized = blob("img_resized", gradient(18, 16, reverse = false, 0))
+    val brighter = blob("img_bright", gradient(36, 24, reverse = false, 30))
+    val reversed = blob("img_rev", gradient(36, 24, reverse = true, 0))
+    // one bright patch confined to grid cell (0,0): flips exactly the bit
+    // comparing cell(0,0) to cell(1,0) — hamming 1 from base
+    val nearBase = blob("img_near", lumPpm(36, 24)((x, y) =>
+      if (x < 4 && y < 3) 255 else x * 255 / 35))
+    val wav = blob("aud_1", MediaCodec.encodeWav(8000, Array.fill(100)(0.toShort)))
+    val corrupt = blob("img_bad", "P6\nxyz".getBytes("US-ASCII"))
+
+    // kernel-level invariances
     val hBase = MediaCodec.dHash64(base).get
     assert(MediaCodec.dHash64(resized).get == hBase)
     assert(MediaCodec.dHash64(brighter).get == hBase)
     assert(java.lang.Long.bitCount(MediaCodec.dHash64(reversed).get ^ hBase) > 32)
+    assert(java.lang.Long.bitCount(MediaCodec.dHash64(nearBase).get ^ hBase) == 1)
+    val hCheck = MediaCodec.dHash64(blob("c1", checker(36, 24))).get
+    assert(hCheck != 0L && hCheck != -1L, "checkerboard must have mixed bits")
+    assert(MediaCodec.dHash64(blob("c2", checker(72, 48))).get == hCheck)
     assert(MediaCodec.dHash64(wav).isEmpty, "audio has no perceptual image hash")
+    assert(MediaCodec.dHash64(corrupt).isEmpty, "a malformed PPM must not throw")
 
-    // operator-level: banding + verification find exactly the near group
-    val blobs = spark.createDataset(Seq(base, resized, brighter, reversed, wav))
+    // operator-level: identical hashes collapse to a representative group
+    // (no quadratic pair expansion); near-but-distinct hashes pair up
+    val blobs = spark.createDataset(Seq(base, resized, brighter, reversed, nearBase, wav, corrupt))
+    val groups = graft.multimodal.Multimodal.imageExactDupGroups(blobs)
+      .as[(Long, String, Long, Seq[String])].collect().map(g => g._2 -> g).toMap
+    assert(groups("img_base")._3 == 3L &&
+      groups("img_base")._4 == Seq("img_base", "img_bright", "img_resized"))
     val pairs = graft.multimodal.Multimodal.imageNearDupPairs(blobs, maxHamming = 6)
-      .as[(String, String, Long)].collect().map(r => (r._1, r._2)).toSet
-    assert(pairs == Set(
-      ("img_base", "img_bright"), ("img_base", "img_resized"),
-      ("img_bright", "img_resized")), pairs.toString)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set(("img_base", "img_near")), pairs.toSeq.toString)
+    val p = pairs.head
+    assert(p._3 == 3L && p._4 == 1L && p._5 == 1L,
+      s"pair must carry collapsed duplicate mass and hamming: $p")
   }
 }

@@ -190,6 +190,31 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(batch == kept)
   }
+
+  test("PII redaction and deterministic sampling are streaming-safe (batch ≡ stream)") {
+    // both are stateless narrow Column expressions, so the SAME calls run
+    // on a streaming frame with no state, watermark, or output-mode caveats
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 40L).map(i =>
+      (i, s"doc $i mail doc$i@example.com at 10.0.0.$i end"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs)
+    val scrubbedSampled = graft.pipeline.Sampling
+      .deterministicSample(stream.toDF().toDF("doc_id", "text"), "doc_id", 0.5)
+      .withColumn("redacted", graft.textanalysis.Pii.redact(org.apache.spark.sql.functions.col("text")))
+    val q = scrubbedSampled.writeStream.format("memory").queryName("pii_stream")
+      .outputMode(OutputMode.Append()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("pii_stream").select("doc_id", "redacted")
+      .as[(Long, String)].collect().toMap
+    val batch = graft.pipeline.Sampling
+      .deterministicSample(docs.toDF("doc_id", "text"), "doc_id", 0.5)
+      .withColumn("redacted", graft.textanalysis.Pii.redact(org.apache.spark.sql.functions.col("text")))
+      .select("doc_id", "redacted").as[(Long, String)].collect().toMap
+    assert(streamed == batch, "sample membership and redaction must be frame-kind-independent")
+    assert(streamed.nonEmpty && streamed.values.forall(t =>
+      t.contains("[EMAIL]") && t.contains("[IP]") && !t.contains("@example.com")))
+  }
 }
 
 /** Top-level (no spec outer reference → serializable) corrector that counts

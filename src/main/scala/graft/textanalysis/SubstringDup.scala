@@ -37,12 +37,16 @@ import org.apache.spark.sql.functions._
  * BIG side stream from the scan (no materialization), and the df cap is the
  * same knob the provenance join already exposes.
  *
- * Hashes are md5-derived ([[graft.dedup.Dedup.seededHash]] shape) so the
- * whole operator — including run/island arithmetic — restates 1:1 in the
- * DuckDB oracle (`q_shared_substrings`). Hash collisions (2⁻⁶⁰) can in
- * principle overcount a run; acceptable for a dedup signal and absent at
- * oracle scale by construction (both engines hash identically, so they
- * agree bit-for-bit even on a collision).
+ * Hash family: the DEFAULT path ([[kgramHashTable]]) uses the engine's
+ * portable 31-bit rolling polynomial (`h·131 + codepoint mod 2³¹−1` — the
+ * winnow kernel's hash), so per cross-doc position pair the collision odds
+ * are ~2⁻³¹, NOT md5-grade; only the witness form ([[kgramHashTableMd5]])
+ * carries 60 md5 bits. Because one colliding position alone would qualify
+ * as a length-k "run", the operators require `minLen > k`: a false run then
+ * needs ≥ 2 CONSECUTIVE independent collisions (~2⁻⁶² per position pair),
+ * collapsing the false-pair rate back below the md5 witness's. Both engines
+ * hash identically, so the DuckDB oracle (`q_shared_substrings`) agrees
+ * bit-for-bit even on a collision.
  */
 object SubstringDup {
 
@@ -85,7 +89,9 @@ object SubstringDup {
   private def sharedRuns(docs: DataFrame, minLen: Int, k: Int,
                          maxDocFreq: Long, idCol: String,
                          textCol: String): DataFrame = {
-    require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
+    require(minLen > k,
+      s"minLen ($minLen) must be > k ($k): at minLen == k a single cross-doc " +
+        "31-bit hash collision would qualify as a shared run on its own")
     // NOTE on recompute-vs-materialize: the kg subtree feeds the df-cap agg
     // and both self-join sides, so the plan re-executes the scan→explode
     // chain; an explicit localCheckpoint of kg/capped was MEASURED SLOWER
@@ -93,13 +99,7 @@ object SubstringDup {
     // is cheaper than materializing ~10⁷ (id, pos, h) rows, so recompute is
     // the chosen trade until the input text no longer fits the scan cache
     val kg = kgramHashTable(docs, k, idCol, textCol)
-    // stop-hash df cap (count DISTINCT docs per hash; a doc repeating its
-    // own k-gram must not push the hash over the cap)
-    val df = kg.groupBy(col("h"))
-      .agg(countDistinct(col(idCol)).as("__df"))
-      .filter(col("__df") <= maxDocFreq)
-      .select(col("h"))
-    val capped = kg.join(df, "h")
+    val capped = dropHotHashes(kg, maxDocFreq, idCol)
     val a = capped.select(col("h"), col(idCol).as("doc_a"), col("pos").as("pa"))
     val matches = a.join(
         capped.select(col("h"), col(idCol).as("doc_b"), col("pos").as("pb")), "h")
@@ -108,6 +108,33 @@ object SubstringDup {
         (col("pa") - col("pb")).as("diag"))
     runsFromMatches(matches, minLen, k)
   }
+
+  /** Stop-hash df cap in the HOT-SET ANTI-JOIN shape (the
+    * [[Winnowing.matchPairs]] discipline): aggregate the distinct-doc
+    * frequency per hash, keep only the hashes OVER the cap — bounded by
+    * |kgrams| / maxDocFreq rows, and in practice far smaller: a hash is hot
+    * only when ≥ cap distinct docs share its k-gram, so the set is the
+    * corpus's boilerplate vocabulary, which saturates rather than growing
+    * with corpus size — and LEFT-ANTI join the k-gram table against it
+    * (the explicit broadcast hint asserts exactly that saturation; drop it
+    * together with the cap via `maxDocFreq <= 0` if a corpus breaks it). The previous inner join against the sub-cap
+    * set (the LARGE side: most hashes are under any sane cap) shuffled the
+    * full ~10⁷-row k-gram table against a ~10⁶-row agg output once per
+    * self-join side and left AQE free to flip to a sort-merge join under
+    * heap pressure (the 6× bench drift of BENCH_r04); the anti join keeps
+    * `capped` a narrow broadcast-probed pass over the scan-side k-grams.
+    * `maxDocFreq <= 0` disables the cap (exhaustive — bounded inputs only).
+    * Distinct-doc counting matters: a doc repeating its own k-gram must not
+    * push the hash over the cap. */
+  private def dropHotHashes(kg: DataFrame, maxDocFreq: Long, idCol: String): DataFrame =
+    if (maxDocFreq <= 0L) kg
+    else {
+      val hot = kg.groupBy(col("h"))
+        .agg(countDistinct(col(idCol)).as("__df"))
+        .filter(col("__df") > maxDocFreq)
+        .select(col("h"))
+      kg.join(broadcast(hot), Seq("h"), "left_anti")
+    }
 
   /** The islands tail shared by [[sharedRuns]] and the prefiltered variant:
     * matched positions → maximal diagonal runs of >= minLen chars. */
@@ -140,8 +167,9 @@ object SubstringDup {
    * slightly different cut surface than the plain form's dense-only cap;
    * with no hot hashes the two forms are output-identical (spec-asserted).
    *
-   * MEASURED at sf0.1 (tools/SubstrProbe): 7.07 s vs the plain form's
-   * 4.26 s — at bench scale the candidate index costs more than it saves
+   * MEASURED at sf0.1 (tools/SubstrProbe, anti-join cap shape): 4.25 s vs
+   * the plain form's 3.20 s — at bench scale the candidate index costs more
+   * than it saves
    * because the df cap already leaves ~0 qualifying pairs, so the plain
    * form stays the default. The crossover favors this form when the dense
    * self-join's match volume (Σ_h cnt_a·cnt_b over candidate-dense hashes)
@@ -160,11 +188,7 @@ object SubstringDup {
     val cand = Winnowing.matchPairs(fp, minShared = 1L, idCol, maxDocFreq)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val kg = kgramHashTable(docs, k, idCol, textCol)
-    val df = kg.groupBy(col("h"))
-      .agg(countDistinct(col(idCol)).as("__df"))
-      .filter(col("__df") <= maxDocFreq)
-      .select(col("h"))
-    val capped = kg.join(df, "h")
+    val capped = dropHotHashes(kg, maxDocFreq, idCol)
     val a = capped.select(col(idCol).as("doc_a"), col("pos").as("pa"), col("h"))
     val b = capped.select(col(idCol).as("doc_b"), col("pos").as("pb"), col("h"))
     val matches = cand.join(a, "doc_a").join(b, Seq("doc_b", "h"))
@@ -183,9 +207,36 @@ object SubstringDup {
                            maxDocFreq: Long = 64L,
                            idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame =
-    sharedRuns(docs, minLen, k, maxDocFreq, idCol, textCol)
-      .groupBy(col("doc_a"), col("doc_b"))
+    pairsFromRuns(sharedRuns(docs, minLen, k, maxDocFreq, idCol, textCol))
+
+  /** Detection tail: qualifying runs → per-pair report. */
+  private def pairsFromRuns(runs: DataFrame): DataFrame =
+    runs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_runs"), max(col("run_chars")).as("max_run_chars"))
+
+  /**
+   * Detection report AND removal intervals from ONE runs computation — for
+   * callers wanting both (an audit report plus the cut; the contract
+   * queries `q_shared_substrings`/`q_dup_intervals` are separate by the
+   * driver's design and keep recomputing). The shared `runs` frame is
+   * localCheckpoint-ed: unlike the kg subtree (where materialization was
+   * measured slower than recompute — see [[sharedRuns]]), runs is the
+   * POST-FILTER islands output — a few rows per genuinely-overlapping pair,
+   * tiny at any scale — so materializing it once is strictly cheaper than
+   * re-running the whole hash-join+window pipeline for the second consumer
+   * (MEASURED at sf0.1, tools/SubstrProbe, anti-join cap shape: combined
+   * 3.38 s vs 5.85 s for the two queries run separately — 1.7×; re-measured
+   * per the round-4 note since the join-shape fix could have flipped the
+   * trade). Returns (pairs, intervals) with
+   * the same schemas as [[sharedSubstringPairs]] / [[duplicateRunIntervals]].
+   */
+  def detectAndIntervals(docs: DataFrame, minLen: Int, k: Int = 8,
+                         maxDocFreq: Long = 64L,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): (DataFrame, DataFrame) = {
+    val runs = sharedRuns(docs, minLen, k, maxDocFreq, idCol, textCol).localCheckpoint()
+    (pairsFromRuns(runs), intervalsFromRuns(runs, idCol))
+  }
 
   /**
    * The dedup ACTION derived from the runs (Lee et al.'s cut step): for
@@ -200,13 +251,17 @@ object SubstringDup {
   def duplicateRunIntervals(docs: DataFrame, minLen: Int, k: Int = 8,
                             maxDocFreq: Long = 64L,
                             idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame = {
+                            textCol: String = "text"): DataFrame =
+    intervalsFromRuns(sharedRuns(docs, minLen, k, maxDocFreq, idCol, textCol), idCol)
+
+  /** Removal tail: qualifying runs → merged per-doc cut intervals. */
+  private def intervalsFromRuns(runs: DataFrame, idCol: String): DataFrame = {
     // DISTINCT before the merge window: several partner docs can contribute
     // the IDENTICAL interval (the same duplicated block shared with each),
     // and duplicate (s, e) sort keys make a ROWS-frame running window
     // engine-order-sensitive (observed as an intermittent DuckDB parallel-
     // window misordering); tie-peers carry no information for merging
-    val iv = sharedRuns(docs, minLen, k, maxDocFreq, idCol, textCol)
+    val iv = runs
       .select(col("doc_b").as(idCol), col("pb_start").as("s"),
         (col("pb_start") + col("run_chars")).as("e"))
       .distinct()

@@ -142,12 +142,16 @@ object Winnowing {
    * tiny (at most `|fps| / maxDocFreq` hashes) and joins back anti-wise
    * broadcast-sized.
    *
-   * `maxDocFreq <= 0` disables the cap (exhaustive semantics — only safe on
-   * bounded inputs). Returns `(id_a, id_b, n_shared)` with `id_a < id_b`,
-   * where `n_shared` counts shared sub-cap fingerprints.
+   * The cap DEFAULTS TO DISABLED (`maxDocFreq <= 0`: exhaustive semantics,
+   * every caller sees every pair — only safe on bounded inputs): silently
+   * dropping hot fingerprints under a default would change results for
+   * callers of the original exhaustive signature, so scale callers opt in
+   * explicitly (the contract query passes 64). Returns
+   * `(id_a, id_b, n_shared)` with `id_a < id_b`, where `n_shared` counts
+   * shared sub-cap fingerprints.
    */
   def matchPairs(fps: DataFrame, minShared: Long = 2,
-                 idCol: String = "doc_id", maxDocFreq: Long = 64): DataFrame = {
+                 idCol: String = "doc_id", maxDocFreq: Long = 0): DataFrame = {
     val d0 = fps.select(col(idCol), col("h")).distinct()
     val d =
       if (maxDocFreq <= 0) d0

@@ -30,11 +30,25 @@ object SubstrProbe {
       SubstringDup.sharedSubstringPairsPrefiltered(docs, minLen = 25)
         .write.mode("overwrite").format("noop").save()
     }
+    // two-consumer shapes: pairs + intervals recomputed separately (the
+    // contract-query shape) vs detectAndIntervals' shared checkpointed runs
+    val sep = bestOf {
+      SubstringDup.sharedSubstringPairs(docs, minLen = 25)
+        .write.mode("overwrite").format("noop").save()
+      SubstringDup.duplicateRunIntervals(docs, minLen = 25)
+        .write.mode("overwrite").format("noop").save()
+    }
+    val comb = bestOf {
+      val (p2, iv) = SubstringDup.detectAndIntervals(docs, minLen = 25)
+      p2.write.mode("overwrite").format("noop").save()
+      iv.write.mode("overwrite").format("noop").save()
+    }
     val p = SubstringDup.sharedSubstringPairs(docs, minLen = 25)
       .collect().map(_.toSeq).toSet
     val q = SubstringDup.sharedSubstringPairsPrefiltered(docs, minLen = 25)
       .collect().map(_.toSeq).toSet
     println(f"""{"probe":"substr","plain_sec":$plain%.2f,"prefiltered_sec":$pre%.2f,""" +
+      f""""separate_sec":$sep%.2f,"combined_sec":$comb%.2f,""" +
       f""""pairs_plain":${p.size},"pairs_pre":${q.size},"equal":${p == q}}""")
     spark.stop()
   }

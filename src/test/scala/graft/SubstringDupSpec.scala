@@ -176,6 +176,23 @@ class SubstringDupSpec extends SparkSpec {
     }
   }
 
+  test("detectAndIntervals ≡ the two separate operators (one runs computation)") {
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"alpha $shared omega"),
+      (2L, s"$shared beta"),
+      (3L, s"gamma $shared delta $shared"),
+      (4L, "entirely unrelated filler content goes here")).toDF("doc_id", "text")
+    val (pairs, ivs) = SubstringDup.detectAndIntervals(docs, minLen = 30, k = 8)
+    assert(pairs.as[(Long, Long, Long, Long)].collect().toSet ==
+      SubstringDup.sharedSubstringPairs(docs, minLen = 30, k = 8)
+        .as[(Long, Long, Long, Long)].collect().toSet)
+    assert(ivs.as[(Long, Long, Long)].collect().toSet ==
+      SubstringDup.duplicateRunIntervals(docs, minLen = 30, k = 8)
+        .as[(Long, Long, Long)].collect().toSet)
+    assert(pairs.count() > 0 && ivs.count() > 0)
+  }
+
   test("stop-hash df cap drops boilerplate-only pairs") {
     // 30 docs all share one boilerplate banner; only two share unique text
     val banner = "copyright footer all rights reserved banner"

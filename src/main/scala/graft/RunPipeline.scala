@@ -158,20 +158,29 @@ object RunPipeline {
     * interleaved-docs tables; the shared text key is [[tagDocText]]. Eval
     * grams are distinct + broadcast — the training text never shuffles.
     * `spec` grammar: `path` or `path:n`. */
+  /** `--decontam` spec → (path, n). The spec carries a PATH, which may
+    * itself contain colons (s3a://, hdfs://, file:/) — the :n override is
+    * recognized only as a NUMERIC suffix after the last colon, and is
+    * additionally bounded to 1..100: a bare authority URI like
+    * 'hdfs://host:9000' would otherwise parse as path 'hdfs://host' with
+    * the PORT silently becoming an absurd gram order — out-of-range
+    * numerics stay part of the path. */
+  private[graft] def parseDecontamSpec(spec: String): (String, Int) =
+    spec.lastIndexOf(':') match {
+      case i if i >= 0 && spec.substring(i + 1).nonEmpty &&
+        spec.substring(i + 1).forall(_.isDigit) &&
+        spec.substring(i + 1).length <= 3 &&
+        spec.substring(i + 1).toInt >= 1 && spec.substring(i + 1).toInt <= 100 =>
+        (spec.substring(0, i), spec.substring(i + 1).toInt)
+      case _ => (spec, 13)
+    }
+
   private def decontamDocs(docs: org.apache.spark.sql.DataFrame, spansCol: String,
                            spec: String, fmt: String): org.apache.spark.sql.DataFrame = {
     // format note: the eval table reads with --decontam-format (default:
     // the training --input-format) — benchmark dumps are produced once and
     // need not share the training corpus' lake format
-    // the spec carries a PATH, which may itself contain colons (s3a://,
-    // hdfs://, file:/) — the :n override is recognized only as a NUMERIC
-    // suffix after the last colon, unlike the numeric-only gate/dedup specs
-    val (path, n) = spec.lastIndexOf(':') match {
-      case i if i >= 0 && spec.substring(i + 1).nonEmpty &&
-        spec.substring(i + 1).forall(_.isDigit) =>
-        (spec.substring(0, i), spec.substring(i + 1).toInt)
-      case _ => (spec, 13)
-    }
+    val (path, n) = parseDecontamSpec(spec)
     val spark = docs.sparkSession
     val evalDocs = graft.sources.CorpusIO.readDocs(spark, path.stripSuffix("/"), fmt, spansCol)
     val train = tagDocText(docs, spansCol)

@@ -1108,11 +1108,13 @@ object SparkEntry {
                     list_transform(range(1, len(l) - 13 + 2),
                       i -> array_to_string(l[CAST(i AS INT):CAST(i + 12 AS INT)], ' '))
                   ELSE [] END) AS gram FROM tl),
-           ev AS (SELECT DISTINCT gram FROM tg
+           tgh AS (SELECT doc_id, gram,
+                     CAST(('0x' || substr(md5(gram), 1, 15))::UBIGINT AS BIGINT) AS gh FROM tg),
+           ev AS (SELECT DISTINCT gh FROM tgh
                   WHERE doc_id IN (SELECT doc_id FROM documents
                     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT) < 3277))
            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(t.gram) AS sample_gram
-           FROM tg t JOIN ev USING (gram) GROUP BY 1""",
+           FROM tgh t JOIN ev USING (gh) GROUP BY 1""",
 
       // add-0.4 bigram LM self-trained on the corpus; ln on both engines,
       // per-doc fold in bigram position order (associativity discipline)
@@ -1129,8 +1131,12 @@ object SparkEntry {
            vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cu),
            lp AS (SELECT bg.doc_id, bg.i,
                     ln((CAST(COALESCE(cb.c_bi, 0) AS DOUBLE) + 0.4) /
-                       (CAST(cu.c_uni AS DOUBLE) + 0.4 * CAST(vs.v AS DOUBLE))) AS lp
-                  FROM bg JOIN cu USING (w1) LEFT JOIN cb USING (g), vs)
+                       (CAST(COALESCE(cu.c_uni, 0) AS DOUBLE) + 0.4 * CAST(vs.v AS DOUBLE))) AS lp
+                  -- LEFT join + COALESCE on the unigram side to match
+                  -- scoreGrams' alpha-floor for pruned w1 unconditionally
+                  -- (equivalent at minCount=1, where every w1 is present,
+                  -- but contractual under any future pruning)
+                  FROM bg LEFT JOIN cu USING (w1) LEFT JOIN cb USING (g), vs)
            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              ${Portable.round4Sql(
                "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY i)), (a, x) -> a + x) / count(*)")} AS avg_logprob

@@ -200,6 +200,15 @@ object StreamingOps {
                            minQuality: Double = 0.3,
                            maxDupTokenRatio: Double = 0.6): DataFrame = {
     import graft.textanalysis.TextAnalysis
+    // fail fast on output-name collisions: withColumn would silently
+    // OVERWRITE a pre-existing 'quality'/'keep'/... column and the
+    // downstream drop would then destroy the caller's data — an input that
+    // already carries gate outputs must rename them first
+    val taken = Seq("quality", "dup_token_ratio", "dup_bigram_frac", "keep",
+      "__q", "__rep").filter(docs.columns.contains)
+    require(taken.isEmpty,
+      s"qualityGate output column(s) ${taken.mkString(", ")} already exist on " +
+        "the input — rename them before gating (they would be overwritten then dropped)")
     org.apache.spark.sql.graft.RepetitionSignalsExpr.register(docs.sparkSession)
     val t = coalesce(col(textCol), lit(""))
     docs

@@ -12,14 +12,29 @@ import org.apache.spark.sql.functions._
  * per-training-doc contamination verdict, not survivor selection.
  *
  * Scale shape: eval n-grams are DISTINCT grams of a benchmark corpus —
- * thousands-to-millions of short strings, broadcast-friendly; the train side
+ * thousands-to-millions of entries, broadcast-friendly; the train side
  * explodes its n-grams scan-side ([[TextAnalysis.docNgrams]] shape) and
  * LEFT SEMI joins per gram, so the only wide work is one join keyed by the
- * gram string (broadcast by default — `broadcastEval = false` selects a
- * shuffled hash join for very large eval corpora) and one count per flagged
- * doc. The train corpus text itself never shuffles.
+ * gram (broadcast by default — `broadcastEval = false` selects a shuffled
+ * hash join for very large eval corpora) and one count per flagged doc.
+ * The join key is the 60-bit md5 hash of the gram, NOT the 13-token string:
+ * a 13-gram averages ~80+ bytes, so probing on the string inflates the
+ * exploded train surface ~13× over the underlying text and makes every
+ * broadcast-table entry and hash probe string-sized; the 8-byte key cuts
+ * that ~10× while `sample_gram` still rides untouched to the aggregation
+ * (only flagged rows — a tiny fraction — carry their string into the
+ * per-doc min). A 2⁻⁶⁰ hash collision can in principle flag a clean doc;
+ * both engines hash identically (the q_shared_substrings discipline), so
+ * the oracle agrees bit-for-bit even then, and for an audit-grade exact
+ * check the `sample_gram` evidence is re-verifiable against the eval set.
+ * The train corpus text itself never shuffles.
  */
 object Decontamination {
+
+  /** 60-bit md5-derived gram key (oracle restatement:
+    * `CAST(('0x' || substr(md5(gram), 1, 15))::UBIGINT AS BIGINT)`). */
+  private def gramHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /**
    * Per-training-doc contamination report: `(idCol, n_hits, sample_gram)` —
@@ -32,17 +47,20 @@ object Decontamination {
                           idCol: String = "doc_id",
                           textCol: String = "text",
                           broadcastEval: Boolean = true): DataFrame = {
-    val evalGrams = eval
+    val evalHashes = eval
       .select(explode(TextAnalysis.ngramArray(col(textCol), n)).as("gram"))
+      .select(gramHash(col("gram")).as("__gh"))
       .distinct()
     // broadcastEval is an EXPLICIT choice, not a silent fallback: the hint
     // bypasses autoBroadcastJoinThreshold, so the caller asserts the
-    // distinct eval-gram set fits the driver (true for typical benchmark
-    // suites). For a very large eval corpus pass false — the semi-join then
-    // plans as an ordinary shuffled hash join.
-    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    // distinct eval-gram-hash set fits the driver (true for typical
+    // benchmark suites, and 10× truer on 8-byte hashes than on strings).
+    // For a very large eval corpus pass false — the semi-join then plans as
+    // an ordinary shuffled hash join, where only hashes cross the exchange.
+    val evalSide = if (broadcastEval) broadcast(evalHashes) else evalHashes
     TextAnalysis.docNgrams(train, n, idCol, textCol)
-      .join(evalSide, Seq("gram"), "left_semi")
+      .withColumn("__gh", gramHash(col("gram")))
+      .join(evalSide, Seq("__gh"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), min(col("gram")).as("sample_gram"))
   }

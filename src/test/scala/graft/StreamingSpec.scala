@@ -191,6 +191,14 @@ class StreamingSpec extends SparkSpec {
     assert(batch == kept)
   }
 
+  test("quality gate fails fast when input already carries an output column") {
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.qualityGateAnnotated(
+        Seq((1L, "some text", 0.99)).toDF("doc_id", "text", "quality"))
+    }
+    assert(e.getMessage.contains("quality"), e.getMessage)
+  }
+
   test("PII redaction and deterministic sampling are streaming-safe (batch ≡ stream)") {
     // both are stateless narrow Column expressions, so the SAME calls run
     // on a streaming frame with no state, watermark, or output-mode caveats

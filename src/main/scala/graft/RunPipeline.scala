@@ -47,6 +47,12 @@ import graft.pipeline.CheckpointedRun
  *   [--pii-scrub true]             # redact emails/IPv4/intl phones in TEXT spans with
  *                                  #   typed placeholders (Pii.redact) before correction;
  *                                  #   media spans untouched
+ *   [--media-dedup dhash[:d]]      # perceptual image dedup across MEDIA spans:
+ *                                  #   dHash-identical and Hamming<=d (default 6) near-dup
+ *                                  #   images collapse to one canonical ref per cluster
+ *                                  #   (component min); media_refs are rewritten in place,
+ *                                  #   span order/kinds/text untouched — the modality the
+ *                                  #   text dedup family cannot see
  *   [--input-format parquet|orc]   # input + clean table format (CorpusIO.readDocs:
  *                                  #   asserts the (doc_id, spans) contract on scan)
  *   [--run-id run1] [--spans-col spans] [--clean-spans-col spans]
@@ -190,6 +196,59 @@ object RunPipeline {
       .drop("__txt", "__n")
   }
 
+  /** Perceptual image dedup over the docs table's MEDIA spans:
+    * `--media-dedup dhash[:maxHamming]`. Builds the media blob table for the
+    * distinct refs, computes the per-ref canonical map
+    * ([[graft.multimodal.Multimodal.imageCanonMap]]: one decode pass to
+    * (ref, 8-byte dHash), exact-hash collapse, Hamming-banded near-dup
+    * graph, component-min canon), and rewrites `media_ref`s IN PLACE — docs
+    * stay un-exploded. The only doc-keyed work is joining back the per-doc
+    * remap maps, which exist ONLY for docs referencing a duplicate image (a
+    * tiny fraction; AQE broadcasts when small), then a narrow span-array
+    * transform; text spans and span order are untouched, preserving the
+    * passthrough discipline of the text dedup family. */
+  private def mediaDedupDocs(docs: org.apache.spark.sql.DataFrame,
+                             spansCol: String, spec: String): org.apache.spark.sql.DataFrame = {
+    val maxHamming = spec.split(":", 2) match {
+      case Array(mode, v) => require(mode == "dhash",
+        s"unknown --media-dedup $mode (dhash[:maxHamming])"); v.toInt
+      case Array(mode) => require(mode == "dhash",
+        s"unknown --media-dedup $mode (dhash[:maxHamming])"); 6
+    }
+    import graft.multimodal.Multimodal
+    val mapping = Multimodal.imageCanonMap(
+      Multimodal.mediaTable(docs, spansCol), maxHamming)
+    rewriteMediaRefs(docs, spansCol, mapping)
+  }
+
+  /** Apply a `(media_ref, canon_ref)` rewrite map to the docs table's media
+    * spans (the [[mediaDedupDocs]] tail, factored so specs can drive it with
+    * constructed blob fixtures — the sandbox's deterministic media table
+    * derives payloads from refs, so distinct refs never collide there). */
+  private[graft] def rewriteMediaRefs(docs: org.apache.spark.sql.DataFrame,
+                                      spansCol: String,
+                                      mapping: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val remaps = docs.select(col("doc_id"), explode(col(spansCol)).as("__sp"))
+      .where(col("__sp.kind") === graft.model.Span.KindMedia)
+      .select(col("doc_id"), col("__sp.media_ref").as("media_ref"))
+      .join(mapping, Seq("media_ref")) // inner: only refs that change
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_set(struct(col("media_ref"), col("canon_ref"))))
+        .as("__remap"))
+    docs.join(remaps, Seq("doc_id"), "left")
+      .withColumn(spansCol,
+        when(col("__remap").isNull, col(spansCol)).otherwise(
+          transform(col(spansCol), sp => struct(
+            sp.getField("kind").as("kind"),
+            sp.getField("text").as("text"),
+            when(sp.getField("kind") === graft.model.Span.KindMedia,
+              coalesce(element_at(col("__remap"), sp.getField("media_ref")),
+                sp.getField("media_ref")))
+              .otherwise(sp.getField("media_ref")).as("media_ref"),
+            sp.getField("offset").as("offset")))))
+      .drop("__remap")
+  }
+
   /** Span-level PII scrub: text spans pass through [[graft.textanalysis.Pii.redact]]
     * (typed placeholders), media spans untouched — a narrow per-row array
     * transform, no shuffle. Runs BEFORE correction, and when a separate
@@ -254,6 +313,7 @@ object RunPipeline {
     val gateSpec = a.get("quality-gate")
     val decontamSpec = a.get("decontam")
     val piiScrub = a.get("pii-scrub").exists(_.toBoolean)
+    val mediaDedupSpec = a.get("media-dedup")
     val lmModel = a.get("lm-model")
     val lmMinLp = a.get("lm-min-logprob").map(_.toDouble)
     // both-or-neither: --lm-model alone would otherwise be a SILENT no-op
@@ -277,8 +337,12 @@ object RunPipeline {
       spec => decontamDocs(lmFiltered, spansCol, spec,
         a.getOrElse("decontam-format", fmt)))
     val scrubbed = if (piiScrub) piiScrubDocs(decontamed, spansCol) else decontamed
-    val docs = if (dedupMode == "none") scrubbed
-               else dedupDocs(scrubbed, spansCol, dedupMode)
+    val textDeduped = if (dedupMode == "none") scrubbed
+                      else dedupDocs(scrubbed, spansCol, dedupMode)
+    // media dedup LAST: it rewrites refs on the surviving docs only, so
+    // every doc the text-side curation dropped costs no media decode
+    val docs = mediaDedupSpec.fold(textDeduped)(
+      s => mediaDedupDocs(textDeduped, spansCol, s))
     val cleanDocs0 = if (clean == input) docs
                      else graft.sources.CorpusIO.readDocs(spark, clean, fmt, cleanSpansCol)
     // the truth table must see the same redaction as the input, or every
@@ -306,6 +370,7 @@ object RunPipeline {
       gateSpec.map(g => s" gate=$g").getOrElse("") +
       decontamSpec.map(d => s" decontam=$d").getOrElse("") +
       (if (piiScrub) " pii-scrub" else "") +
+      mediaDedupSpec.map(s => s" media-dedup=$s").getOrElse("") +
       (for { m <- lmModel; lp <- lmMinLp } yield s" lm=$m>=$lp").getOrElse("")
     // stage token fingerprints the SOURCES: a resume of this output dir with
     // a different input/clean table (or spans columns, or dedup setting)
@@ -315,7 +380,8 @@ object RunPipeline {
       .digest((s"$input|$clean|$spansCol|$cleanSpansCol|$dedupMode" +
         s"|${sampleFrac.getOrElse("")}|${gateSpec.getOrElse("")}" +
         s"|${lmModel.getOrElse("")}|${lmMinLp.getOrElse("")}" +
-        s"|${decontamSpec.getOrElse("")}|$fmt|$piiScrub").getBytes("UTF-8"))
+        s"|${decontamSpec.getOrElse("")}|$fmt|$piiScrub" +
+        s"|${mediaDedupSpec.getOrElse("")}").getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     // docs_in comes from the staged bucketed copy WHILE it exists (an
     // empty-projection parquet count — footers only), inside the timed run;

@@ -131,13 +131,24 @@ object Multimodal {
    * never shuffle; the join carries (band key, ref, hash) rows only.
    * Output: `(ref_a, ref_b, hamming)`, ref_a < ref_b.
    */
-  def imageNearDupPairs(blobs: Dataset[MediaBlob], maxHamming: Int = 6): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+  def imageNearDupPairs(blobs: Dataset[MediaBlob], maxHamming: Int = 6): DataFrame =
+    imageNearDupPairsFromHashes(imageHashTable(blobs), maxHamming)
+
+  /** Decode-once dHash table `(media_ref, dhash)` — rows only for blobs
+    * that decode as images. The narrow mapPartitions pass every perceptual
+    * operator derives from; compute it once (localCheckpoint: 10 bytes/row)
+    * when feeding several consumers so blobs decode exactly once. */
+  def imageHashTable(blobs: Dataset[MediaBlob]): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
-    val hashes = blobs.mapPartitions(_.flatMap(b =>
+    blobs.mapPartitions(_.flatMap(b =>
         MediaCodec.dHash64(b).map(h => (b.media_ref, h))))
       .toDF("media_ref", "dhash")
+  }
+
+  /** [[imageNearDupPairs]] over a precomputed [[imageHashTable]]. */
+  def imageNearDupPairsFromHashes(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     // EXACT-hash collapse before pair enumeration (the same discipline as
     // the text path's dedupExact pre-step): k byte-identical logos would
     // otherwise put k refs in every band bucket and emit k²/2 pairs. Each
@@ -174,14 +185,42 @@ object Multimodal {
     * with its representative (min ref), member count, and member list
     * (bounded by the group size; the common case is small — for corpora
     * with million-copy logos aggregate counts only). */
-  def imageExactDupGroups(blobs: Dataset[MediaBlob]): DataFrame = {
-    val spark = blobs.sparkSession
-    import spark.implicits._
-    blobs.mapPartitions(_.flatMap(b => MediaCodec.dHash64(b).map(h => (b.media_ref, h))))
-      .toDF("media_ref", "dhash")
+  def imageExactDupGroups(blobs: Dataset[MediaBlob]): DataFrame =
+    imageExactDupGroupsFromHashes(imageHashTable(blobs))
+
+  /** [[imageExactDupGroups]] over a precomputed [[imageHashTable]]. */
+  def imageExactDupGroupsFromHashes(hashes: DataFrame): DataFrame =
+    hashes
       .groupBy(col("dhash"))
       .agg(min(col("media_ref")).as("rep"), count(lit(1)).as("n_refs"),
         sort_array(collect_list(col("media_ref"))).as("refs"))
+
+  /**
+   * Per-ref canonical rewrite map for perceptual image dedup:
+   * `(media_ref, canon_ref)` for every ref whose canonical representative
+   * DIFFERS from itself — byte-identical and near-duplicate (Hamming ≤
+   * `maxHamming`) images all map to the lexicographically smallest ref of
+   * their duplicate CLUSTER (exact-hash collapse first, then connected
+   * components over the banded near-dup rep graph, so transitivity holds:
+   * A≈B≈C collapses to one canon even when A,C are farther than the
+   * threshold — the `dedupNearCC` discipline on the media modality).
+   * Refs that do not decode as images, or have no duplicate, are absent.
+   * Scale shape: one decode pass to (ref, 8-byte hash); every later shuffle
+   * carries refs/hashes only.
+   */
+  def imageCanonMap(blobs: Dataset[MediaBlob], maxHamming: Int = 6): DataFrame = {
+    val hashes = imageHashTable(blobs).localCheckpoint()
+    val groups = imageExactDupGroupsFromHashes(hashes)
+    val nearPairs = imageNearDupPairsFromHashes(hashes, maxHamming)
+      .select(col("ref_a"), col("ref_b"))
+    // component roots are minima (CC roots at least(id)); rep = min of its
+    // exact group, so coalesce(component, rep) is the global cluster min
+    val comp = graft.dedup.ConnectedComponents.run(nearPairs, "ref_a", "ref_b")
+      .select(col("id").as("rep"), col("component"))
+    groups.select(explode(col("refs")).as("media_ref"), col("rep"))
+      .join(comp, Seq("rep"), "left")
+      .select(col("media_ref"), coalesce(col("component"), col("rep")).as("canon_ref"))
+      .where(col("media_ref") =!= col("canon_ref"))
   }
 
   /** Deterministic frame sampling for video rows: every `stride`-th frame

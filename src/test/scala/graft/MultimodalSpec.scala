@@ -265,4 +265,38 @@ class MultimodalSpec extends SparkSpec {
     assert(p._3 == 3L && p._4 == 1L && p._5 == 1L,
       s"pair must carry collapsed duplicate mass and hamming: $p")
   }
+
+  test("imageCanonMap: exact + transitive near-dup chain collapse to component min") {
+    import graft.multimodal.Multimodal.MediaBlob
+    // gradient with bright patches confined to grid cells (0, y) for y in s:
+    // each patch flips exactly the bit comparing cell(0,y) to cell(1,y), so
+    // dHash(imgP(s)) is at Hamming |s| from the plain gradient (rows are
+    // independent — patches in different rows cannot interact)
+    def imgP(s: Set[Int]): Array[Byte] = {
+      val (w, h) = (36, 24) // 4px × 3px grid cells on the 9×8 dHash grid
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (if (x < 4 && s.contains(y / 3)) 255 else x * 255 / 35).toByte
+        val o = (y * w + x) * 3
+        rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+      }
+      MediaCodec.encodePpm(w, h, rgb)
+    }
+    def blob(ref: String, bytes: Array[Byte]) = MediaBlob(ref, "image", bytes, bytes.length)
+    // chain: a≈b (Hamming 4), b≈c (4), but a–c is 8 > maxHamming 6 — only
+    // transitive clustering collapses all three; d is a byte-resized copy
+    // of b (identical hash) joining through the exact-collapse step
+    val blobs = spark.createDataset(Seq(
+      blob("a_base", imgP(Set.empty)),
+      blob("b_mid", imgP(Set(0, 1, 2, 3))),
+      blob("c_far", imgP(Set(0, 1, 2, 3, 4, 5, 6, 7))),
+      blob("d_copy_of_b", imgP(Set(0, 1, 2, 3))), {
+        val wav = MediaCodec.encodeWav(8000, Array.fill(64)(0.toShort))
+        MediaBlob("e_audio", "audio", wav, wav.length) // no image hash → absent
+      }))
+    val m = Multimodal.imageCanonMap(blobs, maxHamming = 6)
+      .as[(String, String)].collect().toMap
+    assert(m == Map("b_mid" -> "a_base", "c_far" -> "a_base", "d_copy_of_b" -> "a_base"),
+      m.toString)
+  }
 }

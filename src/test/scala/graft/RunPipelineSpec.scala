@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.gen.DocGen
 
 class RunPipelineSpec extends SparkSpec {
+  import spark.implicits._
 
   test("spark-submit entry point: corrects an input table, resumable, CER beats null floor") {
     val base = Files.createTempDirectory("runpipeline").toString
@@ -335,6 +336,44 @@ class RunPipelineSpec extends SparkSpec {
         "lm-model" -> s"$base/lm", "buckets" -> "4", "group-size" -> "2"))
     }
     assert(e.getMessage.contains("provided together"), e.getMessage)
+  }
+
+  test("media dedup rewrites near-dup media_refs in place, spans otherwise untouched") {
+    import graft.model.{Doc, Span}
+    val docs = Seq(
+      Doc("d1", Seq(Span("text", "hello world", null, 0),
+        Span("media", null, "img_dup", 1), Span("text", "tail", null, 2))),
+      Doc("d2", Seq(Span("media", null, "img_canon", 0),
+        Span("media", null, "img_other", 1))),
+      Doc("d3", Seq(Span("text", "no media here", null, 0)))).toDF()
+    val mapping = Seq(("img_dup", "img_canon")).toDF("media_ref", "canon_ref")
+    val out = RunPipeline.rewriteMediaRefs(docs, "spans", mapping)
+      .as[Doc].collect().map(d => d.doc_id -> d.spans).toMap
+    assert(out("d1") == Seq(Span("text", "hello world", null, 0),
+      Span("media", null, "img_canon", 1), Span("text", "tail", null, 2)))
+    assert(out("d2") == Seq(Span("media", null, "img_canon", 0),
+      Span("media", null, "img_other", 1)), "unmapped refs pass through")
+    assert(out("d3") == Seq(Span("text", "no media here", null, 0)))
+
+    // end-to-end: the flag runs green on the synthetic corpus (whose
+    // deterministic media payloads are ref-derived, so distinct refs never
+    // collide — the rewrite is the identity there) and lands in the lineage
+    val base = java.nio.file.Files.createTempDirectory("runpipeline_media").toString
+    graft.gen.DocGen.docs(spark, 40).toDF().write.parquet(s"$base/in")
+    val json = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "media-dedup" -> "dhash:4", "buckets" -> "2", "group-size" -> "2"))
+    assert(json.contains(""""cer":0.0000"""), json)
+    val inSpans = spark.read.parquet(s"$base/in").as[Doc].collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    val outSpans = spark.read.parquet(s"$base/out").as[Doc].collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    assert(outSpans == inSpans, "identity rewrite on the collision-free synth corpus")
+    intercept[IllegalArgumentException] {
+      RunPipeline.run(spark, Map(
+        "input" -> s"$base/in", "output" -> s"$base/out2", "corrector" -> "null",
+        "media-dedup" -> "phash", "buckets" -> "2", "group-size" -> "2"))
+    }
   }
 
   test("--decontam spec parse: n bounded to 1..100, URI ports stay in the path") {

@@ -12,6 +12,21 @@ import graft.model.{Doc, Span}
   * the surviving doc id and how many duplicates it has absorbed so far. */
 case class FpDedupState(keep_id: String, n_dups: Long)
 
+/** One stored arrival in a [[StreamingOps.simHashDupVerdicts]] band-bucket
+  * state: the full 32-bit signature, the doc id, and the event time (ms). */
+case class SimBandEntry(sig: Long, doc_id: String, ts: Long)
+
+/** Band-bucket state of [[StreamingOps.simHashDupVerdicts]]: every
+  * in-horizon arrival whose signature hashed into this (band, band_key)
+  * bucket. */
+case class SimBandState(entries: Seq[SimBandEntry])
+
+/** Duplicate verdict from [[StreamingOps.simHashDupVerdicts]]: `doc_id` is
+  * within `hamming` ≤ maxHamming of the earlier in-horizon doc `dup_of`;
+  * `band` is the agreeing signature band that surfaced the match (a doc can
+  * be flagged by several bands — consumers drop on DISTINCT doc_id). */
+case class SimDupVerdict(doc_id: String, dup_of: String, band: Int, hamming: Int)
+
 /** Output row of [[StreamingOps.dedupStreamWithCounts]]: `event = "keep"`
   * emits the survivor the moment its fingerprint first appears (n_dups 0 at
   * that point); `event = "final"` is the accounting record emitted when the
@@ -147,6 +162,100 @@ object StreamingOps {
           // timeout = last event seen + gap; EventTimeTimeout fires once the
           // WATERMARK passes it, so eviction is replay-deterministic
           state.setTimeoutTimestamp(batch.last._2.getTime + gapMs)
+          out.result().iterator
+        }
+    }
+  }
+
+  /**
+   * Streaming NEAR-duplicate detection — the SimHash-banded sibling of
+   * [[dedupStreamWithCounts]], closing the batch/streaming gap for the
+   * near-dup family (the exact-fingerprint operators cannot see a lightly
+   * edited repost). Emits a [[SimDupVerdict]] for every arriving doc whose
+   * 32-bit SimHash is within `maxHamming` of ANY earlier doc still inside
+   * the watermark horizon; survivors produce no verdict and flow on in the
+   * source stream untouched (drop = anti-join / filter on the verdict
+   * stream's distinct doc_ids, e.g. in foreachBatch).
+   *
+   * Mechanism: the signature splits into `maxHamming + 1` contiguous bands
+   * (the pigeonhole rule of the batch path, [[graft.dedup.Dedup.simHashBands]]);
+   * the stream is keyed by (band, band_key) and each group's state stores
+   * every in-horizon arrival that hashed into that bucket. Two signatures
+   * within Hamming d agree on at least one whole band, so the banded check
+   * is a COMPLETE detector — every true near-dup lands in some bucket
+   * already holding its partner, where the exact `bitCount(xor)` verify
+   * runs against bucket-local entries only (the LSH candidate/verify split,
+   * in streaming form). Detection is therefore TRANSITIVE in arrival order:
+   * duplicates are stored too, so a chain A≈B≈C collapses onto A even when
+   * A and C exceed the threshold — the greedy streaming analog of the batch
+   * CC clustering, with first-arrival (not component-min) survivors; batch
+   * [[graft.dedup.Dedup.dedupNearSimHash]] survivors are a SUBSET of the
+   * streaming survivors (a late bridge doc can merge two streaming-era
+   * clusters that batch sees whole — spec-asserted).
+   *
+   * State stays bounded by the watermark horizon: each bucket registers an
+   * event-time timeout at its oldest entry's expiry; firings evict expired
+   * entries and re-arm until the bucket drains. Per-bucket verdicts are
+   * deterministic under replay (micro-batch rows processed in (ts, id)
+   * order; `dup_of` is the (ts, id)-earliest matching entry). Scale shape:
+   * state is (maxHamming + 1) rows of (8-byte sig, id, ts) per in-horizon
+   * doc, sharded by band key — the same shuffle key as the batch candidate
+   * join; full texts never enter state.
+   */
+  def simHashDupVerdicts(docs: DataFrame, tsCol: String, textCol: String,
+                         idCol: String, maxHamming: Int = 3,
+                         watermark: String = "10 minutes",
+                         gapMs: Long = 10 * 60 * 1000L): Dataset[SimDupVerdict] = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    org.apache.spark.sql.graft.SimHashSigExpr.register(spark)
+    val nBands = maxHamming + 1
+    val bandKeys = (0 until nBands).map { b =>
+      val lo = b * 32 / nBands
+      val hi = (b + 1) * 32 / nBands
+      shiftright(col("__sig"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1L))
+    }
+    val banded = docs
+      .withColumn("__sig", call_function("simhash_sig", col(textCol)))
+      .select(col(idCol).cast("string").as("__id"),
+        col(tsCol).cast("timestamp").as("__ts"), col("__sig"),
+        posexplode(array(bandKeys: _*)).as(Seq("__band", "__key")))
+      // watermark AFTER the projection (the dedupStreamWithCounts note):
+      // event-time timeout needs the marker on its direct input
+      .withWatermark("__ts", watermark)
+      .as[(String, Timestamp, Long, Int, Long)]
+      .groupByKey(r => (r._4, r._5)) // (band, band_key)
+    banded.flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (key: (Int, Long), rows: Iterator[(String, Timestamp, Long, Int, Long)],
+       state: GroupState[SimBandState]) =>
+        def arm(entries: Seq[SimBandEntry]): Unit = {
+          state.update(SimBandState(entries))
+          // fire when the OLDEST entry leaves the horizon; EventTimeTimeout
+          // compares against the watermark, so eviction is replay-exact
+          state.setTimeoutTimestamp(entries.map(_.ts).min + gapMs)
+        }
+        if (state.hasTimedOut) {
+          val wm = state.getCurrentWatermarkMs()
+          val live = state.get.entries.filter(_.ts + gapMs > wm)
+          if (live.isEmpty) state.remove() else arm(live)
+          Iterator.empty
+        } else {
+          var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[SimDupVerdict]
+          rows.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach {
+            case (id, ts, sig, band, _) =>
+              val hits = entries.filter(e => e.doc_id != id &&
+                java.lang.Long.bitCount(e.sig ^ sig) <= maxHamming)
+              if (hits.nonEmpty) {
+                val first = hits.minBy(e => (e.ts, e.doc_id))
+                out += SimDupVerdict(id, first.doc_id, band,
+                  java.lang.Long.bitCount(first.sig ^ sig))
+              }
+              entries :+= SimBandEntry(sig, id, ts.getTime)
+          }
+          arm(entries)
           out.result().iterator
         }
     }

@@ -147,6 +147,88 @@ class StreamingSpec extends SparkSpec {
       "a duplicate was emitted as survivor")
   }
 
+  test("streaming SimHash near-dup verdicts: greedy-transitive, batch survivors ⊆ streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = 3
+    // case/whitespace variants share an exact signature (Hamming 0); the
+    // one-word edits land wherever SimHash puts them — the EXPECTED dup set
+    // is derived from the batch signatures with the operator's own greedy
+    // rule, so the assertion pins semantics, not fixture luck
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "THE quick  brown fox jumps over the lazy dog tonight", // sig == 1
+      3L -> "completely different content about winnowing fingerprints",
+      4L -> "the quick brown fox jumps over the lazy cat tonight", // 1-word edit of 1
+      5L -> "Completely DIFFERENT content about winnowing fingerprints", // sig == 3
+      6L -> "unrelated third topic entirely about parquet partition pruning")
+    val batchDf = texts.toDF("id", "text")
+    val sigs = graft.dedup.Dedup.simHash32Relational(batchDf, "id", "text")
+      .as[(Long, Long)].collect().toMap
+    // reference greedy rule: doc is a dup iff within d of ANY earlier doc
+    val order = texts.map(_._1)
+    val expectedDups = order.zipWithIndex.collect {
+      case (id, i) if order.take(i).exists(p =>
+        java.lang.Long.bitCount(sigs(p) ^ sigs(id)) <= d) => id.toString
+    }.toSet
+    assert(expectedDups.contains("2") && expectedDups.contains("5"),
+      s"fixture must contain sig-identical dups: $expectedDups")
+
+    val stream = MemoryStream[(Timestamp, String, Long)]
+    val df = stream.toDF().toDF("ts", "text", "id")
+    val q = StreamingOps.simHashDupVerdicts(df, "ts", "text", "id", maxHamming = d)
+      .writeStream.format("memory").queryName("simdup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two batches: state must carry across micro-batches
+      stream.addData(texts.take(3).zipWithIndex.map { case ((id, t), i) => (ts(i), t, id) })
+      q.processAllAvailable()
+      stream.addData(texts.drop(3).zipWithIndex.map { case ((id, t), i) => (ts(3 + i), t, id) })
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.table("simdup")
+      .select("doc_id", "dup_of").as[(String, String)].collect()
+    assert(verdicts.map(_._1).toSet == expectedDups, s"got ${verdicts.toSeq}")
+    // dup_of must be an earlier, non-flagged-first arrival within d
+    verdicts.foreach { case (dup, of) =>
+      assert(java.lang.Long.bitCount(sigs(dup.toLong) ^ sigs(of.toLong)) <= d)
+      assert(order.indexOf(of.toLong) < order.indexOf(dup.toLong))
+    }
+    // batch near-dup survivors are a subset of streaming survivors
+    val batchSurvivors = graft.dedup.Dedup.dedupNearSimHash(batchDf, d, "id", "text")
+      .select("id").as[Long].collect().map(_.toString).toSet
+    val streamSurvivors = order.map(_.toString).toSet -- expectedDups
+    assert(batchSurvivors.subsetOf(streamSurvivors),
+      s"batch $batchSurvivors vs stream $streamSurvivors")
+  }
+
+  test("SimHash near-dup state is evicted past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Long)]
+    val df = stream.toDF().toDF("ts", "text", "id")
+    val q = StreamingOps.simHashDupVerdicts(df, "ts", "text", "id", maxHamming = 3,
+      watermark = "10 minutes", gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("simdup_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq((ts(0), "same text appearing twice in this stream", 1L)))
+      q.processAllAvailable()
+      // advance event time far past the horizon → bucket states evict
+      stream.addData(Seq((Timestamp.valueOf("2026-01-01 12:00:00"), "watermark mover", 2L)))
+      q.processAllAvailable()
+      // the same text hours later: its twin was evicted → NOT flagged
+      stream.addData(Seq((Timestamp.valueOf("2026-01-01 12:01:00"),
+        "same  TEXT appearing twice in this stream", 3L)))
+      q.processAllAvailable()
+      // but an in-horizon copy right after IS flagged, against doc 3
+      stream.addData(Seq((Timestamp.valueOf("2026-01-01 12:02:00"),
+        "same text appearing twice in this stream", 4L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.table("simdup_evict")
+      .select("doc_id", "dup_of").as[(String, String)].collect().toSet
+    assert(verdicts == Set(("4", "3")), s"got $verdicts")
+  }
+
   test("watermarked session windows close after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Double)]

@@ -30,9 +30,16 @@ object Bench {
     "q_window_events", "q_sessionize", "q_decode_stop",
     "q_dedup_cc", "q_tfidf", "q_bm25", "q_repetition", "q_winnow",
     "q_corpus_rollup", "q_winnow_pairs", "q_len_quantiles",
-    "q_bm25_doc", "q_quality_gate", "q_bigrams", "q_sample_strat", "q_profile",
-    "q_shared_substrings", "q_dup_intervals", "q_lm_score", "q_decontam",
-    "q_pii_scrub", "q_source_quota", "q_seq_pack")
+    "q_bm25_doc", "q_quality_gate", "q_bigrams", "q_sample_strat", "q_profile")
+
+  /** The join/window-heavy tail runs in a FRESH session: in BENCH_r04 these
+    * queries drifted 3–6× inside the long shared session (AQE flipping join
+    * strategies under accumulated heap pressure) while early queries drifted
+    * ~1.3×; a clean heap + a System.gc() per query keeps their plans on the
+    * broadcast path they get in isolation. */
+  private val headlineHeavy = Seq(
+    "q_shared_substrings", "q_dup_intervals", "q_substr_cut", "q_lm_score",
+    "q_decontam", "q_pii_scrub", "q_source_quota", "q_seq_pack")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -107,7 +114,10 @@ object Bench {
     // still emitted as `eff_best_pair` (the quietest-window secondary stat),
     // and all raw rep times and per-pair efficiencies are emitted so the
     // artifact shows the noise distribution, not just the chosen window.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // 5 reps (round-4 verdict task 7): BENCH_r04's median-of-3 sat 0.019
+    // above the 0.8 gate with one 0.694 contended pair in the record —
+    // median-of-5 is robust to TWO bad pairs at ~4 extra minutes
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     def onePass(cores: Int): (Long, Double, Double, Double) = {
       System.gc() // don't let the previous pass's garbage tax this one
       val s = session(cores)
@@ -129,17 +139,24 @@ object Bench {
     val ((spansN, secN, _, _), (spans4, sec4, cer, pct)) =
       pairs(effPairs.indexOf(medianEff))
 
-    // --- headline queries at full width ---
-    val sQ = session(cpus)
-    val queryTimes = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val (_, sec) = time {
-          fn(sQ, sfDir).write.mode("overwrite").format("noop").save()
+    // --- headline queries at full width; the heavy tail in its own fresh
+    // session, one System.gc() per query (see headlineHeavy) ---
+    def runGroup(names: Seq[String]): Seq[(String, Double)] = {
+      val sQ = session(cpus)
+      try names.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          System.gc()
+          val (_, sec) = time {
+            fn(sQ, sfDir).write.mode("overwrite").format("noop").save()
+          }
+          name -> sec
         }
-        name -> sec
+      } finally {
+        sQ.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       }
     }
-    sQ.stop()
+    val queryTimes = runGroup(headline) ++ runGroup(headlineHeavy)
 
     val thrN = spansN / secN
     val thr4 = spans4 / sec4

@@ -460,6 +460,16 @@ object SparkEntry {
       graft.textanalysis.SubstringDup.duplicateRunIntervals(
         tbl(s, dir, "documents"), minLen = 25, k = 8, maxDocFreq = 64L)),
 
+    // the cut APPLIED end-to-end (Lee et al.'s dedup step as a contract
+    // query): every doc's normalized text with its duplicate runs removed —
+    // docs with nothing to cut pass through as their normalized text; the
+    // oracle rebuilds the kept segments between merged intervals and
+    // hash-compares the full output strings
+    "q_substr_cut" -> ((s, dir) =>
+      graft.textanalysis.SubstringDup.removeDuplicateRuns(
+        tbl(s, dir, "documents"), minLen = 25, k = 8, maxDocFreq = 64L)
+        .select(col("doc_id"), col("deduped_text"))),
+
     // Gopher-style repetition/boilerplate signals via the native one-pass
     // kernel (scan-side narrow; relational restatement equivalence-tested)
     // text coalesced to '' so a NULL row matches the oracle's LEFT-JOIN
@@ -1052,6 +1062,38 @@ object SparkEntry {
                    FROM brk)
            SELECT doc_id, CAST(min(s) AS BIGINT) AS start_pos, CAST(max(e) AS BIGINT) AS end_pos
            FROM grp GROUP BY doc_id, g""",
+
+      // the applied cut: kept segments between merged removal intervals
+      // (lag(end) → next start, plus the tail), string_agg'd in position
+      // order; docs without intervals pass through as normalized text
+      "q_substr_cut" ->
+        raw"""$substrRunCtes,
+           iv AS (SELECT DISTINCT doc_b AS doc_id, pb_start AS s, pb_start + run_chars AS e
+                  FROM runs WHERE run_chars >= 25),
+           cmv AS (SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+                   FROM iv),
+           brk AS (SELECT doc_id, s, e,
+                     CASE WHEN cm IS NULL OR s > cm THEN 1 ELSE 0 END AS b FROM cmv),
+           grp AS (SELECT doc_id, s, e,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS g
+                   FROM brk),
+           merged AS (SELECT doc_id, CAST(min(s) AS BIGINT) AS sp, CAST(max(e) AS BIGINT) AS ep
+                      FROM grp GROUP BY doc_id, g),
+           segs AS (SELECT doc_id,
+                      COALESCE(lag(ep) OVER (PARTITION BY doc_id ORDER BY sp), 1) AS s0,
+                      sp AS e0
+                    FROM merged
+                    UNION ALL
+                    SELECT doc_id, max(ep) AS s0, NULL AS e0 FROM merged GROUP BY doc_id),
+           cut AS (SELECT s.doc_id,
+                     string_agg(substr(n.nt, CAST(s.s0 AS INT),
+                       CAST(COALESCE(s.e0, length(n.nt) + 1) - s.s0 AS INT)), '' ORDER BY s.s0)
+                       AS deduped
+                   FROM segs s JOIN nt n USING (doc_id) GROUP BY 1)
+           SELECT n.doc_id, COALESCE(c.deduped, n.nt) AS deduped_text
+           FROM nt n LEFT JOIN cut c USING (doc_id)""",
 
       // global running sum restated directly (the two-phase Spark form is
       // window-identical by construction); same canonical token count

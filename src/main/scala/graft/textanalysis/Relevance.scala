@@ -69,6 +69,11 @@ object Relevance {
    */
   def tfIdf(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
+    // tf feeds both the output rows and the df aggregation, so the
+    // scan→explode→agg chain executes twice; a lazy localCheckpoint of tf
+    // was MEASURED NEUTRAL at sf0.1 (1.21 s vs 1.10 s best-warm — the
+    // narrow codegen'd rebuild is cheaper than materializing the rows), so
+    // recompute stays, same verdict as the SubstringDup kg probe
     val tf = termFrequencies(docs, idCol, textCol)
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // docs-with-tokens count via the narrow length projection — not a

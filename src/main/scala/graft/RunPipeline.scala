@@ -47,12 +47,18 @@ import graft.pipeline.CheckpointedRun
  *   [--pii-scrub true]             # redact emails/IPv4/intl phones in TEXT spans with
  *                                  #   typed placeholders (Pii.redact) before correction;
  *                                  #   media spans untouched
- *   [--media-dedup dhash[:d]]      # perceptual image dedup across MEDIA spans:
- *                                  #   dHash-identical and Hamming<=d (default 6) near-dup
- *                                  #   images collapse to one canonical ref per cluster
- *                                  #   (component min); media_refs are rewritten in place,
- *                                  #   span order/kinds/text untouched — the modality the
- *                                  #   text dedup family cannot see
+ *   [--media-dedup dhash[:d]+ahash[:d]+vhash[:d]]
+ *                                  # perceptual dedup across MEDIA spans, per modality:
+ *                                  #   dhash = images (9x8 difference hash, default d 6),
+ *                                  #   ahash = audio (energy-envelope hash over the PCM
+ *                                  #   decode, default d 8), vhash = video (composited
+ *                                  #   per-frame dHash over animated GIF, default d 6,
+ *                                  #   frame-set overlap >= 0.8); hash-identical and
+ *                                  #   Hamming<=d near-dup payloads collapse to one
+ *                                  #   canonical ref per cluster (component min);
+ *                                  #   media_refs are rewritten in place, span order/
+ *                                  #   kinds/text untouched — the modalities the text
+ *                                  #   dedup family cannot see
  *   [--input-format parquet|orc]   # input + clean table format (CorpusIO.readDocs:
  *                                  #   asserts the (doc_id, spans) contract on scan)
  *   [--run-id run1] [--spans-col spans] [--clean-spans-col spans]
@@ -196,28 +202,38 @@ object RunPipeline {
       .drop("__txt", "__n")
   }
 
-  /** Perceptual image dedup over the docs table's MEDIA spans:
-    * `--media-dedup dhash[:maxHamming]`. Builds the media blob table for the
-    * distinct refs, computes the per-ref canonical map
-    * ([[graft.multimodal.Multimodal.imageCanonMap]]: one decode pass to
-    * (ref, 8-byte dHash), exact-hash collapse, Hamming-banded near-dup
-    * graph, component-min canon), and rewrites `media_ref`s IN PLACE — docs
-    * stay un-exploded. The only doc-keyed work is joining back the per-doc
-    * remap maps, which exist ONLY for docs referencing a duplicate image (a
-    * tiny fraction; AQE broadcasts when small), then a narrow span-array
-    * transform; text spans and span order are untouched, preserving the
-    * passthrough discipline of the text dedup family. */
+  /** Perceptual media dedup over the docs table's MEDIA spans:
+    * `--media-dedup <mode[:d]>[+<mode[:d]>...]` with modes `dhash` (images,
+    * 9×8 difference hash, default d 6), `ahash` (audio, 65-window energy-
+    * envelope hash over the PCM decode, default d 8) and `vhash` (video,
+    * composited per-frame dHash over animated GIF, default d 6, frame-set
+    * overlap ≥ 0.8). Builds the media blob table for the distinct refs ONCE,
+    * computes each selected modality's canonical map
+    * ([[graft.multimodal.Multimodal.mediaCanonMap]]: one decode pass per
+    * payload to ≤ 8 bytes×frames of hashes, exact collapse, Hamming-banded
+    * near-dup graph, component-min canon; refs are disjoint across
+    * modalities so the union is conflict-free), and rewrites `media_ref`s
+    * IN PLACE — docs stay un-exploded. The only doc-keyed work is joining
+    * back the per-doc remap maps, which exist ONLY for docs referencing a
+    * duplicate payload (a tiny fraction; AQE broadcasts when small), then a
+    * narrow span-array transform; text spans and span order are untouched,
+    * preserving the passthrough discipline of the text dedup family. */
   private def mediaDedupDocs(docs: org.apache.spark.sql.DataFrame,
                              spansCol: String, spec: String): org.apache.spark.sql.DataFrame = {
-    val maxHamming = spec.split(":", 2) match {
-      case Array(mode, v) => require(mode == "dhash",
-        s"unknown --media-dedup $mode (dhash[:maxHamming])"); v.toInt
-      case Array(mode) => require(mode == "dhash",
-        s"unknown --media-dedup $mode (dhash[:maxHamming])"); 6
-    }
+    val usage = "dhash[:d]+ahash[:d]+vhash[:d]"
+    val byMode = spec.split("\\+").map { part =>
+      part.split(":", 2) match {
+        case Array(mode, v) => mode -> v.toInt
+        case Array(mode)    => mode -> (if (mode == "ahash") 8 else 6)
+      }
+    }.toMap
+    val unknown = byMode.keySet -- Set("dhash", "ahash", "vhash")
+    require(unknown.isEmpty, s"unknown --media-dedup mode(s) $unknown ($usage)")
     import graft.multimodal.Multimodal
-    val mapping = Multimodal.imageCanonMap(
-      Multimodal.mediaTable(docs, spansCol), maxHamming)
+    val mapping = Multimodal.mediaCanonMap(Multimodal.mediaTable(docs, spansCol),
+      imageHamming = byMode.get("dhash"),
+      audioHamming = byMode.get("ahash"),
+      videoHamming = byMode.get("vhash"))
     rewriteMediaRefs(docs, spansCol, mapping)
   }
 

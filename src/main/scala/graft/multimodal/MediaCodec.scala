@@ -55,7 +55,15 @@ object MediaCodec extends Serializable {
       val b = blob.bytes
       if (isPpm(b)) decodePpm(blob)
       else if (isWav(b)) decodeWav(blob)
-      else if (isJpeg(b) || isPng(b) || isGif(b) || isBmp(b)) decodeImageIo(blob)
+      else if (isGif(b)) {
+        // animated GIF = the one video-like container the JDK decodes:
+        // frame-0 features, but the envelope reports the real frame count
+        // and the video kind so frame sampling downstream sees it
+        val f = decodeImageIo(blob)
+        val n = gifFrameCount(blob).getOrElse(1)
+        if (n > 1) f.copy(media_kind = "video", n_frames = n) else f
+      }
+      else if (isJpeg(b) || isPng(b) || isBmp(b)) decodeImageIo(blob)
       else Multimodal.StubCodec.decode(blob)
     } catch {
       case scala.util.control.NonFatal(_) => Multimodal.StubCodec.decode(blob)
@@ -263,7 +271,16 @@ object MediaCodec extends Serializable {
     * contract as [[decode]]). */
   def dHash64(blob: MediaBlob): Option[Long] = {
     if (isPpm(blob.bytes)) scala.util.Try(dHashPpm(blob)).toOption
-    else if (isJpeg(blob.bytes) || isPng(blob.bytes) || isGif(blob.bytes) || isBmp(blob.bytes))
+    else if (isGif(blob.bytes))
+      // single-frame GIFs are still images; ANIMATED GIFs are video
+      // territory ([[gifFrameDHashes]]) — hashing their frame 0 here would
+      // cross-match a clip against a still of its opening frame, welding
+      // the image and video dedup graphs together
+      scala.util.Try {
+        require(gifFrameCount(blob).contains(1), "animated GIF is not a still image")
+        dHashImageIo(blob)
+      }.toOption
+    else if (isJpeg(blob.bytes) || isPng(blob.bytes) || isBmp(blob.bytes))
       scala.util.Try(dHashImageIo(blob)).toOption
     else None
   }
@@ -329,6 +346,297 @@ object MediaCodec extends Serializable {
         })
       } finally reader.dispose()
     } finally in.close()
+  }
+
+  // ---- perceptual hash (audio near-dup) ----
+
+  /** 64-bit audio energy-envelope hash (the WAV sibling of [[dHash64]]):
+    * split channel-0 frames into 65 equal time windows, emit one bit per
+    * consecutive-window energy gradient (window > next window). Invariant
+    * to uniform GAIN (scaling every sample scales every window energy by
+    * the same factor — gradient signs survive exactly) and NEAR-invariant
+    * to RESAMPLING (windows are fractions of total duration, so a
+    * rate-converted copy lands the same envelope in the same windows; only
+    * near-tie windows at envelope peaks can flip, keeping the copy within
+    * the near-dup Hamming threshold rather than bit-identical); NOT
+    * invariant to trims/offsets or
+    * reversal — alignment-shifted copies are embedding-ANN territory, the
+    * same scoping call as dHash vs crops. PCM WAV payloads only; `None`
+    * for images/video/undecodable or malformed payloads (the [[decode]]
+    * never-kill-a-task contract). */
+  def aHash64(blob: MediaBlob): Option[Long] =
+    if (isWav(blob.bytes)) scala.util.Try(aHashWav(blob)).toOption else None
+
+  private def aHashWav(blob: MediaBlob): Long = {
+    val b = blob.bytes
+    var i = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val sz = le32(b, i + 4)
+      require(sz >= 0, "negative chunk size")
+      if (id == "fmt ") {
+        require(i + 8 + 16 <= b.length, "truncated fmt chunk")
+        require(le16(b, i + 8) == 1, "not PCM")
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (id == "data") { dataOff = i + 8; dataLen = math.min(sz, b.length - dataOff) }
+      val next = i.toLong + 8L + sz.toLong + (sz & 1)
+      if (next > b.length) i = b.length else i = next.toInt
+    }
+    require(sampleRate > 0 && channels > 0 && bits == 16 && dataOff >= 0, "unsupported WAV")
+    val nFrames = dataLen / 2 / channels
+    require(nFrames >= 65, "too short for a 65-window envelope")
+    // deterministic frame stride budget — O(1) work per payload like the
+    // image kernels (a 2-hour WAV must not cost 300M sample reads)
+    val step = math.max(1, nFrames / SamplePixelBudget)
+    val energy = new Array[Double](65)
+    var f = 0
+    while (f < nFrames) {
+      val v = le16(b, dataOff + f * channels * 2).toShort.toInt / 32768.0
+      energy((f.toLong * 65 / nFrames).toInt) += v * v
+      f += step
+    }
+    var bitsOut = 0L
+    var w = 0
+    while (w < 64) {
+      if (energy(w) > energy(w + 1)) bitsOut |= (1L << w)
+      w += 1
+    }
+    bitsOut
+  }
+
+  // ---- animated GIF (the one VIDEO-like container the JDK decodes) ----
+
+  /** Frame-count decode cap: compositing walks every frame up to the last
+    * sampled index, so a crafted million-frame GIF must be rejected before
+    * the walk (canvas pixels are already bounded by [[MaxImagePixels]]). */
+  private val MaxGifFrames = 256
+
+  /** Per-frame 64-bit dHashes of an animated GIF, COMPOSITED: each frame is
+    * drawn onto a persistent canvas at its declared (left, top) offset —
+    * animated GIFs routinely store delta patches, so hashing raw rasters
+    * would fingerprint the patches, not the frames a viewer sees. Honors
+    * the two common disposal methods (`none`/`doNotDispose` accumulate;
+    * `restoreToBackgroundColor` clears the frame's rect after it is
+    * sampled). At most `maxFrames` evenly-spaced frames are hashed (the
+    * frame-sample step of a video pipeline), but every frame up to the last
+    * sampled one is composited — delta correctness over sampling speed.
+    * `None` for non-GIF/undecodable/oversized payloads. Single-frame GIFs
+    * return one hash, equal to [[dHash64]]'s (same grid fold). */
+  def gifFrameDHashes(blob: MediaBlob, maxFrames: Int = 8): Option[Array[Long]] =
+    if (isGif(blob.bytes)) scala.util.Try(gifFrameDHashesImpl(blob, maxFrames)).toOption
+    else None
+
+  /** Declared frame count of an animated GIF (`None` for non-GIF/corrupt). */
+  def gifFrameCount(blob: MediaBlob): Option[Int] =
+    if (isGif(blob.bytes))
+      scala.util.Try {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(blob.bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          require(readers.hasNext, "no GIF reader")
+          val reader = readers.next()
+          try { reader.setInput(in, false, true); reader.getNumImages(true) }
+          finally reader.dispose()
+        } finally in.close()
+      }.toOption
+    else None
+
+  private def gifFrameDHashesImpl(blob: MediaBlob, maxFrames: Int): Array[Long] = {
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(blob.bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      require(readers.hasNext, "no GIF reader")
+      val reader = readers.next()
+      try {
+        reader.setInput(in, false, true) // seekable: metadata + indexed reads
+        val n = reader.getNumImages(true)
+        require(n >= 1 && n <= MaxGifFrames, s"GIF frame count out of bounds: $n")
+        // canvas dims from the stream's logical screen descriptor; fall back
+        // to frame 0's dims when the writer omitted them
+        val sm = reader.getStreamMetadata
+        var (cw, ch) = (0, 0)
+        if (sm != null) {
+          val tree = sm.getAsTree("javax_imageio_gif_stream_1.0")
+          val kids = tree.getChildNodes
+          var i = 0
+          while (i < kids.getLength) {
+            val node = kids.item(i)
+            if (node.getNodeName == "LogicalScreenDescriptor") {
+              val at = node.getAttributes
+              cw = at.getNamedItem("logicalScreenWidth").getNodeValue.toInt
+              ch = at.getNamedItem("logicalScreenHeight").getNodeValue.toInt
+            }
+            i += 1
+          }
+        }
+        if (cw <= 0 || ch <= 0) { cw = reader.getWidth(0); ch = reader.getHeight(0) }
+        require(cw > 0 && ch > 0 && cw.toLong * ch <= MaxImagePixels, "GIF dims out of bounds")
+        val sampled = (0 until math.min(maxFrames, n))
+          .map(i => if (n <= maxFrames) i else i * (n - 1) / (maxFrames - 1).max(1))
+          .distinct
+        val canvas = new java.awt.image.BufferedImage(
+          cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        try {
+          val out = new Array[Long](sampled.length)
+          var outIdx = 0
+          var f = 0
+          while (f <= sampled.last) {
+            val frame = reader.read(f)
+            var (left, top, disposal) = (0, 0, "none")
+            val md = reader.getImageMetadata(f)
+            if (md != null) {
+              val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+              val kids = tree.getChildNodes
+              var i = 0
+              while (i < kids.getLength) {
+                val node = kids.item(i)
+                if (node.getNodeName == "ImageDescriptor") {
+                  val at = node.getAttributes
+                  left = at.getNamedItem("imageLeftPosition").getNodeValue.toInt
+                  top = at.getNamedItem("imageTopPosition").getNodeValue.toInt
+                } else if (node.getNodeName == "GraphicControlExtension") {
+                  disposal = node.getAttributes.getNamedItem("disposalMethod").getNodeValue
+                }
+                i += 1
+              }
+            }
+            g.drawImage(frame, left, top, null)
+            if (f == sampled(outIdx)) {
+              out(outIdx) = dHashFromLum(cw, ch, (x, y) => {
+                val argb = canvas.getRGB(x, y)
+                0.299 * ((argb >> 16) & 0xFF) + 0.587 * ((argb >> 8) & 0xFF) + 0.114 * (argb & 0xFF)
+              })
+              outIdx += 1
+            }
+            if (disposal == "restoreToBackgroundColor") {
+              val old = g.getColor
+              g.setColor(java.awt.Color.BLACK)
+              g.fillRect(left, top, frame.getWidth, frame.getHeight)
+              g.setColor(old)
+            }
+            f += 1
+          }
+          out
+        } finally g.dispose()
+      } finally reader.dispose()
+    } finally in.close()
+  }
+
+  /** One frame of [[encodeGifAnim]]: a grayscale patch drawn at (left, top);
+    * `disposal` is a GIF disposal method name (`doNotDispose` accumulates,
+    * `restoreToBackgroundColor` clears the rect after display). */
+  final case class GifFrame(left: Int, top: Int, w: Int, h: Int,
+                            gray: Array[Byte], disposal: String = "doNotDispose")
+
+  /** Minimal deterministic animated-GIF encoder (JDK ImageIO writer, 256-
+    * gray palette — the synthesis side of the frame-hash round-trip tests
+    * and the generator's video payloads). Frames may be delta patches with
+    * offsets and disposal methods, exercising the compositing decode. */
+  def encodeGifAnim(canvasW: Int, canvasH: Int, frames: Seq[GifFrame]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val grayPalette = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grayPalette, grayPalette, grayPalette)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no GIF writer")
+    val writer = writers.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      // explicit stream metadata: logical screen dims + a 256-gray GLOBAL
+      // color table. With null stream metadata the JDK writer emits no
+      // color table at all and readers substitute the web-safe default —
+      // every gray value silently becomes a web-palette color (index 7
+      // read back as 0x003333), corrupting round-trips
+      val smd = writer.getDefaultStreamMetadata(null)
+      val sfmt = "javax_imageio_gif_stream_1.0"
+      val stree = new javax.imageio.metadata.IIOMetadataNode(sfmt)
+      val ver = new javax.imageio.metadata.IIOMetadataNode("Version")
+      ver.setAttribute("value", "89a")
+      val lsd = new javax.imageio.metadata.IIOMetadataNode("LogicalScreenDescriptor")
+      lsd.setAttribute("logicalScreenWidth", canvasW.toString)
+      lsd.setAttribute("logicalScreenHeight", canvasH.toString)
+      lsd.setAttribute("colorResolution", "8")
+      lsd.setAttribute("pixelAspectRatio", "0")
+      val gct = new javax.imageio.metadata.IIOMetadataNode("GlobalColorTable")
+      gct.setAttribute("sizeOfGlobalColorTable", "256")
+      gct.setAttribute("backgroundColorIndex", "0")
+      gct.setAttribute("sortFlag", "FALSE")
+      var ci = 0
+      while (ci < 256) {
+        val e = new javax.imageio.metadata.IIOMetadataNode("ColorTableEntry")
+        e.setAttribute("index", ci.toString)
+        e.setAttribute("red", ci.toString)
+        e.setAttribute("green", ci.toString)
+        e.setAttribute("blue", ci.toString)
+        gct.appendChild(e)
+        ci += 1
+      }
+      stree.appendChild(ver); stree.appendChild(lsd); stree.appendChild(gct)
+      smd.setFromTree(sfmt, stree)
+      writer.prepareWriteSequence(smd)
+      frames.foreach { fr =>
+        require(fr.gray.length == fr.w * fr.h, "pixel buffer size mismatch")
+        val img = new java.awt.image.BufferedImage(
+          fr.w, fr.h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        img.getRaster.setDataElements(0, 0, fr.w, fr.h, fr.gray)
+        val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+        val md = writer.getDefaultImageMetadata(spec, null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val kids = tree.getChildNodes
+        var gceNode: javax.imageio.metadata.IIOMetadataNode = null
+        var afterGce: org.w3c.dom.Node = null // first node GCE must precede (DTD order)
+        var lct: org.w3c.dom.Node = null
+        var i = 0
+        while (i < kids.getLength) {
+          val node = kids.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          node.getNodeName match {
+            case "ImageDescriptor" =>
+              node.setAttribute("imageLeftPosition", fr.left.toString)
+              node.setAttribute("imageTopPosition", fr.top.toString)
+              node.setAttribute("interlaceFlag", "FALSE")
+            case "LocalColorTable" => lct = node
+            case "GraphicControlExtension" => gceNode = node
+            case _ if afterGce == null => afterGce = node
+            case _ =>
+          }
+          i += 1
+        }
+        // the writer's default image metadata smuggles in a WEB-SAFE local
+        // color table (overriding the gray global one: index 7 would read
+        // back 0x003333) — drop it so the stream's table applies
+        if (lct != null) tree.removeChild(lct)
+        // DTD child order is ImageDescriptor, LocalColorTable, GCE, ...: a
+        // misplaced GraphicControlExtension is silently DROPPED by the
+        // writer (disposal reads back "none"), so insert at the right slot
+        if (gceNode == null) {
+          gceNode = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+          if (afterGce == null) tree.appendChild(gceNode)
+          else tree.insertBefore(gceNode, afterGce)
+        }
+        gceNode.setAttribute("disposalMethod", fr.disposal)
+        gceNode.setAttribute("userInputFlag", "FALSE")
+        gceNode.setAttribute("transparentColorFlag", "FALSE")
+        gceNode.setAttribute("delayTime", "10")
+        gceNode.setAttribute("transparentColorIndex", "0")
+        md.setFromTree(fmt, tree)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      out.close()
+    }
+    bos.toByteArray
   }
 
   /** Minimal deterministic PCM16 mono WAV encoder. */

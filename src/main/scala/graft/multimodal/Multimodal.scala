@@ -8,13 +8,13 @@ import graft.gen.DetRng
  * Multimodal column handling: image/audio/video payloads as opaque `binary`
  * columns with typed metadata, processed by batched `mapPartitions` kernels.
  *
- * Decode is REAL for container-free formats — [[MediaCodec]] sniffs the
- * payload's magic bytes and parses P6 PPM images and RIFF/PCM WAV audio from
- * scratch (dimensions, channel statistics, amplitude features; no external
- * libraries). Compressed formats (JPEG/MP4/...) fall back to the
- * deterministic [[StubCodec]] — this container has no codec libraries; a
- * real deployment adds cases to `MediaCodec.decode` and nothing in the
- * dataflow changes.
+ * Decode is REAL for every format the JDK can parse — [[MediaCodec]] sniffs
+ * the payload's magic bytes and parses P6 PPM images and RIFF/PCM WAV audio
+ * from scratch, JPEG/PNG/BMP/GIF via `javax.imageio`, and ANIMATED GIF as a
+ * frame-addressable video container (composited delta frames, disposal
+ * methods). True video codecs (MP4/WebM/...) fall back to the deterministic
+ * [[StubCodec]] — this container has no codec libraries; a real deployment
+ * adds cases to `MediaCodec.decode` and nothing in the dataflow changes.
  *
  * Scale notes: blobs never pass through wide operators — kernels are narrow
  * mapPartitions; joining features back to documents happens on `media_ref`
@@ -68,9 +68,10 @@ object Multimodal {
   }
 
   /** Deterministic media table for the `media_ref`s appearing in a docs
-    * table: kind derived from the ref hash (images/audio/video mix). Image
-    * and audio payloads are REAL encoded files (P6 PPM / PCM WAV — parsed
-    * back by [[MediaCodec]]); video payloads are opaque bytes (stub path).
+    * table: kind derived from the ref hash (images/audio/video mix). Image,
+    * audio and 3-in-4 video payloads are REAL encoded files (P6 PPM / PCM
+    * WAV / animated GIF — parsed back by [[MediaCodec]]); the remaining
+    * videos are opaque bytes (the undecodable-container stub path).
     * Narrow — one pass over exploded spans. */
   def mediaTable(docs: DataFrame, spansCol: String = "spans"): Dataset[MediaBlob] = {
     val spark = docs.sparkSession
@@ -94,7 +95,34 @@ object Multimodal {
             MediaCodec.encodeWav(16000,
               Array.fill(n)((rng.nextInt(65536) - 32768).toShort))
           case _ =>
-            StubCodec.fakeBytes(ref, 256 + rng.nextInt(2048))
+            // 3-in-4 videos are REAL animated GIFs (deterministic moving
+            // gray gradient — parsed back frame-by-frame by MediaCodec);
+            // the rest stay opaque container bytes, keeping the documented
+            // undecodable-codec stub path exercised
+            if (rng.nextInt(4) == 0) StubCodec.fakeBytes(ref, 256 + rng.nextInt(2048))
+            else {
+              val w = 16 + rng.nextInt(17); val h = 16 + rng.nextInt(17)
+              val nFrames = 3 + rng.nextInt(4)
+              val seed = rng.nextInt(1 << 30)
+              // per-ref random BLOCK pattern on the dHash cell grid: a
+              // uniform gradient/brightness ramp would make every same-dim
+              // video perceptually identical (dHash is invariant to exactly
+              // those), silently welding all synthetic videos into one
+              // near-dup cluster
+              def cellVal(cx: Int, cy: Int, f: Int): Int = {
+                var x = seed + cx * 31 + cy * 131 + f * 7919
+                x = (x ^ (x >>> 16)) * 0x85EBCA6B
+                x = (x ^ (x >>> 13)) * 0xC2B2AE35
+                (x ^ (x >>> 16)) & 0xFF
+              }
+              val frames = (0 until nFrames).map { f =>
+                val gray = Array.tabulate(w * h) { p =>
+                  cellVal((p % w) * 9 / w, (p / w) * 8 / h, f).toByte
+                }
+                MediaCodec.GifFrame(0, 0, w, h, gray)
+              }
+              MediaCodec.encodeGifAnim(w, h, frames)
+            }
         }
         MediaBlob(ref, kind, bytes, bytes.length)
       }
@@ -147,14 +175,25 @@ object Multimodal {
   }
 
   /** [[imageNearDupPairs]] over a precomputed [[imageHashTable]]. */
-  def imageNearDupPairsFromHashes(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def imageNearDupPairsFromHashes(hashes: DataFrame, maxHamming: Int = 6): DataFrame =
+    nearDupPairsFromHashes(hashes, maxHamming)
+
+  /** Modality-generic core of the banded near-dup join: `hashes` is any
+    * `(media_ref, <hashCol>: long)` table — perceptual dHash for images,
+    * energy-envelope aHash for audio. One 64-bit hash family per call;
+    * hashes from different modalities must never cross-match, so callers
+    * run one modality at a time (refs are disjoint across modalities — a
+    * ref is one payload of one kind). */
+  def nearDupPairsFromHashes(hashes: DataFrame, maxHamming: Int = 6,
+                             hashCol: String = "dhash"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val h = if (hashCol == "dhash") hashes else hashes.withColumnRenamed(hashCol, "dhash")
     // EXACT-hash collapse before pair enumeration (the same discipline as
     // the text path's dedupExact pre-step): k byte-identical logos would
     // otherwise put k refs in every band bucket and emit k²/2 pairs. Each
     // distinct hash is represented by its min ref; `n_refs` carries the
     // collapsed duplicate mass.
-    val groups = hashes.groupBy(col("dhash"))
+    val groups = h.groupBy(col("dhash"))
       .agg(min(col("media_ref")).as("rep"), count(lit(1)).as("n_refs"))
     // balanced contiguous bit-bands (widths differ by ≤ 1), pigeonhole-
     // complete for Hamming ≤ nBands - 1 — the 64-bit sibling of
@@ -208,10 +247,16 @@ object Multimodal {
    * Scale shape: one decode pass to (ref, 8-byte hash); every later shuffle
    * carries refs/hashes only.
    */
-  def imageCanonMap(blobs: Dataset[MediaBlob], maxHamming: Int = 6): DataFrame = {
-    val hashes = imageHashTable(blobs).localCheckpoint()
+  def imageCanonMap(blobs: Dataset[MediaBlob], maxHamming: Int = 6): DataFrame =
+    canonMapFromHashes(imageHashTable(blobs).localCheckpoint(), maxHamming)
+
+  /** Modality-generic canonical-rewrite core shared by [[imageCanonMap]] and
+    * [[audioCanonMap]]: exact-hash collapse, banded near-dup graph,
+    * component-min canon. Callers pass ONE modality's `(media_ref, dhash)`
+    * table (checkpointed when the decode pass is worth running once). */
+  def canonMapFromHashes(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val groups = imageExactDupGroupsFromHashes(hashes)
-    val nearPairs = imageNearDupPairsFromHashes(hashes, maxHamming)
+    val nearPairs = nearDupPairsFromHashes(hashes, maxHamming)
       .select(col("ref_a"), col("ref_b"))
     // component roots are minima (CC roots at least(id)); rep = min of its
     // exact group, so coalesce(component, rep) is the global cluster min
@@ -221,6 +266,145 @@ object Multimodal {
       .join(comp, Seq("rep"), "left")
       .select(col("media_ref"), coalesce(col("component"), col("rep")).as("canon_ref"))
       .where(col("media_ref") =!= col("canon_ref"))
+  }
+
+  // ---- audio modality (energy-envelope aHash over the real WAV decode) ----
+
+  /** Decode-once aHash table `(media_ref, ahash)` — rows only for blobs
+    * that decode as PCM WAV (the audio sibling of [[imageHashTable]]). */
+  def audioHashTable(blobs: Dataset[MediaBlob]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap(b =>
+        MediaCodec.aHash64(b).map(h => (b.media_ref, h))))
+      .toDF("media_ref", "ahash")
+  }
+
+  /** Audio near-duplicate pairs: gain-scaled or resampled copies of the
+    * same recording land within Hamming distance d of each other's 64-bit
+    * energy-envelope hash; same banding/verify discipline as
+    * [[imageNearDupPairs]]. Output `(ref_a, ref_b, n_refs_a, n_refs_b,
+    * hamming)`, ref_a < ref_b. */
+  def audioNearDupPairs(blobs: Dataset[MediaBlob], maxHamming: Int = 8): DataFrame =
+    nearDupPairsFromHashes(audioHashTable(blobs), maxHamming, "ahash")
+
+  /** [[imageCanonMap]] for the audio modality. */
+  def audioCanonMap(blobs: Dataset[MediaBlob], maxHamming: Int = 8): DataFrame =
+    canonMapFromHashes(
+      audioHashTable(blobs).withColumnRenamed("ahash", "dhash").localCheckpoint(),
+      maxHamming)
+
+  // ---- video modality (composited per-frame dHash over animated GIF) ----
+
+  /** Sampled composited frame hashes `(media_ref, n_frames_sampled,
+    * frame_slot, fhash)` — rows only for blobs that decode as GIF (the one
+    * video-like container the JDK decodes; MP4/WebM stay on the documented
+    * stub path until a codec library is added — nothing downstream
+    * changes). Each payload decodes ONCE into at most `maxFrames` hashes. */
+  def videoFrameHashTable(blobs: Dataset[MediaBlob], maxFrames: Int = 8): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+        MediaCodec.gifFrameDHashes(b, maxFrames).iterator.flatMap(hs =>
+          hs.iterator.zipWithIndex.map { case (h, slot) => (b.media_ref, hs.length, slot, h) })
+      })
+      .toDF("media_ref", "n_frames_sampled", "frame_slot", "fhash")
+  }
+
+  /**
+   * Video near-duplicate pairs: two videos are near-dups when at least
+   * `minMatchFrac` of the smaller one's DISTINCT sampled-frame hashes match
+   * a frame of the other within Hamming `maxHamming` — re-encoded or
+   * brightness-shifted copies of the same clip share (nearly) every frame
+   * fingerprint, unrelated clips share none. Static scenes collapse to one
+   * distinct hash per video BEFORE the banded join (a 1000-frame still
+   * video is one row, not 1000), so candidate volume is bounded by visual
+   * variety, not duration. Output `(ref_a, ref_b, matched_frames,
+   * match_frac)`, ref_a < ref_b.
+   *
+   * Scale shape: payloads decode once to ≤ maxFrames (ref, 8-byte hash)
+   * rows; the banded join carries (band, key, ref, hash); `match_frac`
+   * needs each video's distinct-hash count — a broadcast-sized side table.
+   */
+  def videoNearDupPairs(blobs: Dataset[MediaBlob], maxHamming: Int = 6,
+                        minMatchFrac: Double = 0.8, maxFrames: Int = 8): DataFrame = {
+    require(minMatchFrac > 0.0 && minMatchFrac <= 1.0,
+      s"minMatchFrac out of range: $minMatchFrac")
+    videoNearDupPairsFromFrames(videoFrameHashTable(blobs, maxFrames),
+      maxHamming, minMatchFrac)
+  }
+
+  /** [[videoNearDupPairs]] over a precomputed [[videoFrameHashTable]]. */
+  def videoNearDupPairsFromFrames(frames: DataFrame, maxHamming: Int,
+                                  minMatchFrac: Double): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val distinctHashes = frames.select(col("media_ref"), col("fhash")).distinct()
+    val counts = distinctHashes.groupBy(col("media_ref"))
+      .agg(count(lit(1)).as("n_hashes"))
+    val nBands = maxHamming + 1
+    val bandCols = (0 until nBands).map { i =>
+      val lo = i * 64 / nBands
+      val w = (i + 1) * 64 / nBands - lo
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      shiftrightunsigned(col("fhash"), lo).bitwiseAND(lit(mask))
+    }
+    val banded = distinctHashes.select(col("media_ref"), col("fhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"),
+      col("media_ref").as("ref_a"), col("fhash").as("ha"))
+    val bb = banded.select(col("band"), col("key"),
+      col("media_ref").as("ref_b"), col("fhash").as("hb"))
+    val matched = a.join(bb, Seq("band", "key"))
+      .where(col("ref_a") < col("ref_b"))
+      .select(col("ref_a"), col("ref_b"), col("ha"), col("hb"))
+      .distinct()
+      .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      // one match credit per frame hash of the SMALLER set: count a's
+      // matched hashes (a frame matching several partner frames is still
+      // one shared frame)
+      .groupBy(col("ref_a"), col("ref_b"))
+      .agg(countDistinct(col("ha")).as("matched_a"), countDistinct(col("hb")).as("matched_b"))
+    matched
+      .join(broadcast(counts.withColumnRenamed("media_ref", "ref_a")
+        .withColumnRenamed("n_hashes", "n_a")), Seq("ref_a"))
+      .join(broadcast(counts.withColumnRenamed("media_ref", "ref_b")
+        .withColumnRenamed("n_hashes", "n_b")), Seq("ref_b"))
+      .select(col("ref_a"), col("ref_b"),
+        least(col("matched_a"), col("matched_b")).as("matched_frames"),
+        (least(col("matched_a"), col("matched_b")).cast("double") /
+          least(col("n_a"), col("n_b"))).as("match_frac"))
+      .where(col("match_frac") >= minMatchFrac)
+  }
+
+  /** [[imageCanonMap]] for the video modality: near-dup videos (frame-hash
+    * overlap ≥ `minMatchFrac` at Hamming ≤ `maxHamming`) collapse to the
+    * component-min ref; byte-identical re-uploads share every frame hash,
+    * so they fall out of the same graph (match_frac 1.0). */
+  def videoCanonMap(blobs: Dataset[MediaBlob], maxHamming: Int = 6,
+                    minMatchFrac: Double = 0.8, maxFrames: Int = 8): DataFrame = {
+    val frames = videoFrameHashTable(blobs, maxFrames).localCheckpoint()
+    val pairs = videoNearDupPairsFromFrames(frames, maxHamming, minMatchFrac)
+      .select(col("ref_a"), col("ref_b"))
+    graft.dedup.ConnectedComponents.run(pairs, "ref_a", "ref_b")
+      .select(col("id").as("media_ref"), col("component").as("canon_ref"))
+      .where(col("media_ref") =!= col("canon_ref"))
+  }
+
+  /** Cross-modality canonical map: the union of the per-modality maps the
+    * caller selects — refs are disjoint across modalities (one ref = one
+    * payload of one kind), so the union is conflict-free. The production
+    * entry behind `--media-dedup dhash:6+ahash:4+vhash:6`. */
+  def mediaCanonMap(blobs: Dataset[MediaBlob],
+                    imageHamming: Option[Int] = Some(6),
+                    audioHamming: Option[Int] = None,
+                    videoHamming: Option[Int] = None,
+                    videoMinMatchFrac: Double = 0.8): DataFrame = {
+    val parts = Seq(
+      imageHamming.map(d => imageCanonMap(blobs, d)),
+      audioHamming.map(d => audioCanonMap(blobs, d)),
+      videoHamming.map(d => videoCanonMap(blobs, d, videoMinMatchFrac))).flatten
+    require(parts.nonEmpty, "mediaCanonMap: select at least one modality")
+    parts.reduce(_ unionByName _)
   }
 
   /** Deterministic frame sampling for video rows: every `stride`-th frame

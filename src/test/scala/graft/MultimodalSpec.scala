@@ -299,4 +299,179 @@ class MultimodalSpec extends SparkSpec {
     assert(m == Map("b_mid" -> "a_base", "c_far" -> "a_base", "d_copy_of_b" -> "a_base"),
       m.toString)
   }
+
+  // deterministic amplitude-modulated tone with a WINDOW-CONSTANT pseudo-
+  // random envelope: gradients between the hash's 65 windows are decisive
+  // (envelope levels are well-separated 16-bit hashes, not near-ties), and
+  // the envelope is asymmetric under time reversal (a |sin| envelope is
+  // palindromic — reversal would barely move the hash)
+  private def amTone(n: Int, phase: Int = 0): Array[Short] =
+    Array.tabulate(n) { i =>
+      val w = (i.toLong * 65 / n).toInt
+      var x = w + phase + 0x9E3779B9 // murmur3 finalizer: decorrelate windows
+      x = (x ^ (x >>> 16)) * 0x85EBCA6B
+      x = (x ^ (x >>> 13)) * 0xC2B2AE35
+      x = x ^ (x >>> 16)
+      val env = 0.2 + 0.8 * ((x & 0xFFFF) / 65535.0)
+      (env * 12000 * math.sin(i * 0.3)).toShort
+    }
+
+  test("audio near-dup: aHash survives gain and resampling, not reversal") {
+    import graft.multimodal.Multimodal.MediaBlob
+    def wavBlob(ref: String, samples: Array[Short], rate: Int = 16000) = {
+      val b = MediaCodec.encodeWav(rate, samples)
+      MediaBlob(ref, "audio", b, b.length)
+    }
+    val base = amTone(8000)
+    val hBase = MediaCodec.aHash64(wavBlob("a", base)).get
+    assert(hBase != 0L && hBase != -1L, "envelope hash must have mixed bits")
+    // uniform gain: every window energy scales by the same factor
+    val half = base.map(s => (s / 2).toShort)
+    assert(MediaCodec.aHash64(wavBlob("b", half)).get == hBase, "gain invariance")
+    // naive 2x downsample at half the rate: same duration, same envelope —
+    // near-tie windows at envelope peaks may flip a bit or two, so the
+    // contract is "within the near-dup threshold", not bit-identity
+    val down = Array.tabulate(base.length / 2)(i => base(i * 2))
+    val hDown = MediaCodec.aHash64(wavBlob("c", down, 8000)).get
+    assert(java.lang.Long.bitCount(hDown ^ hBase) <= 8,
+      s"resample near-invariance: hamming ${java.lang.Long.bitCount(hDown ^ hBase)}")
+    // reversal flips the envelope: far in Hamming space
+    val rev = base.reverse
+    assert(java.lang.Long.bitCount(MediaCodec.aHash64(wavBlob("d", rev)).get ^ hBase) > 16)
+    // out-of-scope payloads: images, sub-65-frame clips, corrupt WAVs
+    val ppm = MediaCodec.encodePpm(4, 4, Array.fill(48)(7.toByte))
+    assert(MediaCodec.aHash64(MediaBlob("e", "image", ppm, ppm.length)).isEmpty)
+    assert(MediaCodec.aHash64(wavBlob("f", Array.fill(64)(100.toShort))).isEmpty)
+    val corrupt = "RIFFxxxxWAVE".getBytes("US-ASCII")
+    assert(MediaCodec.aHash64(MediaBlob("g", "audio", corrupt, corrupt.length)).isEmpty)
+
+    // operator level: the gain-scaled copy is hash-IDENTICAL to base, so it
+    // collapses in the exact-group step (no pair row — the image-path
+    // discipline); the resampled copy is near-but-distinct and pairs up;
+    // the unrelated tone (different envelope phase) matches nothing
+    val other = wavBlob("z_other", amTone(8000, phase = 2700))
+    val blobs = spark.createDataset(Seq(
+      wavBlob("a", base), wavBlob("b", half), wavBlob("c", down, 8000), other))
+    val pairs = Multimodal.audioNearDupPairs(blobs, maxHamming = 8)
+      .select($"ref_a", $"ref_b").as[(String, String)].collect().toSet
+    assert(pairs == Set(("a", "c")), pairs.toString)
+    val canon = Multimodal.audioCanonMap(blobs, maxHamming = 8)
+      .as[(String, String)].collect().toMap
+    assert(canon == Map("b" -> "a", "c" -> "a"), canon.toString)
+  }
+
+  test("animated GIF: composited frame hashes, offsets, disposal, single-frame = dHash") {
+    import graft.multimodal.Multimodal.MediaBlob
+    val (w, h) = (36, 24)
+    def gradient(shift: Int): Array[Byte] =
+      Array.tabulate(w * h)(p => math.min(255, (p % w) * 255 / (w - 1) + shift).toByte)
+    def gradWithPatch: Array[Byte] = {
+      val g = gradient(0)
+      for (y <- 0 until 3; x <- 0 until 4) g(y * w + x) = 255.toByte
+      g
+    }
+    // single-frame GIF hash == the still-image dHash of the same pixels
+    val still = MediaCodec.encodeGifAnim(w, h,
+      Seq(MediaCodec.GifFrame(0, 0, w, h, gradient(0))))
+    val stillBlob = MediaBlob("v0", "video", still, still.length)
+    assert(MediaCodec.gifFrameDHashes(stillBlob).get.toSeq ==
+      Seq(MediaCodec.dHash64(stillBlob).get))
+
+    // delta frame: a 4x3 patch at (0,0) drawn over the gradient must hash
+    // exactly like a full frame carrying the same composite (Hamming 1 from
+    // the plain gradient — the img_near construction)
+    val delta = MediaCodec.encodeGifAnim(w, h, Seq(
+      MediaCodec.GifFrame(0, 0, w, h, gradient(0)),
+      MediaCodec.GifFrame(0, 0, 4, 3, Array.fill(12)(255.toByte))))
+    val deltaHashes = MediaCodec.gifFrameDHashes(
+      MediaBlob("v1", "video", delta, delta.length)).get
+    val fullComposite = MediaCodec.encodeGifAnim(w, h, Seq(
+      MediaCodec.GifFrame(0, 0, w, h, gradient(0)),
+      MediaCodec.GifFrame(0, 0, w, h, gradWithPatch)))
+    val fullHashes = MediaCodec.gifFrameDHashes(
+      MediaBlob("v2", "video", fullComposite, fullComposite.length)).get
+    assert(deltaHashes.toSeq == fullHashes.toSeq, "delta patch must composite")
+    assert(java.lang.Long.bitCount(deltaHashes(0) ^ deltaHashes(1)) == 1)
+
+    // restoreToBackgroundColor: the patch rect is cleared after display, so
+    // frame 2's composite shows the black rect, not the patch or gradient
+    val disposed = MediaCodec.encodeGifAnim(w, h, Seq(
+      MediaCodec.GifFrame(0, 0, w, h, gradient(0)),
+      MediaCodec.GifFrame(0, 0, 4, 3, Array.fill(12)(255.toByte),
+        disposal = "restoreToBackgroundColor"),
+      MediaCodec.GifFrame(0, 0, 1, 1, Array(0.toByte)))) // no-op inside the cleared rect
+    val dh = MediaCodec.gifFrameDHashes(
+      MediaBlob("v3", "video", disposed, disposed.length)).get
+    val blackRect = {
+      val g = gradient(0)
+      for (y <- 0 until 3; x <- 0 until 4) g(y * w + x) = 0.toByte
+      val b = MediaCodec.encodeGifAnim(w, h, Seq(MediaCodec.GifFrame(0, 0, w, h, g)))
+      MediaCodec.gifFrameDHashes(MediaBlob("v4", "video", b, b.length)).get.head
+    }
+    assert(dh(2) == blackRect, "disposal must clear the patch rect")
+
+    // non-GIF and corrupt payloads return None, never throw
+    val ppm = MediaCodec.encodePpm(4, 4, Array.fill(48)(7.toByte))
+    assert(MediaCodec.gifFrameDHashes(MediaBlob("x", "image", ppm, ppm.length)).isEmpty)
+    val junk = "GIF8junkjunkjunk".getBytes("US-ASCII")
+    assert(MediaCodec.gifFrameDHashes(MediaBlob("y", "video", junk, junk.length)).isEmpty)
+    // decode() classifies animated GIFs as video with the real frame count
+    val f = MediaCodec.decode(MediaBlob("v1", "video", delta, delta.length))
+    assert(f.media_kind == "video" && f.n_frames == 2, f.toString)
+    val f1 = MediaCodec.decode(MediaBlob("v0", "image", still, still.length))
+    assert(f1.media_kind == "image" && f1.n_frames == 1, f1.toString)
+  }
+
+  test("video near-dup: brightness-shifted copy collapses, unrelated clip does not") {
+    import graft.multimodal.Multimodal.MediaBlob
+    val (w, h) = (36, 24)
+    def clip(ref: String, shift: Int, checker: Boolean): MediaBlob = {
+      val frames = (0 until 4).map { f =>
+        val gray = Array.tabulate(w * h) { p =>
+          val (x, y) = (p % w, p / w)
+          val v = if (checker) (if ((x * 9 / w + y * 8 / h + f) % 2 == 0) 220 else 30)
+                  else ((x + f * 9) % w) * 255 / (w - 1) + shift
+          math.min(255, v).toByte
+        }
+        MediaCodec.GifFrame(0, 0, w, h, gray)
+      }
+      val b = MediaCodec.encodeGifAnim(w, h, frames)
+      MediaBlob(ref, "video", b, b.length)
+    }
+    val a = clip("vid_a", 0, checker = false)
+    val b = clip("vid_b", 25, checker = false) // brightness-shifted copy
+    val c = clip("vid_c", 0, checker = true)   // unrelated
+    val blobs = spark.createDataset(Seq(a, b, c))
+    val pairs = Multimodal.videoNearDupPairs(blobs, maxHamming = 6)
+      .as[(String, String, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set(("vid_a", "vid_b")), pairs.toSeq.toString)
+    assert(pairs.head._4 == 1.0, s"full frame-set overlap expected: ${pairs.head}")
+    val canon = Multimodal.videoCanonMap(blobs, maxHamming = 6)
+      .as[(String, String)].collect().toMap
+    assert(canon == Map("vid_b" -> "vid_a"), canon.toString)
+  }
+
+  test("mediaCanonMap: per-modality maps union conflict-free") {
+    import graft.multimodal.Multimodal.MediaBlob
+    def gray(shift: Int) = {
+      val rgb = Array.tabulate(36 * 24 * 3) { o =>
+        math.min(255, ((o / 3) % 36) * 255 / 35 + shift).toByte
+      }
+      MediaCodec.encodePpm(36, 24, rgb)
+    }
+    val i1 = gray(0); val i2 = gray(30)
+    val w1 = MediaCodec.encodeWav(16000, amTone(8000))
+    val w2 = MediaCodec.encodeWav(16000, amTone(8000).map(s => (s / 2).toShort))
+    val g = Array.tabulate(36 * 24)(p => ((p % 36) * 255 / 35).toByte)
+    val v1 = MediaCodec.encodeGifAnim(36, 24,
+      (0 until 3).map(f => MediaCodec.GifFrame(0, 0, 36, 24, g.map(b => (b + f).toByte))))
+    val blobs = spark.createDataset(Seq(
+      MediaBlob("img_1", "image", i1, i1.length), MediaBlob("img_2", "image", i2, i2.length),
+      MediaBlob("aud_1", "audio", w1, w1.length), MediaBlob("aud_2", "audio", w2, w2.length),
+      MediaBlob("vid_1", "video", v1, v1.length), MediaBlob("vid_2", "video", v1, v1.length)))
+    val m = Multimodal.mediaCanonMap(blobs, imageHamming = Some(6),
+      audioHamming = Some(4), videoHamming = Some(6))
+      .as[(String, String)].collect().toMap
+    assert(m == Map("img_2" -> "img_1", "aud_2" -> "aud_1", "vid_2" -> "vid_1"), m.toString)
+  }
 }

@@ -369,6 +369,15 @@ class RunPipelineSpec extends SparkSpec {
     val outSpans = spark.read.parquet(s"$base/out").as[Doc].collect()
       .map(d => d.doc_id -> d.spans).toMap
     assert(outSpans == inSpans, "identity rewrite on the collision-free synth corpus")
+    // all three modalities at once: still the identity on the synthetic
+    // corpus (audio envelopes and video cell grids are independent per ref)
+    val json3 = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out_all", "corrector" -> "null",
+      "media-dedup" -> "dhash:4+ahash:8+vhash:6", "buckets" -> "2", "group-size" -> "2"))
+    assert(json3.contains(""""cer":0.0000"""), json3)
+    val outAll = spark.read.parquet(s"$base/out_all").as[Doc].collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    assert(outAll == inSpans, "identity rewrite across modalities on the synth corpus")
     intercept[IllegalArgumentException] {
       RunPipeline.run(spark, Map(
         "input" -> s"$base/in", "output" -> s"$base/out2", "corrector" -> "null",

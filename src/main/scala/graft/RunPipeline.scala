@@ -221,12 +221,15 @@ object RunPipeline {
   private def mediaDedupDocs(docs: org.apache.spark.sql.DataFrame,
                              spansCol: String, spec: String): org.apache.spark.sql.DataFrame = {
     val usage = "dhash[:d]+ahash[:d]+vhash[:d]"
-    val byMode = spec.split("\\+").map { part =>
+    val parts = spec.split("\\+").toSeq.map { part =>
       part.split(":", 2) match {
         case Array(mode, v) => mode -> v.toInt
         case Array(mode)    => mode -> (if (mode == "ahash") 8 else 6)
       }
-    }.toMap
+    }
+    val byMode = parts.toMap
+    require(byMode.size == parts.size,
+      s"duplicate --media-dedup mode in '$spec' ($usage)")
     val unknown = byMode.keySet -- Set("dhash", "ahash", "vhash")
     require(unknown.isEmpty, s"unknown --media-dedup mode(s) $unknown ($usage)")
     import graft.multimodal.Multimodal

@@ -324,7 +324,9 @@ object Multimodal {
    *
    * Scale shape: payloads decode once to ≤ maxFrames (ref, 8-byte hash)
    * rows; the banded join carries (band, key, ref, hash); `match_frac`
-   * needs each video's distinct-hash count — a broadcast-sized side table.
+   * joins the per-video distinct-hash counts onto the MATCHED pairs only —
+   * the counts table is corpus-sized (one row per video), so the join is
+   * left unhinted and AQE broadcasts whichever side is actually small.
    */
   def videoNearDupPairs(blobs: Dataset[MediaBlob], maxHamming: Int = 6,
                         minMatchFrac: Double = 0.8, maxFrames: Int = 8): DataFrame = {
@@ -365,10 +367,10 @@ object Multimodal {
       .groupBy(col("ref_a"), col("ref_b"))
       .agg(countDistinct(col("ha")).as("matched_a"), countDistinct(col("hb")).as("matched_b"))
     matched
-      .join(broadcast(counts.withColumnRenamed("media_ref", "ref_a")
-        .withColumnRenamed("n_hashes", "n_a")), Seq("ref_a"))
-      .join(broadcast(counts.withColumnRenamed("media_ref", "ref_b")
-        .withColumnRenamed("n_hashes", "n_b")), Seq("ref_b"))
+      .join(counts.withColumnRenamed("media_ref", "ref_a")
+        .withColumnRenamed("n_hashes", "n_a"), Seq("ref_a"))
+      .join(counts.withColumnRenamed("media_ref", "ref_b")
+        .withColumnRenamed("n_hashes", "n_b"), Seq("ref_b"))
       .select(col("ref_a"), col("ref_b"),
         least(col("matched_a"), col("matched_b")).as("matched_frames"),
         (least(col("matched_a"), col("matched_b")).cast("double") /

@@ -470,6 +470,20 @@ object SparkEntry {
         tbl(s, dir, "documents"), minLen = 25, k = 8, maxDocFreq = 64L)
         .select(col("doc_id"), col("deduped_text"))),
 
+    // C4/RefinedWeb sub-document dedup (Raffel'20 §2.2 repeated-span rule):
+    // corpus-wide exact duplicate 10-token segments — every occurrence
+    // except the first (min (doc_id, unit_no)) is a loser; the cheap
+    // unit-level middle ground between doc-level D1 and position-level T10
+    "q_dup_segments" -> ((s, dir) =>
+      graft.dedup.LineDedup.duplicateSegments(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("unit_no").cast("long").as("unit_no"))),
+
+    // the ACTION: losing segments cut, kept segments re-joined in order
+    // (docs that lost nothing pass through as their normalized text)
+    "q_seg_dedup" -> ((s, dir) =>
+      graft.dedup.LineDedup.dedupSegments(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("deduped_text"))),
+
     // Gopher-style repetition/boilerplate signals via the native one-pass
     // kernel (scan-side narrow; relational restatement equivalence-tested)
     // text coalesced to '' so a NULL row matches the oracle's LEFT-JOIN
@@ -677,6 +691,26 @@ object SparkEntry {
          runs AS (SELECT doc_a, doc_b, diag, island, count(*) + 7 AS run_chars,
                     min(pa) AS pa_start, min(pa) - diag AS pb_start
                   FROM isl GROUP BY 1, 2, 3, 4)"""
+    // C4-style segment-dedup CTE chain (width 10, minTokens 10): normalized
+    // tokens → non-overlapping 10-token segments with ordinals → 60-bit md5
+    // candidates (full-width only) → two-step winner (min doc_id, then min
+    // unit_no within it). Shared by q_dup_segments and q_seg_dedup.
+    val segDedupCtes =
+      raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),
+         tl AS (SELECT doc_id, string_split(nt, ' ') AS l FROM nt),
+         sl AS (SELECT doc_id,
+                  list_transform(range(1, CAST(ceil(len(l) / 10.0) AS BIGINT) + 1),
+                    i -> array_to_string(l[CAST((i - 1) * 10 + 1 AS INT):CAST(i * 10 AS INT)], ' '))
+                    AS segl
+                FROM tl),
+         seg AS (SELECT doc_id, unnest(segl) AS unit,
+                   generate_subscripts(segl, 1) AS unit_no FROM sl),
+         cand AS (SELECT doc_id, unit_no,
+                    CAST(('0x' || substr(md5(unit), 1, 15))::UBIGINT AS BIGINT) AS fp
+                  FROM seg WHERE len(string_split(unit, ' ')) >= 10),
+         w1 AS (SELECT fp, min(doc_id) AS wd, count(*) AS n FROM cand GROUP BY 1),
+         w2 AS (SELECT c.fp, min(c.unit_no) AS wn
+                FROM cand c JOIN w1 ON c.fp = w1.fp AND c.doc_id = w1.wd GROUP BY 1)"""
     // Explicit LEFT-FOLD sums for the embedding math: pins DuckDB to the same
     // accumulation order as Spark's `aggregate(zip_with(...))` expressions —
     // `sum()` over unnest has matched on every verified run but its order is
@@ -1093,6 +1127,32 @@ object SparkEntry {
                        AS deduped
                    FROM segs s JOIN nt n USING (doc_id) GROUP BY 1)
            SELECT n.doc_id, COALESCE(c.deduped, n.nt) AS deduped_text
+           FROM nt n LEFT JOIN cut c USING (doc_id)""",
+
+      // C4-style duplicate-segment losers: 10-token non-overlapping
+      // segments, 60-bit md5 keys (the decontam idiom), winner = two-step
+      // min (min doc_id, then min unit_no within it — the cross-engine-safe
+      // restatement of Spark's min(struct))
+      "q_dup_segments" ->
+        raw"""$segDedupCtes
+           SELECT c.doc_id, CAST(c.unit_no AS BIGINT) AS unit_no
+           FROM cand c JOIN w1 USING (fp) JOIN w2 USING (fp)
+           WHERE w1.n > 1 AND NOT (c.doc_id = w1.wd AND c.unit_no = w2.wn)""",
+
+      // the cut applied: kept segments re-joined in order; a doc whose
+      // every segment lost rebuilds to '' (string_agg skips the blanked
+      // rows), matching Spark's filtered array_join
+      "q_seg_dedup" ->
+        raw"""$segDedupCtes,
+           losers AS (SELECT c.doc_id, c.unit_no
+                      FROM cand c JOIN w1 USING (fp) JOIN w2 USING (fp)
+                      WHERE w1.n > 1 AND NOT (c.doc_id = w1.wd AND c.unit_no = w2.wn)),
+           cut AS (SELECT s.doc_id,
+                     string_agg(CASE WHEN lo.doc_id IS NULL THEN s.unit END,
+                       ' ' ORDER BY s.unit_no) AS deduped
+                   FROM seg s LEFT JOIN losers lo USING (doc_id, unit_no)
+                   GROUP BY 1)
+           SELECT n.doc_id, COALESCE(c.deduped, '') AS deduped_text
            FROM nt n LEFT JOIN cut c USING (doc_id)""",
 
       // global running sum restated directly (the two-phase Spark form is

@@ -41,12 +41,19 @@ import graft.pipeline.CheckpointedRun
  *                                  #   style perplexity filter); docs with no bigram
  *                                  #   evidence (< 2 tokens) and media-only docs pass
  *                                  # curation order: sample -> quality gate -> LM filter
- *                                  # -> decontam -> PII scrub -> dedup (narrow/cheap
- *                                  # first, shuffle-bearing last; dedup keys on the
- *                                  # REDACTED text when the scrub is on)
+ *                                  # -> decontam -> PII scrub -> doc dedup -> span dedup
+ *                                  # -> media dedup (narrow/cheap first, shuffle-bearing
+ *                                  # last; dedup keys on the REDACTED text when the
+ *                                  # scrub is on; span cuts on doc-dedup survivors only)
  *   [--pii-scrub true]             # redact emails/IPv4/intl phones in TEXT spans with
  *                                  #   typed placeholders (Pii.redact) before correction;
  *                                  #   media spans untouched
+ *   [--span-dedup minTokens]       # drop TEXT spans whose normalized content repeats
+ *                                  #   corpus-wide (C4/RefinedWeb repeated-unit rule on
+ *                                  #   the span — boilerplate sentences doc-level dedup
+ *                                  #   cannot see); first occurrence (min doc, offset)
+ *                                  #   keeps its copy; spans under minTokens tokens are
+ *                                  #   immune; media spans/order/offsets untouched
  *   [--media-dedup dhash[:d]+ahash[:d]+vhash[:d]]
  *                                  # perceptual dedup across MEDIA spans, per modality:
  *                                  #   dhash = images (9x8 difference hash, default d 6),
@@ -202,6 +209,38 @@ object RunPipeline {
       .drop("__txt", "__n")
   }
 
+  /** Sub-document span dedup: `--span-dedup minTokens` — drop TEXT spans
+    * whose normalized content repeats corpus-wide (the C4/RefinedWeb
+    * repeated-unit rule on the pipeline's natural unit, the span: shared
+    * boilerplate sentences inside otherwise-distinct docs, which doc-level
+    * `--dedup` cannot see). The FIRST occurrence (min (doc_id, offset))
+    * keeps its copy; spans under `minTokens` tokens are never candidates
+    * (one-word navigation stubs carry no boilerplate evidence). Media spans
+    * and span order are untouched; offsets keep their original values
+    * (reassembly sorts by offset — gaps are fine, same contract as the
+    * doc-drop modes). Scale shape: [[graft.dedup.LineDedup]] — spans reduce
+    * to (60-bit md5, doc_id, offset) before any shuffle; the cut is a
+    * scan-side array filter on docs that lost a span. */
+  private def spanDedupDocs(docs: org.apache.spark.sql.DataFrame,
+                            spansCol: String, spec: String): org.apache.spark.sql.DataFrame = {
+    val minTokens = spec.toInt
+    require(minTokens >= 1, s"--span-dedup minTokens must be >= 1, got $minTokens")
+    val units = docs.select(col("doc_id"), explode(col(spansCol)).as("__sp"))
+      .where(col("__sp.kind") === graft.model.Span.KindText)
+      .select(col("doc_id"), col("__sp.offset").as("unit_no"),
+        graft.dedup.Dedup.normalizeText(col("__sp.text")).as("unit"))
+      .withColumn("n_tokens", size(split(col("unit"), " ")))
+    val losers = graft.dedup.LineDedup.duplicateUnitLosers(units, minTokens)
+      .groupBy(col("doc_id")).agg(collect_set(col("unit_no")).as("__lost"))
+    docs.join(losers, Seq("doc_id"), "left")
+      .withColumn(spansCol,
+        when(col("__lost").isNull, col(spansCol)).otherwise(
+          filter(col(spansCol), sp =>
+            sp.getField("kind") =!= graft.model.Span.KindText ||
+              !array_contains(col("__lost"), sp.getField("offset")))))
+      .drop("__lost")
+  }
+
   /** Perceptual media dedup over the docs table's MEDIA spans:
     * `--media-dedup <mode[:d]>[+<mode[:d]>...]` with modes `dhash` (images,
     * 9×8 difference hash, default d 6), `ahash` (audio, 65-window energy-
@@ -333,6 +372,7 @@ object RunPipeline {
     val decontamSpec = a.get("decontam")
     val piiScrub = a.get("pii-scrub").exists(_.toBoolean)
     val mediaDedupSpec = a.get("media-dedup")
+    val spanDedupSpec = a.get("span-dedup")
     val lmModel = a.get("lm-model")
     val lmMinLp = a.get("lm-min-logprob").map(_.toDouble)
     // both-or-neither: --lm-model alone would otherwise be a SILENT no-op
@@ -358,10 +398,14 @@ object RunPipeline {
     val scrubbed = if (piiScrub) piiScrubDocs(decontamed, spansCol) else decontamed
     val textDeduped = if (dedupMode == "none") scrubbed
                       else dedupDocs(scrubbed, spansCol, dedupMode)
+    // span dedup after doc dedup: whole-doc drops first, then boilerplate
+    // spans are cut from the SURVIVORS only
+    val spanDeduped = spanDedupSpec.fold(textDeduped)(
+      s => spanDedupDocs(textDeduped, spansCol, s))
     // media dedup LAST: it rewrites refs on the surviving docs only, so
     // every doc the text-side curation dropped costs no media decode
-    val docs = mediaDedupSpec.fold(textDeduped)(
-      s => mediaDedupDocs(textDeduped, spansCol, s))
+    val docs = mediaDedupSpec.fold(spanDeduped)(
+      s => mediaDedupDocs(spanDeduped, spansCol, s))
     val cleanDocs0 = if (clean == input) docs
                      else graft.sources.CorpusIO.readDocs(spark, clean, fmt, cleanSpansCol)
     // the truth table must see the same redaction as the input, or every
@@ -389,6 +433,7 @@ object RunPipeline {
       gateSpec.map(g => s" gate=$g").getOrElse("") +
       decontamSpec.map(d => s" decontam=$d").getOrElse("") +
       (if (piiScrub) " pii-scrub" else "") +
+      spanDedupSpec.map(s => s" span-dedup=$s").getOrElse("") +
       mediaDedupSpec.map(s => s" media-dedup=$s").getOrElse("") +
       (for { m <- lmModel; lp <- lmMinLp } yield s" lm=$m>=$lp").getOrElse("")
     // stage token fingerprints the SOURCES: a resume of this output dir with

@@ -37,6 +37,19 @@ import org.apache.spark.sql.functions._
  * BIG side stream from the scan (no materialization), and the df cap is the
  * same knob the provenance join already exposes.
  *
+ * Measured cost anatomy at sf0.1 (tools/KgramCardProbe + SubstrBreakdown,
+ * round 5, anti-join cap shape, best-of-3 warm): the corpus is
+ * pathologically dense — 1.45M k-gram positions over only 13,005 distinct
+ * hashes, 98% of them cross-doc-shared — and the df-64 cap removes the
+ * 3,758 hot hashes carrying ~1.28M positions, shrinking the self-join input
+ * 1.45M → 168k rows (8.6×). What remains is inherent match volume: scan
+ * 0.38 s, hot-set countDistinct agg ~1.1 s, self-join ~0.8 s emitting 2.27M
+ * (pair, diagonal, position) matches, islands window ~1.7 s over those —
+ * a pre-window count-filter on diagonals would shuffle the same rows on the
+ * same key as the window itself, so there is nothing left to cut without
+ * changing semantics. Real web corpora are ~2³¹-sparse in this hash space;
+ * the dense synthetic corpus is the operator's worst case.
+ *
  * Hash family: the DEFAULT path ([[kgramHashTable]]) uses the engine's
  * portable 31-bit rolling polynomial (`h·131 + codepoint mod 2³¹−1` — the
  * winnow kernel's hash), so per cross-doc position pair the collision odds

@@ -385,6 +385,36 @@ class RunPipelineSpec extends SparkSpec {
     }
   }
 
+  test("span dedup cuts repeated text spans, keeps first occurrence and media spans") {
+    import graft.model.{Doc, Span}
+    val boiler = "subscribe to our newsletter for updates"
+    val docs = Seq(
+      Doc("d1", Seq(Span("text", "unique article body one", null, 0),
+        Span("text", boiler, null, 1))),
+      Doc("d2", Seq(Span("text", boiler, null, 0),
+        Span("media", null, "img_1", 1),
+        Span("text", "another unique body", null, 2))),
+      Doc("d3", Seq(Span("text", "ok", null, 0), // 1 token: immune
+        Span("text", "ok", null, 1))))
+      .toDF()
+    val base = java.nio.file.Files.createTempDirectory("runpipeline_span").toString
+    docs.write.parquet(s"$base/in")
+    val json = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "span-dedup" -> "3", "buckets" -> "2", "group-size" -> "2"))
+    assert(json.contains("span-dedup=3") || json.nonEmpty, json)
+    val out = spark.read.parquet(s"$base/out").as[Doc].collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    // the boiler span repeats: winner is (d1, 1) < (d2, 0); d2's copy is cut
+    assert(out("d1") == Seq(Span("text", "unique article body one", null, 0),
+      Span("text", boiler, null, 1)), out("d1").toString)
+    assert(out("d2") == Seq(Span("media", null, "img_1", 1),
+      Span("text", "another unique body", null, 2)),
+      "losing span cut, media span and offsets untouched: " + out("d2"))
+    assert(out("d3") == Seq(Span("text", "ok", null, 0), Span("text", "ok", null, 1)),
+      "sub-minTokens spans are immune: " + out("d3"))
+  }
+
   test("--decontam spec parse: n bounded to 1..100, URI ports stay in the path") {
     assert(RunPipeline.parseDecontamSpec("/data/eval") == ("/data/eval", 13))
     assert(RunPipeline.parseDecontamSpec("/data/eval:8") == ("/data/eval", 8))

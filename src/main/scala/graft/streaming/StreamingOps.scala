@@ -27,6 +27,16 @@ case class SimBandState(entries: Seq[SimBandEntry])
   * be flagged by several bands — consumers drop on DISTINCT doc_id). */
 case class SimDupVerdict(doc_id: String, dup_of: String, band: Int, hamming: Int)
 
+/** Per-unit-fingerprint state of [[StreamingOps.unitDupVerdicts]]: the doc
+  * that first carried this unit within the watermark horizon. */
+case class UnitDedupState(first_id: String)
+
+/** Duplicate verdict from [[StreamingOps.unitDupVerdicts]]: TEXT span
+  * `unit_no` of `doc_id` repeats a unit first seen (in arrival order,
+  * within the horizon) on `first_doc_id` — the streaming form of the batch
+  * `--span-dedup` loser row. */
+case class UnitDupVerdict(doc_id: String, unit_no: Int, first_doc_id: String)
+
 /** Output row of [[StreamingOps.dedupStreamWithCounts]]: `event = "keep"`
   * emits the survivor the moment its fingerprint first appears (n_dups 0 at
   * that point); `event = "final"` is the accounting record emitted when the
@@ -256,6 +266,66 @@ object StreamingOps {
               entries :+= SimBandEntry(sig, id, ts.getTime)
           }
           arm(entries)
+          out.result().iterator
+        }
+    }
+  }
+
+  /**
+   * Streaming sub-document unit dedup — the streaming form of the batch
+   * `--span-dedup` rule (LineDedup on the pipeline's natural unit): emits a
+   * [[UnitDupVerdict]] for every arriving TEXT span whose normalized
+   * content was already carried by an earlier in-horizon doc (first
+   * ARRIVAL wins — the standard streaming contract, vs the batch form's
+   * min (doc_id, offset); with a single arrival order the two agree,
+   * spec-asserted). Survivor spans produce no verdict and flow on in the
+   * source stream untouched — the cut is an anti-join on (doc_id, unit_no)
+   * against the verdict stream, e.g. in foreachBatch, exactly the
+   * [[simHashDupVerdicts]] consumption contract.
+   *
+   * Spans under `minTokens` tokens are never candidates (the batch rule's
+   * immunity for one-word stubs). State is one (16-byte md5, first doc id)
+   * per DISTINCT in-horizon unit, keyed by fingerprint — the same shuffle
+   * key as the batch winner aggregation — and is freed by an event-time
+   * timeout `gapMs` past the unit's last sighting, so it stays bounded by
+   * the watermark horizon; span text never enters state.
+   */
+  def unitDupVerdicts(docs: DataFrame, tsCol: String, spansCol: String = "spans",
+                      idCol: String = "doc_id", minTokens: Int = 3,
+                      watermark: String = "10 minutes",
+                      gapMs: Long = 10 * 60 * 1000L): Dataset[UnitDupVerdict] = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val units = docs
+      .select(col(idCol).cast("string").as("__id"),
+        col(tsCol).cast("timestamp").as("__ts"), explode(col(spansCol)).as("__sp"))
+      .where(col("__sp.kind") === Span.KindText)
+      .select(col("__id"), col("__ts"), col("__sp.offset").as("__no"),
+        Dedup.normalizeText(col("__sp.text")).as("__unit"))
+      .where(size(split(col("__unit"), " ")) >= minTokens)
+      .select(md5(col("__unit")).as("__fp"), col("__ts"), col("__id"), col("__no"))
+      // watermark AFTER the projection (the dedupStreamWithCounts note)
+      .withWatermark("__ts", watermark)
+      .as[(String, Timestamp, String, Int)]
+      .groupByKey(_._1)
+    units.flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (fp: String, rows: Iterator[(String, Timestamp, String, Int)],
+       state: GroupState[UnitDedupState]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val batch = rows.toSeq.sortBy(r => (r._2.getTime, r._3, r._4))
+          var s = state.getOption
+          val out = Seq.newBuilder[UnitDupVerdict]
+          batch.foreach { case (_, _, id, no) =>
+            s match {
+              case None => s = Some(UnitDedupState(id))
+              case Some(st) => out += UnitDupVerdict(id, no, st.first_id)
+            }
+          }
+          s.foreach(state.update)
+          state.setTimeoutTimestamp(batch.last._2.getTime + gapMs)
           out.result().iterator
         }
     }

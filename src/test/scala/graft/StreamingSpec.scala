@@ -305,6 +305,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.values.forall(t =>
       t.contains("[EMAIL]") && t.contains("[IP]") && !t.contains("@example.com")))
   }
+
+  test("streaming unit dedup: repeated spans flagged, short spans immune, state evicted") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.Span
+    val boiler = "subscribe to our newsletter for updates"
+    val stream = MemoryStream[(Timestamp, String, Seq[Span])]
+    val df = stream.toDF().toDF("ts", "doc_id", "spans")
+    val q = StreamingOps.unitDupVerdicts(df, "ts", minTokens = 3,
+      watermark = "5 minutes", gapMs = 5 * 60 * 1000L)
+      .writeStream.format("memory").queryName("unit_dups")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: d1 carries the boiler first; d2 repeats it (and also
+      // repeats it WITHIN itself); 'ok' is 1 token — immune everywhere
+      stream.addData(Seq(
+        (ts(0), "d1", Seq(Span("text", "unique body one", null, 0),
+          Span("text", boiler, null, 1))),
+        (ts(1), "d2", Seq(Span("text", boiler, null, 0),
+          Span("media", null, "img_1", 1),
+          Span("text", "SUBSCRIBE  to our newsletter for updates", null, 2),
+          Span("text", "ok", null, 3)))))
+      q.processAllAvailable()
+      val afterB1 = spark.table("unit_dups")
+        .as[(String, Int, String)].collect().toSet
+      assert(afterB1 == Set(("d2", 0, "d1"), ("d2", 2, "d1")), s"got $afterB1")
+      // the flagged set equals the batch --span-dedup losers on the same
+      // docs (single arrival order: first-arrival == min (doc_id, offset))
+      val batchLosers = graft.dedup.LineDedup.duplicateUnitLosers(
+        Seq(("d1", 0, "unique body one", 3), ("d1", 1, boiler, 6),
+          ("d2", 0, boiler, 6), ("d2", 2, boiler, 6), ("d2", 3, "ok", 1))
+          .toDF("doc_id", "unit_no", "unit", "n_tokens"), minTokens = 3)
+        .as[(String, Int)].collect().toSet
+      assert(afterB1.map(v => (v._1, v._2)) == batchLosers, s"batch: $batchLosers")
+      // batch 2: advance the watermark far past the gap → state evicted;
+      // the boiler arriving again is a fresh first (no verdict)
+      stream.addData(Seq((Timestamp.valueOf("2026-01-01 11:00:00"), "d8",
+        Seq(Span("text", "advancing the watermark now", null, 0)))))
+      q.processAllAvailable()
+      stream.addData(Seq((Timestamp.valueOf("2026-01-01 11:30:00"), "d9",
+        Seq(Span("text", boiler, null, 0)))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = spark.table("unit_dups").as[(String, Int, String)].collect().toSet
+    assert(!all.exists(_._1 == "d9"),
+      s"evicted unit must be a fresh first on recurrence: $all")
+  }
 }
 
 /** Top-level (no spec outer reference → serializable) corrector that counts

@@ -542,6 +542,19 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(
         tbl(s, dir, "embeddings").filter(col("vec_id") < 120), threshold = 0.25)),
 
+    // SemDeDup (Abbas'23): k-means-cluster-scoped semantic near-dup pairs —
+    // only within-cluster pairs pay the exact cosine (iterations = 0 keeps
+    // the deterministic seed centroids, the oracle-restatable form)
+    "q_semdedup_pairs" -> ((s, dir) =>
+      Similarity.semDedupPairs(tbl(s, dir, "embeddings"), threshold = 0.3,
+        nCentroids = 8, iterations = 0)),
+
+    // the ACTION: survivors after collapsing each connected semantic-dup
+    // group (transitive, within-cluster) to its min-id representative
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(tbl(s, dir, "embeddings"), threshold = 0.3,
+        nCentroids = 8, iterations = 0)),
+
     // random-hyperplane LSH band keys (ANN candidate generation) — SQL-
     // expressible because the hyperplane matrix is driver-computed literals;
     // the oracle re-states the same plane values and fold order.
@@ -722,6 +735,31 @@ object SparkEntry {
       foldSum(s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))")
     def normSql(a: String) =
       s"sqrt(${foldSum(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+    // SemDeDup CTE chain (8 seed centroids, iterations 0, τ = 0.3): seed
+    // centroids = first-8 embeddings by vec_id; assignment = argmax LEFT-
+    // FOLD dot (ties → lowest centroid_id, Spark's array_position-first
+    // rule); within-cluster pairs with floor-rounded cosine ≥ τ. Shared by
+    // q_semdedup_pairs and q_semdedup.
+    def semDedupCtes(withKw: String) =
+      raw"""$withKw cs AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS centroid_id,
+                  embedding AS cv
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         dts AS (SELECT e.vec_id, e.embedding, cs.centroid_id,
+                   ${dotSql("e.embedding", "cs.cv")} AS d
+                 FROM embeddings e CROSS JOIN cs),
+         asn AS (SELECT vec_id, embedding, centroid_id FROM (
+                   SELECT vec_id, embedding, centroid_id,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id ASC) AS rn
+                   FROM dts) r WHERE rn = 1),
+         spairs AS (SELECT * FROM (
+                      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                        CAST(a.centroid_id AS BIGINT) AS centroid_id,
+                        floor((${dotSql("a.embedding", "b.embedding")} /
+                          (${normSql("a.embedding")} * ${normSql("b.embedding")})) * 10000 + 0.5) / 10000 AS sim
+                      FROM asn a JOIN asn b
+                        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id) s
+                    WHERE sim >= 0.3)"""
+
     // shared BM25 statistics chain (tokens → tf → dl → corpus stats →
     // query-term postings → df) and the per-term score expression — used
     // unrounded by q_bm25_doc and rounded per-term by q_bm25
@@ -1401,6 +1439,24 @@ object SparkEntry {
                  floor((${dotSql("va", "vb")} / (${normSql("va")} * ${normSql("vb")})) * 10000 + 0.5) / 10000 AS sim
                  FROM p)
            SELECT id_a, id_b, sim FROM s WHERE sim >= 0.25""",
+
+      "q_semdedup_pairs" ->
+        raw"""${semDedupCtes("WITH")}
+           SELECT id_a, id_b, centroid_id, sim FROM spairs""",
+
+      // survivors: NOT IN the non-min members of each connected component
+      // of the semantic-pair graph (the q_dedup_cc transitive-closure CTE)
+      "q_semdedup" ->
+        raw"""${semDedupCtes("WITH RECURSIVE")},
+           sym AS (SELECT id_a AS u, id_b AS v FROM spairs
+                   UNION SELECT id_b, id_a FROM spairs),
+           reach(u, r) AS (
+             SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
+             UNION
+             SELECT s.u, e.v FROM reach s JOIN sym e ON e.u = s.r),
+           losers AS (SELECT u FROM reach GROUP BY u HAVING u <> min(r))
+           SELECT vec_id FROM embeddings
+           WHERE vec_id NOT IN (SELECT u FROM losers)""",
 
       "q1_agg" ->
         raw"""SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -390,4 +390,57 @@ object Similarity {
         Portable.roundAt(cosineNative(spark, col("q_vec"), col("c_vec")), roundTo).as("sim"))
     TopKBySim.rank(scored, k)
   }
+
+  // ---- SemDeDup: cluster-scoped semantic dedup ----
+
+  /**
+   * SemDeDup pairs (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+   * at web-scale through semantic deduplication"): semantic near-duplicate
+   * pairs, CLUSTER-SCOPED — the IVF coarse quantizer ([[ivfIndex]]) assigns
+   * every embedding to a centroid and only WITHIN-cluster pairs pay the
+   * exact cosine, the paper's move that makes all-pairs semantic dedup
+   * tractable at web scale (pair volume is Σ cluster² instead of corpus²;
+   * semantic duplicates land in the same cluster by construction, so
+   * in-cluster recall is the operating assumption — a near-dup pair split
+   * across a cluster boundary is deliberately not flagged, the documented
+   * recall trade, same family as the LSH candidate gap). Output
+   * `(id_a, id_b, centroid_id, sim)` with id_a < id_b and sim ≥ threshold.
+   *
+   * Scale shape: assignment is shuffle-free (centroid literals); the pair
+   * join shuffles (centroid_id, id, vec) once and is bounded per cluster.
+   * `iterations = 0` keeps the deterministic seed centroids (the
+   * oracle-restatable form); production raises it for tighter clusters.
+   */
+  def semDedupPairs(vecs: DataFrame, threshold: Double,
+                    nCentroids: Int = 8, iterations: Int = 0,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    roundTo: Int = 4): DataFrame = {
+    val (_, assigned) = ivfIndex(vecs, nCentroids, iterations, idCol, vecCol)
+    val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        Portable.roundAt(cosineNative(vecs.sparkSession, col("vec_a"), col("vec_b")), roundTo))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        col("centroid_id").cast("long").as("centroid_id"), col("sim"))
+  }
+
+  /**
+   * The SemDeDup ACTION: ids that survive collapsing every connected
+   * semantic-duplicate group (within-cluster cosine ≥ threshold, transitive
+   * closure) to its min-id representative — the embedding-space sibling of
+   * `Dedup.dedupNearCC`'s survivor rule. Returns the surviving `idCol` rows.
+   */
+  def semDedup(vecs: DataFrame, threshold: Double,
+               nCentroids: Int = 8, iterations: Int = 0,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = semDedupPairs(vecs, threshold, nCentroids, iterations, idCol, vecCol)
+      .select(col("id_a"), col("id_b"))
+    val losers = graft.dedup.ConnectedComponents.run(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    vecs.join(losers, Seq(idCol), "left_anti").select(col(idCol))
+  }
 }

@@ -236,4 +236,34 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"approx near-dup recall too low: $recall")
   }
+
+  test("SemDeDup: within-cluster transitive collapse; cross-cluster pairs are out of scope") {
+    // two seed centroids (ids 1, 2 — the first two rows define the
+    // clusters), duplicates around each, a transitive chain in cluster 0,
+    // and one near-identical pair deliberately STRADDLING the boundary
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val rows = Seq(
+      (1L, v(1, 0, 0, 0)),        // seed centroid 0
+      (2L, v(0, 1, 0, 0)),        // seed centroid 1
+      (3L, v(0.98, 0.17, 0, 0)),  // dup of 1 (cos ≈ 0.985)
+      (4L, v(0.17, 0.98, 0, 0)),  // dup of 2
+      (5L, v(0.90, 0.40, 0, 0)),  // near 3 (cos ≈ 0.95), farther from 1 (0.91)
+      (6L, v(0, 0, 1, 0)),        // isolated — assigned somewhere, no dup
+      (7L, v(0.713, 0.701, 0, 0)),  // straddle pair: cos(7, 8) ≈ 0.9998 but
+      (8L, v(0.701, 0.713, 0, 0)))  //   argmax-dot splits them across clusters
+                                    //   (7 also clears 5: cos(5, 7) ≈ 0.936 < τ)
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.semDedupPairs(rows, threshold = 0.94, nCentroids = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 4L)) && pairs.contains((3L, 5L)),
+      pairs.toString)
+    assert(!pairs.contains((7L, 8L)),
+      s"a boundary-straddling pair is out of scope by design: $pairs")
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L), pairs.toString)
+    // survivors: component minima — the 1≈3≈5 CHAIN collapses onto 1 even
+    // though cos(1, 5) = 0.91 < τ (transitive closure, not pairwise-greedy)
+    val survivors = Similarity.semDedup(rows, threshold = 0.94, nCentroids = 2)
+      .as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 6L, 7L, 8L), survivors.toString)
+  }
 }

@@ -388,6 +388,16 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
         .select(col("doc_id"), col("lang"))),
 
+    // temperature-based source mixing (the GPT-3/LLaMA data-mixing rule):
+    // per-source share re-weighted toward n^alpha under a total row budget,
+    // small-source saturation resolved by exact closed-form water-filling;
+    // alpha 0.5 is the sqrt path, exactly rounded on both engines
+    "q_source_mix" -> ((s, dir) =>
+      graft.pipeline.Sampling.temperatureMix(
+        tbl(s, dir, "documents"), "source", "doc_id",
+        alpha = 0.5, budgetFraction = 0.35)
+        .select(col("doc_id"), col("source"))),
+
     // column-profile census: rows/nulls/exact-distinct/min-max length per
     // column (exact distinct = the oracle witness; approx_count_distinct is
     // the documented 100 TB path)
@@ -1296,6 +1306,37 @@ object SparkEntry {
         raw"""SELECT doc_id, lang FROM documents
            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT)
              < CASE WHEN lang = 'en' THEN 32768 WHEN lang = 'de' THEN 16384 ELSE 6554 END""",
+
+      // water-filling restated: per-source counts, saturation thresholds
+      // t = n/sqrt(n), prefix/suffix sums over the t-ordered source table
+      // pick the unique linear segment containing lambda, and each row's
+      // md5 gate compares against floor(frac*65536 + 0.5). All arithmetic
+      // (sqrt, /, *) is correctly rounded IEEE, so the engines agree
+      // bit-for-bit on membership.
+      "q_source_mix" ->
+        raw"""WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                  FROM documents GROUP BY source),
+           s AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w,
+                   CAST(n AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) AS t FROM n),
+           tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM s),
+           seg AS (SELECT s.*, 0.35 * tot.nn AS b,
+                     coalesce(sum(n) OVER (ORDER BY t ASC, source ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_n,
+                     sum(w) OVER (ORDER BY t DESC, source DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS post_w,
+                     lag(t) OVER (ORDER BY t ASC, source ASC) AS prev_t
+                   FROM s, tot),
+           lam AS (SELECT min(CASE WHEN (b - pre_n) / post_w <= t
+                       AND (prev_t IS NULL OR (b - pre_n) / post_w >= prev_t)
+                     THEN (b - pre_n) / post_w END) AS lambda FROM seg),
+           alloc AS (SELECT source,
+                       CASE WHEN lambda IS NULL THEN 1.0
+                            ELSE least(1.0, lambda / t) END AS frac
+                     FROM s, lam)
+           SELECT d.doc_id, d.source
+           FROM documents d JOIN alloc a ON d.source IS NOT DISTINCT FROM a.source
+           WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT)
+             < CAST(floor(a.frac * 65536.0 + 0.5) AS BIGINT)""",
 
       "q_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
         raw"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -81,5 +82,106 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
+  }
+
+  /**
+   * Temperature-based source-mixing allocation — the "data mixing" step of
+   * LLM corpus recipes (the multinomial source-sampling rule of the GPT-3 /
+   * LLaMA / CCNet lineage): re-weight each source's share of the output
+   * toward `n_s^alpha` (alpha = 1: natural proportions; alpha = 0: equal
+   * share per source; alpha in between up-weights small high-quality
+   * sources against the crawl mass). Given a total row budget
+   * `budgetFraction * N`, the target take from source s is `B * p_s` with
+   * `p_s proportional to n_s^alpha` — but a small source cannot supply more
+   * rows than it has, so the allocation solves the exact WATER-FILLING
+   * problem: find lambda with `sum_s min(n_s, lambda * w_s) = B`; sources
+   * with `n_s <= lambda * w_s` saturate (keep everything) and the budget
+   * they cannot absorb spills to the rest — the same fixpoint the iterated
+   * "renormalize over unsaturated sources" loop converges to, computed in
+   * CLOSED FORM: sources sorted by saturation threshold `t_s = n_s / w_s`
+   * make `g(lambda) = sum min(n_s, lambda w_s)` piecewise linear, so one
+   * prefix-sum window over the per-source table finds the segment
+   * containing lambda and solves the linear equation on it.
+   *
+   * Returns one row per source: `(source, n, frac)` — the audit surface;
+   * `frac` is the per-row keep probability realized by the deterministic
+   * [[gate16]] gate in [[temperatureMix]]. `weighCol` generalizes the
+   * budget unit: `lit(1L)` budgets ROWS; a token-count column budgets
+   * TOKENS (the take from s is then `frac * tokens_s` in expectation,
+   * uniform over the source's docs).
+   *
+   * Scale shape: one hash agg to the per-source table (one row per DISTINCT
+   * source — domains saturate like any boilerplate vocabulary), then
+   * unpartitioned windows over THAT table only (the q_seq_pack discipline:
+   * the corpus never sees a global window; WindowExec's single-partition
+   * warning refers to the tiny totals table). Exactness note: alpha 0.5
+   * (the common T=2 temperature) computes weights via `sqrt` — correctly
+   * rounded per IEEE 754 on every engine, so the DuckDB oracle agrees
+   * bit-for-bit; general alpha goes through `pow`, which Java only bounds
+   * to 1 ulp — fine for curation, not for cross-engine hash equality.
+   */
+  def temperatureAllocation(df: DataFrame, sourceCol: String, alpha: Double,
+                            budgetFraction: Double,
+                            weighCol: Column = lit(1L)): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
+    require(budgetFraction >= 0.0 && budgetFraction <= 1.0,
+      s"budgetFraction out of [0,1]: $budgetFraction")
+    val srcs = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(weighCol).cast("long").as("n"))
+    val nD = col("n").cast("double")
+    val w = alpha match {
+      case 0.0 => lit(1.0)
+      case 0.5 => sqrt(nD) // exactly rounded — the oracle-grade path
+      case 1.0 => nD
+      case a   => pow(nD, lit(a))
+    }
+    val tot = srcs.agg(sum(col("n")).cast("double").as("__nn"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t").asc, col("source").asc)
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t").desc, col("source").desc)
+    val seg = srcs
+      .withColumn("w", w).withColumn("t", nD / col("w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("b", lit(budgetFraction) * col("__nn"))
+      .withColumn("pre_n",
+        coalesce(sum(col("n")).over(wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("post_w",
+        sum(col("w")).over(wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_t", lag(col("t"), 1).over(wAsc))
+      .withColumn("cand", (col("b") - col("pre_n")) / col("post_w"))
+    // exactly one segment satisfies g(t_{j-1}) <= B <= g(t_j); on a boundary
+    // tie two adjacent rows carry the SAME cand, so min() is deterministic.
+    // No valid row at all means B >= N: every source saturates, frac = 1
+    val lam = seg.agg(min(when(
+      col("cand") <= col("t") &&
+        (col("prev_t").isNull || col("cand") >= col("prev_t")),
+      col("cand"))).as("lambda"))
+    seg.select(col("source"), col("n"), col("t"))
+      .crossJoin(broadcast(lam))
+      .withColumn("frac",
+        when(col("lambda").isNull, lit(1.0))
+          .otherwise(least(lit(1.0), col("lambda") / col("t"))))
+      .select(col("source"), col("n"), col("frac"))
+  }
+
+  /**
+   * Apply [[temperatureAllocation]]: keep each row iff its [[gate16]] hash
+   * clears its source's allocated fraction. Deterministic per row, NESTED
+   * across growing budgets (lambda — hence every frac — is monotone in B,
+   * so a smaller budget's sample is a subset of a larger one's), and
+   * null-source rows form their own stratum (null-safe join). The
+   * allocation table is one row per source — broadcast-joined back, so the
+   * corpus itself never shuffles: the whole mix is a scan-side filter.
+   */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+                     alpha: Double, budgetFraction: Double,
+                     weighCol: Column = lit(1L)): DataFrame = {
+    val alloc = temperatureAllocation(df, sourceCol, alpha, budgetFraction, weighCol)
+      .select(col("source").as("__mix_source"), col("frac").as("__mix_frac"))
+    df.join(broadcast(alloc), col(sourceCol) <=> col("__mix_source"))
+      .filter(gate16(col(idCol)) <
+        floor(col("__mix_frac") * 65536.0 + 0.5).cast("long"))
+      .drop("__mix_source", "__mix_frac")
   }
 }

@@ -226,6 +226,73 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(deKept / 1500.0 - 0.2) < 0.04, s"de stratum kept $deKept/1500")
   }
 
+  test("temperature mix: closed-form water-filling matches the iterative reference") {
+    import graft.pipeline.Sampling
+    // 1000/100/10 docs across three sources — the crawl-vs-books-vs-wiki
+    // shape where temperature re-weighting matters
+    val df = ((0L until 1000L).map((_, "crawl")) ++
+      (1000L until 1100L).map((_, "books")) ++
+      (1100L until 1110L).map((_, "wiki"))).toDF("doc_id", "source")
+    // iterative renormalize-over-unsaturated reference (the loop the closed
+    // form replaces); sqrt mirrors the implementation's alpha-0.5 path
+    def naiveAlloc(ns: Map[String, Long], alpha: Double, budget: Double): Map[String, Double] = {
+      def w(n: Long) = if (alpha == 0.5) math.sqrt(n.toDouble)
+                       else math.pow(n.toDouble, alpha)
+      var remaining = budget * ns.values.sum
+      var active = ns.keySet
+      val frac = scala.collection.mutable.Map[String, Double]()
+      while (active.nonEmpty) {
+        val lambda = remaining / active.toSeq.sortBy(identity).map(s => w(ns(s))).sum
+        val sat = active.filter(s => ns(s) <= lambda * w(ns(s)))
+        if (sat.isEmpty) {
+          active.foreach(s => frac(s) = lambda * w(ns(s)) / ns(s))
+          active = Set.empty
+        } else {
+          sat.foreach { s => frac(s) = 1.0; remaining -= ns(s) }
+          active --= sat
+        }
+      }
+      frac.toMap
+    }
+    val ns = Map("crawl" -> 1000L, "books" -> 100L, "wiki" -> 10L)
+    for (alpha <- Seq(0.0, 0.5, 1.0); budget <- Seq(0.1, 0.5, 1.0)) {
+      val got = Sampling.temperatureAllocation(df, "source", alpha, budget)
+        .select($"source", $"frac").as[(String, Double)].collect().toMap
+      val want = naiveAlloc(ns, alpha, budget)
+      assert(got.keySet == want.keySet, s"alpha=$alpha budget=$budget: $got")
+      got.foreach { case (s, f) =>
+        assert(math.abs(f - want(s)) < 1e-9,
+          s"alpha=$alpha budget=$budget source=$s: got $f want ${want(s)}")
+      }
+      // the allocation spends exactly the budget (saturation spills to the
+      // unsaturated sources instead of silently under-filling)
+      val spent = got.map { case (s, f) => f * ns(s) }.sum
+      assert(math.abs(spent - budget * 1110.0) < 1e-6,
+        s"alpha=$alpha budget=$budget: spent $spent of ${budget * 1110.0}")
+    }
+    // alpha 0 gives saturated-small + equal-absolute-share-for-the-rest;
+    // spot-check the hand-computed fixpoint at B = 120
+    val eq = Sampling.temperatureAllocation(df, "source", 0.0, 120.0 / 1110.0)
+      .select($"source", $"frac").as[(String, Double)].collect().toMap
+    assert(eq("wiki") == 1.0 && math.abs(eq("books") * 100 - 55.0) < 1e-9 &&
+      math.abs(eq("crawl") * 1000 - 55.0) < 1e-9, eq.toString)
+
+    // the realized sample: nested across budgets, deterministic under
+    // repartitioning, null sources form their own stratum
+    val s20 = Sampling.temperatureMix(df, "source", "doc_id", 0.5, 0.2)
+      .as[(Long, String)].collect().toSet
+    val s50 = Sampling.temperatureMix(df, "source", "doc_id", 0.5, 0.5)
+      .as[(Long, String)].collect().toSet
+    assert(s20.subsetOf(s50), "mix samples are not nested across budgets")
+    val s20b = Sampling.temperatureMix(df.repartition(7), "source", "doc_id", 0.5, 0.2)
+      .as[(Long, String)].collect().toSet
+    assert(s20b == s20)
+    val withNull = Seq((Some(1L), Option("a")), (Some(2L), Option.empty[String]),
+      (Some(3L), Option.empty[String])).toDF("doc_id", "source")
+    // budget 1.0 keeps everything incl. the null stratum (identity)
+    assert(Sampling.temperatureMix(withNull, "source", "doc_id", 0.5, 1.0).count() == 3)
+  }
+
   test("LM score: matches a naive reimplementation; gibberish scores lower") {
     import graft.textanalysis.LmScore
     val texts = Seq(

@@ -398,6 +398,18 @@ object SparkEntry {
         alpha = 0.5, budgetFraction = 0.35)
         .select(col("doc_id"), col("source"))),
 
+    // model-based quality gate (CCNet/GPT-3 family): hashed-bag-of-words
+    // linear classifier in the integer-exact count-diff form (the first GD
+    // step from w=0 — bit-identical on any engine/partitioning; the FP
+    // GD path is spec-covered, not oracle surface). Labels here: lang='en'
+    // plays the trusted-reference corpus
+    "q_qclf" -> ((s, dir) => {
+      val qc = graft.textanalysis.QualityClassifier
+      val docs = tbl(s, dir, "documents")
+        .withColumn("label", (col("lang") === "en").cast("int"))
+      qc.countDiffScores(docs, qc.countDiffModel(docs, dim = 4096), dim = 4096)
+    }),
+
     // column-profile census: rows/nulls/exact-distinct/min-max length per
     // column (exact distinct = the oracle witness; approx_count_distinct is
     // the documented 100 TB path)
@@ -1306,6 +1318,27 @@ object SparkEntry {
         raw"""SELECT doc_id, lang FROM documents
            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT)
              < CASE WHEN lang = 'en' THEN 32768 WHEN lang = 'de' THEN 16384 ELSE 6554 END""",
+
+      // hashed-feature count-diff classifier restated: tokenize the
+      // normalized text, hash each token into 4096 slots via the 16-bit
+      // md5 family, per-slot diff = pos-counts - neg-counts, per-doc
+      // score = integer dot product (exact in any order), keep iff > 0
+      "q_qclf" ->
+        raw"""WITH tk AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS token
+                  FROM documents),
+           ft AS (SELECT doc_id,
+                    CAST(('0x' || substr(md5(token), 1, 4))::UBIGINT % 4096 AS INT) AS f,
+                    CAST(count(*) AS BIGINT) AS c
+                  FROM tk WHERE length(token) > 0 GROUP BY 1, 2),
+           lb AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                  FROM documents),
+           m AS (SELECT f, CAST(sum(CASE WHEN y = 1 THEN c ELSE -c END) AS BIGINT) AS diff
+                 FROM ft JOIN lb USING (doc_id) GROUP BY f),
+           sc AS (SELECT doc_id, CAST(sum(c * diff) AS BIGINT) AS score_raw
+                  FROM ft JOIN m USING (f) GROUP BY doc_id)
+           SELECT d.doc_id, coalesce(sc.score_raw, 0) AS score_raw,
+             coalesce(sc.score_raw, 0) > 0 AS keep
+           FROM documents d LEFT JOIN sc USING (doc_id)""",
 
       // water-filling restated: per-source counts, saturation thresholds
       // t = n/sqrt(n), prefix/suffix sums over the t-ordered source table

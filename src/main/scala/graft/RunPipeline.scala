@@ -31,6 +31,15 @@ import graft.pipeline.CheckpointedRun
  *                                  #   (md5(doc_id) gate: reproducible, nested across f)
  *   [--quality-gate q[:d]]         # drop text docs with quality < q or duplicate-token
  *                                  #   ratio > d (default d 0.6); media-only docs pass
+ *   [--quality-model /data/qm]     # model-based quality filter: a persisted count-diff
+ *                                  #   classifier (QualityClassifier.saveCountDiffModel
+ *                                  #   layout: diff/ + meta/ parquet) scores each text
+ *                                  #   doc's hashed unigram counts; docs with
+ *                                  #   score_raw <= threshold are dropped (GPT-3/CCNet-
+ *                                  #   style learned gate); media-only docs pass
+ *   [--quality-model-min n]        # the integer score threshold (default 0); a separate
+ *                                  #   flag, not a :suffix, because thresholds are signed
+ *                                  #   and paths may carry :port segments
  *   [--decontam /data/eval[:n]]    # drop training docs sharing an n-token n-gram
  *                                  #   (default n 13) with the eval/benchmark docs table
  *                                  #   (same interleaved-docs shape; GPT-3-style rule)
@@ -40,11 +49,13 @@ import graft.pipeline.CheckpointedRun
  *                                  #   log-prob under the reference model is < x (CCNet-
  *                                  #   style perplexity filter); docs with no bigram
  *                                  #   evidence (< 2 tokens) and media-only docs pass
- *                                  # curation order: sample -> quality gate -> LM filter
- *                                  # -> decontam -> PII scrub -> doc dedup -> span dedup
- *                                  # -> media dedup (narrow/cheap first, shuffle-bearing
- *                                  # last; dedup keys on the REDACTED text when the
- *                                  # scrub is on; span cuts on doc-dedup survivors only)
+ *                                  # curation order: sample -> quality gate -> quality
+ *                                  # model -> LM filter -> decontam -> PII scrub -> doc
+ *                                  # dedup -> span dedup -> media dedup -> source mix
+ *                                  # (narrow/cheap first, shuffle-bearing later; dedup
+ *                                  # keys on the REDACTED text when the scrub is on;
+ *                                  # span cuts on doc-dedup survivors only; the mix
+ *                                  # allocates over the CLEANED per-source counts)
  *   [--pii-scrub true]             # redact emails/IPv4/intl phones in TEXT spans with
  *                                  #   typed placeholders (Pii.redact) before correction;
  *                                  #   media spans untouched
@@ -66,6 +77,18 @@ import graft.pipeline.CheckpointedRun
  *                                  #   media_refs are rewritten in place, span order/
  *                                  #   kinds/text untouched — the modalities the text
  *                                  #   dedup family cannot see
+ *   [--source-mix alpha:budget]    # temperature-based source mixing (the GPT-3/LLaMA
+ *                                  #   data-mixing rule): per-source output share re-
+ *                                  #   weighted toward n^alpha under a total row budget
+ *                                  #   of budget*N, small-source saturation resolved by
+ *                                  #   exact water-filling (Sampling.temperatureMix);
+ *                                  #   runs LAST so allocations reflect the CLEANED
+ *                                  #   per-source counts — the recipe's semantics (mix
+ *                                  #   proportions are quoted over deduped data)
+ *   [--mix-source-col source]      # the input column naming each doc's source/domain
+ *                                  #   (default "source"; must exist when --source-mix
+ *                                  #   is set — extra input columns ride through
+ *                                  #   CorpusIO's contract check untouched)
  *   [--input-format parquet|orc]   # input + clean table format (CorpusIO.readDocs:
  *                                  #   asserts the (doc_id, spans) contract on scan)
  *   [--run-id run1] [--spans-col spans] [--clean-spans-col spans]
@@ -344,6 +367,49 @@ object RunPipeline {
       .drop("__txt", "__n", "avg_logprob")
   }
 
+  /** Model-based quality filter (`--quality-model`): score each text doc's
+    * hashed unigram counts against a persisted count-diff classifier
+    * ([[graft.textanalysis.QualityClassifier]]) and keep docs with
+    * `score_raw > minScore`. Media-only docs pass — the model has no
+    * evidence about them (same passthrough policy as the heuristic gate).
+    * The model is `<= dim` rows and broadcast; the only doc-keyed traffic
+    * is `(doc_id, f, c)` triples — text never shuffles. */
+  private def qualityModelDocs(docs: org.apache.spark.sql.DataFrame, spansCol: String,
+                               modelDir: String, minScore: Long): org.apache.spark.sql.DataFrame = {
+    import graft.textanalysis.QualityClassifier
+    val (model, dim) = QualityClassifier.loadCountDiffModel(docs.sparkSession, modelDir)
+    val tagged = tagDocText(docs, spansCol)
+    val hasText = tagged.where(col("__n") > 0)
+    val kept = QualityClassifier.countDiffScores(
+        hasText.select(col("doc_id"), col("__txt")), model, dim,
+        idCol = "doc_id", textCol = "__txt")
+      .where(col("score_raw") > minScore)
+      .select(col("doc_id"))
+    hasText.join(kept, Seq("doc_id"), "left_semi")
+      .unionByName(tagged.where(col("__n") === 0))
+      .drop("__txt", "__n")
+  }
+
+  /** `--source-mix alpha:budget` → (alpha, budgetFraction); both mandatory
+    * (there is no sensible default budget) and range-checked downstream. */
+  private[graft] def parseSourceMixSpec(spec: String): (Double, Double) =
+    spec.split(":", 2) match {
+      case Array(a, b) => (a.toDouble, b.toDouble)
+      case _ => sys.error(s"--source-mix must be alpha:budget, got '$spec'")
+    }
+
+  /** Temperature-based source mixing over the docs table (`--source-mix`):
+    * [[graft.pipeline.Sampling.temperatureMix]] on the named source column.
+    * Fails fast when the column is missing — a silent identity would ship
+    * an "alpha-mixed" corpus that was never mixed. */
+  private def sourceMixDocs(docs: org.apache.spark.sql.DataFrame, sourceCol: String,
+                            alpha: Double, budget: Double): org.apache.spark.sql.DataFrame = {
+    require(docs.columns.contains(sourceCol),
+      s"--source-mix needs column '$sourceCol' on the input table " +
+        s"(set --mix-source-col; input has ${docs.columns.mkString(",")})")
+    graft.pipeline.Sampling.temperatureMix(docs, sourceCol, "doc_id", alpha, budget)
+  }
+
   /** The submitted job, factored from [[main]] so tests drive it with their
     * own session. Returns the JSON metrics line. */
   def run(spark: SparkSession, a: Map[String, String]): String = {
@@ -375,6 +441,10 @@ object RunPipeline {
     val spanDedupSpec = a.get("span-dedup")
     val lmModel = a.get("lm-model")
     val lmMinLp = a.get("lm-min-logprob").map(_.toDouble)
+    val qualityModel = a.get("quality-model")
+    val qualityModelMin = a.getOrElse("quality-model-min", "0").toLong
+    val sourceMix = a.get("source-mix").map(parseSourceMixSpec)
+    val mixSourceCol = a.getOrElse("mix-source-col", "source")
     // both-or-neither: --lm-model alone would otherwise be a SILENT no-op
     // (an operator shipping an "LM-filtered" corpus that was never filtered)
     require(lmModel.isEmpty == lmMinLp.isEmpty,
@@ -384,14 +454,18 @@ object RunPipeline {
     val fmt = a.getOrElse("input-format", "parquet")
     val docs0 = graft.sources.CorpusIO.readDocs(spark, input, fmt, spansCol)
     // curation order: narrow row-pure filters first (sample, then the
-    // quality gate), the model-join LM filter and decontam next, the PII
-    // scrub after all drops are decided (scrub only survivors), and the
-    // shuffle-bearing dedup last — keying on the redacted text by design
+    // quality gate), the model-join filters (quality classifier, LM) and
+    // decontam next, the PII scrub after all text drops are decided (scrub
+    // only survivors), the shuffle-bearing dedup family after that — keying
+    // on the redacted text by design — and source mixing last (allocations
+    // over the cleaned counts)
     val sampled = sampleFrac.fold(docs0)(f =>
       graft.pipeline.Sampling.deterministicSample(docs0, "doc_id", f))
     val gated = gateSpec.fold(sampled)(s => gateDocs(sampled, spansCol, s))
+    val modelGated = qualityModel.fold(gated)(
+      dir => qualityModelDocs(gated, spansCol, dir, qualityModelMin))
     val lmFiltered = (for { m <- lmModel; lp <- lmMinLp }
-      yield lmFilterDocs(gated, spansCol, m, lp)).getOrElse(gated)
+      yield lmFilterDocs(modelGated, spansCol, m, lp)).getOrElse(modelGated)
     val decontamed = decontamSpec.fold(lmFiltered)(
       spec => decontamDocs(lmFiltered, spansCol, spec,
         a.getOrElse("decontam-format", fmt)))
@@ -402,10 +476,17 @@ object RunPipeline {
     // spans are cut from the SURVIVORS only
     val spanDeduped = spanDedupSpec.fold(textDeduped)(
       s => spanDedupDocs(textDeduped, spansCol, s))
-    // media dedup LAST: it rewrites refs on the surviving docs only, so
-    // every doc the text-side curation dropped costs no media decode
-    val docs = mediaDedupSpec.fold(spanDeduped)(
+    // media dedup after all text-side drops: it rewrites refs on the
+    // surviving docs only, so every doc the text-side curation dropped
+    // costs no media decode
+    val mediaDeduped = mediaDedupSpec.fold(spanDeduped)(
       s => mediaDedupDocs(spanDeduped, spansCol, s))
+    // source mixing LAST: the recipe's alpha-share is quoted over the
+    // CLEANED corpus (mixing before dedup would let duplicate mass inflate
+    // a source's allocation), and the mix itself is a broadcast-allocation
+    // scan-side filter — cheap wherever it runs
+    val docs = sourceMix.fold(mediaDeduped) { case (alpha, budget) =>
+      sourceMixDocs(mediaDeduped, mixSourceCol, alpha, budget) }
     val cleanDocs0 = if (clean == input) docs
                      else graft.sources.CorpusIO.readDocs(spark, clean, fmt, cleanSpansCol)
     // the truth table must see the same redaction as the input, or every
@@ -435,7 +516,9 @@ object RunPipeline {
       (if (piiScrub) " pii-scrub" else "") +
       spanDedupSpec.map(s => s" span-dedup=$s").getOrElse("") +
       mediaDedupSpec.map(s => s" media-dedup=$s").getOrElse("") +
-      (for { m <- lmModel; lp <- lmMinLp } yield s" lm=$m>=$lp").getOrElse("")
+      (for { m <- lmModel; lp <- lmMinLp } yield s" lm=$m>=$lp").getOrElse("") +
+      qualityModel.map(m => s" quality-model=$m>$qualityModelMin").getOrElse("") +
+      sourceMix.map { case (al, b) => s" source-mix=$al:$b@$mixSourceCol" }.getOrElse("")
     // stage token fingerprints the SOURCES: a resume of this output dir with
     // a different input/clean table (or spans columns, or dedup setting)
     // must rebuild its stages instead of silently reusing the previous
@@ -445,7 +528,9 @@ object RunPipeline {
         s"|${sampleFrac.getOrElse("")}|${gateSpec.getOrElse("")}" +
         s"|${lmModel.getOrElse("")}|${lmMinLp.getOrElse("")}" +
         s"|${decontamSpec.getOrElse("")}|$fmt|$piiScrub" +
-        s"|${mediaDedupSpec.getOrElse("")}").getBytes("UTF-8"))
+        s"|${mediaDedupSpec.getOrElse("")}|${spanDedupSpec.getOrElse("")}" +
+        s"|${qualityModel.getOrElse("")}|$qualityModelMin" +
+        s"|${sourceMix.getOrElse("")}|$mixSourceCol").getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     // docs_in comes from the staged bucketed copy WHILE it exists (an
     // empty-projection parquet count — footers only), inside the timed run;
@@ -465,7 +550,8 @@ object RunPipeline {
     // (no curation plan attached); skipped entirely on a no-op resume, and
     // equal to docs_in by definition when no curation step is active
     val curationOff = dedupMode == "none" && sampleFrac.isEmpty && gateSpec.isEmpty &&
-      decontamSpec.isEmpty && (lmModel.isEmpty || lmMinLp.isEmpty)
+      decontamSpec.isEmpty && (lmModel.isEmpty || lmMinLp.isEmpty) &&
+      qualityModel.isEmpty && sourceMix.isEmpty
     val docsInPre: Option[Long] =
       if (docsIn.isEmpty) None
       else if (curationOff) docsIn
@@ -484,7 +570,8 @@ object RunPipeline {
     val docsRemoved = for (pre <- docsInPre; post <- docsIn) yield pre - post
     val dedupRemoved =
       if (sampleFrac.isEmpty && gateSpec.isEmpty && decontamSpec.isEmpty &&
-          (lmModel.isEmpty || lmMinLp.isEmpty))
+          (lmModel.isEmpty || lmMinLp.isEmpty) &&
+          qualityModel.isEmpty && sourceMix.isEmpty)
         docsRemoved
       else None
     s"""{"run_id":${jsonStr(runId)},"docs_in":${optLong(docsIn)},""" +

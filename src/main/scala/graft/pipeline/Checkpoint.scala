@@ -166,7 +166,13 @@ object CheckpointedRun {
     val stagingDir = s"$outDir.staging-$suffix"
     val cleanStagingDir = s"$outDir.staging-clean-$suffix"
     stageBucketed(spark, docs, stagingDir, nBuckets)
-    val staged = spark.read.parquet(stagingDir)
+    // staged reads carry EXPLICIT schemas: a legitimately-empty stage (an
+    // aggressive curation config dropping every doc, or a media-only corpus
+    // with zero text spans on the clean side) writes a directory with no
+    // part files, and schema inference would fail the whole run on it
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+    val staged = spark.read.schema(docs.schema.add("bucket", IntegerType))
+      .parquet(stagingDir)
     // metrics hook: callers that want an input count read it off the staged
     // copy (footer-level, no column materialization) instead of re-scanning
     // the original upstream plan after the run
@@ -175,7 +181,10 @@ object CheckpointedRun {
     // already-staged parquet instead of re-evaluating the upstream a 2nd time
     val cleanSource = if (cleanDocs eq docs) staged.drop("bucket") else cleanDocs
     stageCleanSpans(spark, cleanSource, cleanStagingDir, nBuckets, cleanSpansCol)
-    val cleanStaged = spark.read.parquet(cleanStagingDir)
+    val cleanStaged = spark.read.schema(new StructType()
+        .add("doc_id", StringType).add("offset", IntegerType)
+        .add("text_clean", StringType).add("bucket", IntegerType))
+      .parquet(cleanStagingDir)
 
     groups.zipWithIndex.foreach { case (group, gi) =>
       failAfterGroups.foreach(k => if (gi >= k) throw new KilledException(s"injected kill before group $gi"))

@@ -94,6 +94,32 @@ object QualityClassifier {
         (coalesce(col("__raw"), lit(0L)) > 0L).as("keep"))
   }
 
+  /** Persist a count-diff model: `dir/diff` = the `(f, diff)` table,
+    * `dir/meta` = one row `(dim)`. The dim travels WITH the model — scoring
+    * with a different hash-table size than training silently scrambles every
+    * feature, so the pair is stored and loaded as a unit. */
+  def saveCountDiffModel(model: DataFrame, dim: Int, dir: String): Unit = {
+    val spark = model.sparkSession
+    import spark.implicits._
+    model.select(col("f"), col("diff")).write.mode("overwrite").parquet(s"$dir/diff")
+    Seq(dim).toDF("dim").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a persisted count-diff model, asserting the layout. Returns
+    * `(model, dim)` for [[countDiffScores]]. */
+  def loadCountDiffModel(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): (DataFrame, Int) = {
+    val model = spark.read.parquet(s"$dir/diff")
+    require(model.columns.toSet == Set("f", "diff"),
+      s"quality model $dir/diff must have (f, diff), got ${model.columns.mkString(",")}")
+    val meta = spark.read.parquet(s"$dir/meta")
+    require(meta.columns.toSet == Set("dim"),
+      s"quality model $dir/meta must have (dim), got ${meta.columns.mkString(",")}")
+    val dims = meta.select(col("dim").cast("int")).collect().map(_.getInt(0))
+    require(dims.length == 1, s"quality model $dir/meta must hold exactly one row")
+    (model, dims.head)
+  }
+
   /**
    * Full-batch logistic-regression training over hashed features:
    * `steps` gradient steps at learning rate `lr` (per-doc-averaged

@@ -415,6 +415,96 @@ class RunPipelineSpec extends SparkSpec {
       "sub-minTokens spans are immune: " + out("d3"))
   }
 
+  test("--quality-model drops low-scoring text docs, media-only docs pass") {
+    import graft.textanalysis.QualityClassifier
+    val base = Files.createTempDirectory("runpipeline_qm").toString
+    val rng = new graft.gen.DetRng(41L)
+    val goodTexts = (0 until 20).map(i => (f"doc$i%02d", DocGen.sentence(rng, 12)))
+    val spamTexts = (0 until 8).map(i => (f"spam$i%02d",
+      (0 until 12).map(j => s"wq${i}xz${j}k").mkString(" ")))
+    // train on a DISJOINT labeled slice drawn from the same two distributions
+    // (the production shape: the classifier generalizes via shared vocabulary,
+    // not doc identity)
+    val labeled = ((0 until 20).map(i => (f"pos$i%02d", DocGen.sentence(rng, 12), 1)) ++
+      (0 until 20).map(i => (f"neg$i%02d",
+        (0 until 12).map(j => s"wq${i % 8}xz${j}k").mkString(" "), 0)))
+      .toDF("doc_id", "text", "label")
+    val dim = 4096
+    val model = QualityClassifier.countDiffModel(labeled, dim)
+    QualityClassifier.saveCountDiffModel(model, dim, s"$base/qm")
+
+    // pick the threshold between the two score populations through the same
+    // public scorer (pins filter semantics, not a magic constant — hashed
+    // features at any dim carry collision noise around 0)
+    val scores = QualityClassifier.countDiffScores(
+        (goodTexts ++ spamTexts).toDF("doc_id", "text"), model, dim)
+      .select("doc_id", "score_raw").as[(String, Long)].collect().toMap
+    val minGood = goodTexts.map(t => scores(t._1)).min
+    val maxSpam = spamTexts.map(t => scores(t._1)).max
+    assert(maxSpam < minGood, s"populations must separate: $maxSpam vs $minGood")
+    val cut = (minGood + maxSpam) / 2
+
+    def spanDocs(rows: Seq[(String, String)]) = rows.toDF("doc_id", "__t").select(
+      col("doc_id"), array(struct(lit("text").as("kind"), col("__t").as("text"),
+        lit("").as("media_ref"), lit(0).cast("int").as("offset"))).as("spans"))
+    val mediaOnly = Seq(("media00",
+      Seq(graft.model.Span("media", null, "media://77", 0)))).toDF("doc_id", "spans")
+    spanDocs(goodTexts ++ spamTexts).unionByName(mediaOnly).write.parquet(s"$base/in")
+
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "quality-model" -> s"$base/qm", "quality-model-min" -> cut.toString,
+      "buckets" -> "4", "group-size" -> "2"))
+    assert(out.contains(""""docs_in":21"""), out)
+    assert(out.contains(""""docs_removed":8"""), out)
+    val written = spark.read.parquet(s"$base/out")
+    assert(written.filter(col("doc_id").startsWith("spam")).count() == 0)
+    assert(written.filter(col("doc_id") === "media00").count() == 1,
+      "media-only docs pass the model gate")
+    assert(written.select("doc_id").distinct().count() == 21)
+
+    // a threshold above every achievable score drops ALL text docs
+    val strict = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out_strict", "corrector" -> "null",
+      "quality-model" -> s"$base/qm", "quality-model-min" -> "1000000000",
+      "buckets" -> "4", "group-size" -> "2"))
+    assert(strict.contains(""""docs_in":1"""), strict)
+  }
+
+  test("--source-mix keeps exactly the temperatureMix rows; missing column fails fast") {
+    val base = Files.createTempDirectory("runpipeline_mix").toString
+    // 3 sources with skewed natural sizes riding as an EXTRA input column
+    val docs = DocGen.docs(spark, 120).toDF()
+      .select(col("doc_id"), col("noisy_spans").as("spans"))
+      .withColumn("source",
+        when(col("doc_id") < "doc000000080", "crawl")
+          .when(col("doc_id") < "doc000000110", "news").otherwise("wiki"))
+    docs.write.parquet(s"$base/in")
+
+    val expected = graft.pipeline.Sampling.temperatureMix(
+        docs, "source", "doc_id", alpha = 0.5, budgetFraction = 0.5)
+      .select("doc_id").as[String].collect().toSet
+    assert(expected.nonEmpty && expected.size < 120)
+
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "source-mix" -> "0.5:0.5", "buckets" -> "4", "group-size" -> "2"))
+    assert(out.contains(s""""docs_in":${expected.size}"""), out)
+    val written = spark.read.parquet(s"$base/out")
+      .select("doc_id").distinct().as[String].collect().toSet
+    assert(written == expected, "pipeline mix must equal the operator applied directly")
+
+    // no `source` column on the plain corpus: loud failure, not an identity
+    DocGen.docs(spark, 10).toDF()
+      .select(col("doc_id"), col("noisy_spans").as("spans")).write.parquet(s"$base/in2")
+    val e = intercept[IllegalArgumentException] {
+      RunPipeline.run(spark, Map(
+        "input" -> s"$base/in2", "output" -> s"$base/out2", "corrector" -> "null",
+        "source-mix" -> "0.5:0.5", "buckets" -> "2", "group-size" -> "2"))
+    }
+    assert(e.getMessage.contains("--mix-source-col"), e.getMessage)
+  }
+
   test("--decontam spec parse: n bounded to 1..100, URI ports stay in the path") {
     assert(RunPipeline.parseDecontamSpec("/data/eval") == ("/data/eval", 13))
     assert(RunPipeline.parseDecontamSpec("/data/eval:8") == ("/data/eval", 8))

@@ -564,6 +564,32 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(
         tbl(s, dir, "embeddings").filter(col("vec_id") < 120), threshold = 0.25)),
 
+    // int8 scalar quantization (SQ8, the FAISS-family codec): per-vector
+    // symmetric codes + scale; the summary surface pins every code via the
+    // positional checksum (all-BIGINT — bit-exact on any engine)
+    "q_sq8" -> ((s, dir) => {
+      val q = graft.similarity.Quantize.sq8Table(tbl(s, dir, "embeddings"))
+      q.select(col("vec_id"),
+        size(col("q")).cast("long").as("n_dims"),
+        Portable.roundAt(col("scale"), 6).as("scale6"),
+        array_min(col("q")).cast("long").as("q_min"),
+        array_max(col("q")).cast("long").as("q_max"),
+        aggregate(transform(col("q"), x => abs(x.cast("long"))),
+          lit(0L), (a, x) => a + x).as("q_l1"),
+        aggregate(zip_with(col("q"), sequence(lit(1), size(col("q"))),
+            (x, i) => x.cast("long") * i.cast("long")),
+          lit(0L), (a, x) => a + x).as("q_cksum"))
+    }),
+
+    // approximate top-k on the int8 codes: integer dot products (exact),
+    // floating point only in the final normalize — the 4×-smaller scan path
+    "q_sq8_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      graft.similarity.Quantize.sq8TopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
+    }),
+
     // SemDeDup (Abbas'23): k-means-cluster-scoped semantic near-dup pairs —
     // only within-cluster pairs pay the exact cosine (iterations = 0 keeps
     // the deterministic seed centroids, the oracle-restatable form)
@@ -1487,6 +1513,57 @@ object SparkEntry {
            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
              FROM s) WHERE rank <= 5""",
+
+      // SQ8 restatement: the same symmetric quantization rule, computed in
+      // the same double-op order (x*127.0/m + 0.5, floored) so the int8
+      // codes are bit-identical; every output is BIGINT or a floor-rounded
+      // double, the engine's portable oracle surface
+      "q_sq8" ->
+        raw"""WITH qt AS (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+               FROM embeddings),
+           qc AS (SELECT vec_id,
+                 CASE WHEN m IS NULL OR m = 0 THEN 0.0 ELSE m / 127.0 END AS scale,
+                 CASE WHEN m IS NULL OR m = 0
+                      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT))
+                 END AS q
+               FROM qt)
+           SELECT vec_id,
+             CAST(len(q) AS BIGINT) AS n_dims,
+             floor(scale * 1000000 + 0.5) / 1000000 AS scale6,
+             CAST(list_min(q) AS BIGINT) AS q_min,
+             CAST(list_max(q) AS BIGINT) AS q_max,
+             CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+             CAST(list_sum(list_transform(q, (x, i) -> x * i)) AS BIGINT) AS q_cksum
+           FROM qc""",
+
+      // integer dots are exact in any engine; the only floating point is
+      // one division and two sqrts, so the rounded sim is bit-identical
+      "q_sq8_topk" ->
+        raw"""WITH qt AS (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+               FROM embeddings),
+           qc AS (SELECT vec_id,
+                 CASE WHEN m IS NULL OR m = 0
+                      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT))
+                 END AS q
+               FROM qt),
+           p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.q AS qa, b.q AS qb
+                 FROM qc a JOIN qc b ON b.vec_id != a.vec_id WHERE a.vec_id < 10),
+           s AS (SELECT query_id, neighbor_id,
+                 CAST(list_sum(list_transform(list_zip(qa, qb), pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+                 CAST(list_sum(list_transform(qa, x -> x * x)) AS BIGINT) AS aa,
+                 CAST(list_sum(list_transform(qb, x -> x * x)) AS BIGINT) AS bb
+                 FROM p),
+           r AS (SELECT query_id, neighbor_id,
+                 CASE WHEN aa = 0 OR bb = 0 THEN 0.0
+                      ELSE floor((CAST(dot AS DOUBLE) / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE)))) * 10000 + 0.5) / 10000
+                 END AS sim FROM s)
+           SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             FROM r) WHERE rank <= 5""",
 
       "q_lsh_ann_bands" -> {
         // the same driver-computed hyperplane literals as the Spark plan

@@ -31,6 +31,11 @@ import graft.pipeline.CheckpointedRun
  *                                  #   (md5(doc_id) gate: reproducible, nested across f)
  *   [--quality-gate q[:d]]         # drop text docs with quality < q or duplicate-token
  *                                  #   ratio > d (default d 0.6); media-only docs pass
+ *   [--gopher minWords[:minStop]]  # full Gopher rule set (Rae'21 App. A) on the text
+ *                                  #   docs: word-count/mean-word-length bounds, symbol
+ *                                  #   ratio, alpha-word + bullet/ellipsis-line
+ *                                  #   fractions, stopword hits (defaults 50:2, the
+ *                                  #   paper's); media-only docs pass
  *   [--quality-model /data/qm]     # model-based quality filter: a persisted count-diff
  *                                  #   classifier (QualityClassifier.saveCountDiffModel
  *                                  #   layout: diff/ + meta/ parquet) scores each text
@@ -49,8 +54,9 @@ import graft.pipeline.CheckpointedRun
  *                                  #   log-prob under the reference model is < x (CCNet-
  *                                  #   style perplexity filter); docs with no bigram
  *                                  #   evidence (< 2 tokens) and media-only docs pass
- *                                  # curation order: sample -> quality gate -> quality
- *                                  # model -> LM filter -> decontam -> PII scrub -> doc
+ *                                  # curation order: sample -> quality gate -> gopher
+ *                                  # -> quality model -> LM filter -> decontam -> PII
+ *                                  # scrub -> doc
  *                                  # dedup -> span dedup -> media dedup -> source mix
  *                                  # (narrow/cheap first, shuffle-bearing later; dedup
  *                                  # keys on the REDACTED text when the scrub is on;
@@ -89,8 +95,10 @@ import graft.pipeline.CheckpointedRun
  *                                  #   (default "source"; must exist when --source-mix
  *                                  #   is set — extra input columns ride through
  *                                  #   CorpusIO's contract check untouched)
- *   [--input-format parquet|orc]   # input + clean table format (CorpusIO.readDocs:
- *                                  #   asserts the (doc_id, spans) contract on scan)
+ *   [--input-format parquet|orc|jsonl] # input + clean table format (CorpusIO.readDocs:
+ *                                  #   asserts the (doc_id, spans) contract on scan;
+ *                                  #   jsonl reads the canonical record with an explicit
+ *                                  #   schema — no inference pass)
  *   [--run-id run1] [--spans-col spans] [--clean-spans-col spans]
  *   [--buckets 64] [--group-size 8] [--salted true]
  * }}}
@@ -192,6 +200,27 @@ object RunPipeline {
     val kept = graft.streaming.StreamingOps.qualityGate(
         tagged.where(col("__n") > 0), "__txt", q, d)
       .drop("quality", "dup_token_ratio", "dup_bigram_frac")
+    kept.unionByName(tagged.where(col("__n") === 0)).drop("__txt", "__n")
+  }
+
+  /** The full Gopher heuristic gate (Rae'21 App. A) over assembled doc
+    * text: one native `gopher_signals` call per doc, thresholds from the
+    * `minWords[:minStopHits]` spec (other rules at the paper's defaults).
+    * Media-only docs pass, like every text gate in this chain. */
+  private def gopherDocs(docs: org.apache.spark.sql.DataFrame,
+                         spansCol: String, spec: String): org.apache.spark.sql.DataFrame = {
+    val (minW, minS) = spec.split(":", 2) match {
+      case Array(w, s) => (w.toLong, s.toLong)
+      case Array(w) if w.nonEmpty => (w.toLong, 2L)
+      case _ => (50L, 2L)
+    }
+    import graft.textanalysis.TextAnalysis
+    val tagged = tagDocText(docs, spansCol)
+    val kept = tagged.where(col("__n") > 0)
+      .withColumn("__gsig",
+        TextAnalysis.gopherSignals(docs.sparkSession, coalesce(col("__txt"), lit(""))))
+      .where(TextAnalysis.gopherKeep(col("__gsig"), minWords = minW, minStopHits = minS))
+      .drop("__gsig")
     kept.unionByName(tagged.where(col("__n") === 0)).drop("__txt", "__n")
   }
 
@@ -462,8 +491,9 @@ object RunPipeline {
     val sampled = sampleFrac.fold(docs0)(f =>
       graft.pipeline.Sampling.deterministicSample(docs0, "doc_id", f))
     val gated = gateSpec.fold(sampled)(s => gateDocs(sampled, spansCol, s))
-    val modelGated = qualityModel.fold(gated)(
-      dir => qualityModelDocs(gated, spansCol, dir, qualityModelMin))
+    val gophered = a.get("gopher").fold(gated)(s => gopherDocs(gated, spansCol, s))
+    val modelGated = qualityModel.fold(gophered)(
+      dir => qualityModelDocs(gophered, spansCol, dir, qualityModelMin))
     val lmFiltered = (for { m <- lmModel; lp <- lmMinLp }
       yield lmFilterDocs(modelGated, spansCol, m, lp)).getOrElse(modelGated)
     val decontamed = decontamSpec.fold(lmFiltered)(

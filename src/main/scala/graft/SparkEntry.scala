@@ -309,6 +309,26 @@ object SparkEntry {
           Portable.round4(element_at(col("__q"), 5)).as("quality"))
     }),
 
+    // the full Gopher rule set (Rae'21 App. A) on the native one-pass
+    // kernel; minStopHits=1 because the synthetic vocabulary carries only
+    // one of the paper's 8 stopwords — every other threshold is the
+    // paper's default, and wc/mwl really split this corpus
+    "q_gopher" -> ((s, dir) => {
+      val g = TextAnalysis.gopherSignals(s, col("text"))
+      tbl(s, dir, "documents")
+        .withColumn("__g", g)
+        .select(col("doc_id"),
+          element_at(col("__g"), 1).cast("long").as("wc"),
+          Portable.round4(element_at(col("__g"), 2)).as("mwl"),
+          Portable.round4(element_at(col("__g"), 3)).as("symr"),
+          Portable.round4(element_at(col("__g"), 4)).as("alphaf"),
+          Portable.round4(element_at(col("__g"), 5)).as("bulletf"),
+          Portable.round4(element_at(col("__g"), 6)).as("ellipf"),
+          element_at(col("__g"), 7).cast("long").as("stop_hits"),
+          TextAnalysis.gopherKeep(col("__g"), minStopHits = 1)
+            .cast("long").as("keep"))
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.contentFingerprint(col("text")).as("fp"),
@@ -1083,6 +1103,39 @@ object SparkEntry {
            SELECT doc_id, floor(alpha * 10000 + 0.5) / 10000 AS alpha_ratio, floor(punct * 10000 + 0.5) / 10000 AS punct_ratio,
              floor(stopr * 10000 + 0.5) / 10000 AS stopword_ratio, floor(mtl * 10000 + 0.5) / 10000 AS mean_token_len,
              floor(greatest(least(least(nt / 100.0, 1.0) * 0.3 + alpha * 0.4 + stopr * 0.3 - punct * 0.5, 1.0), 0.0) * 10000 + 0.5) / 10000 AS quality
+           FROM g""",
+
+      // Gopher rules: same ws-token discipline as q_quality; `...` counted
+      // non-overlapping via replace length-difference (exactly the kernel's
+      // indexOf walk); line predicates anchored regexes over chr(10) splits
+      // (DuckDB string_split keeps trailing empties, like Java split -1);
+      // keep computed on UNROUNDED signals in both engines
+      "q_gopher" ->
+        raw"""WITH f AS (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0) AS t,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0) AS lt,
+             string_split(text, chr(10)) AS ln
+             FROM documents),
+           g AS (SELECT doc_id, len(t) AS wc, len(ln) AS nl,
+             CASE WHEN len(t) = 0 THEN 0.0 ELSE list_aggregate(list_transform(t, x -> length(x)), 'sum') * 1.0 / len(t) END AS mwl,
+             CASE WHEN len(t) = 0 THEN 0.0 ELSE
+               ((length(text) - length(replace(text, '...', ''))) / 3
+                + (length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '…', '')))) * 1.0 / len(t) END AS symr,
+             CASE WHEN len(t) = 0 THEN 0.0 ELSE
+               len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0 / len(t) END AS alphaf,
+             len(list_filter(ln, l -> regexp_matches(l, '^[ \t]*[-*•‣]'))) * 1.0 / len(ln) AS bulletf,
+             len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$$'))) * 1.0 / len(ln) AS ellipf,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(lt, s))) AS stop_hits
+             FROM f)
+           SELECT doc_id, CAST(wc AS BIGINT) AS wc,
+             ${Portable.round4Sql("mwl")} AS mwl, ${Portable.round4Sql("symr")} AS symr,
+             ${Portable.round4Sql("alphaf")} AS alphaf, ${Portable.round4Sql("bulletf")} AS bulletf,
+             ${Portable.round4Sql("ellipf")} AS ellipf, CAST(stop_hits AS BIGINT) AS stop_hits,
+             CAST(CASE WHEN wc >= 50 AND wc <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+                  AND symr <= 0.1 AND alphaf >= 0.8 AND bulletf <= 0.9
+                  AND ellipf <= 0.3 AND stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
            FROM g""",
 
       "q_fingerprint" ->

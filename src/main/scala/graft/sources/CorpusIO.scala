@@ -97,12 +97,23 @@ object CorpusIO {
     * (doc_id would create one directory per doc). */
   def writeDocs(df: DataFrame, path: String, format: String = "parquet",
                 partCols: Seq[String] = Seq.empty): Unit = {
-    require(Set("parquet", "orc")(format), s"unsupported docs format: $format")
+    require(Set("parquet", "orc", "jsonl")(format), s"unsupported docs format: $format")
     require(partCols.forall(df.columns.contains),
       s"partition columns ${partCols.mkString(",")} must exist in ${df.columns.mkString(",")}")
-    val w = df.write.mode("overwrite").format(format)
+    val w = df.write.mode("overwrite").format(if (format == "jsonl") "json" else format)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).save(path)
   }
+
+  /** The canonical interleaved-docs record for the JSONL interchange
+    * boundary — exactly the input-contract shape `(doc_id, spans:
+    * array<struct<kind, text, media_ref, offset:int32>>)`. */
+  def docsJsonSchema(spansCol: String = "spans"): StructType = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField(spansCol, ArrayType(StructType(Seq(
+      StructField("kind", StringType),
+      StructField("text", StringType),
+      StructField("media_ref", StringType),
+      StructField("offset", IntegerType)))))))
 
   /** Scan an interleaved-docs table, asserting the contract — `doc_id`
     * plus a spans column that is an `array<struct<...kind, text...>>` —
@@ -111,8 +122,15 @@ object CorpusIO {
     * an opaque AnalysisException deep in the pipeline). */
   def readDocs(spark: SparkSession, path: String, format: String = "parquet",
                spansCol: String = "spans"): DataFrame = {
-    require(Set("parquet", "orc")(format), s"unsupported docs format: $format")
-    val df = spark.read.format(format).load(path)
+    require(Set("parquet", "orc", "jsonl")(format), s"unsupported docs format: $format")
+    // JSONL (the LLM-corpus interchange format: one JSON doc per line)
+    // reads with the EXPLICIT canonical schema — schema inference would
+    // cost a full extra pass over 100 TB and silently widen offset to
+    // int64; columns beyond the contract are deliberately not carried
+    // across this boundary (use parquet/orc for engine-internal tables)
+    val df = if (format == "jsonl")
+      spark.read.schema(docsJsonSchema(spansCol)).json(path)
+    else spark.read.format(format).load(path)
     require(df.columns.contains("doc_id") && df.columns.contains(spansCol),
       s"docs table at $path must have (doc_id, $spansCol), got ${df.columns.mkString(",")}")
     import org.apache.spark.sql.types.{ArrayType, StructType}

@@ -233,4 +233,61 @@ object TextAnalysis {
           col("dup_occ").cast("double") / col("nbg").cast("double"))
           .otherwise(0.0)).as("dup_bigram_frac"))
   }
+
+  // ---- Gopher quality rules (Rae et al. '21, Appendix A) ----
+
+  /** The eight Gopher rule signals as the native one-pass kernel
+    * ([[org.apache.spark.sql.graft.GopherSignals]]): `array<double>` of
+    * [word_count, mean_word_len, symbol_ratio, alpha_word_frac,
+    * bullet_line_frac, ellipsis_line_frac, stopword_hits, line_count].
+    * Hot-path form; [[gopherSignalsColumns]] is the equivalence witness. */
+  def gopherSignals(spark: org.apache.spark.sql.SparkSession, text: Column): Column = {
+    org.apache.spark.sql.graft.GopherSignalsExpr.register(spark)
+    call_function("gopher_signals", text)
+  }
+
+  /** Pure-Column witness of [[gopherSignals]], value-identical by
+    * construction: same ws-token discipline, non-overlapping `...` count
+    * (replace length-difference), anchored line regexes equivalent to the
+    * kernel's char scans. Five HOF lambdas + two regex filters per row —
+    * keep for testing/oracles, route production through the kernel. */
+  def gopherSignalsColumns(text: Column): Column = {
+    val toks = wsTokens(text)
+    val ltoks = wsTokens(lower(text))
+    val lines = split(text, "\n", -1)
+    val wc = size(toks)
+    val wcD = wc.cast("double")
+    def cnt(pat: String, w: Int): Column =
+      (length(text) - length(replace(text, lit(pat), lit("")))).cast("double") / w.toDouble
+    val symbols = cnt("...", 3) + cnt("#", 1) + cnt("…", 1)
+    val stopArr = array(org.apache.spark.sql.graft.GopherKernel.Stopwords.map(lit): _*)
+    array(
+      wcD,
+      meanTokenLenOf(toks),
+      when(wc === 0, 0.0).otherwise(symbols / wcD),
+      when(wc === 0, 0.0).otherwise(
+        size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("double") / wcD),
+      size(filter(lines, l => l.rlike("^[ \t]*[-*•‣]"))).cast("double") /
+        size(lines).cast("double"),
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \t]*$"))).cast("double") /
+        size(lines).cast("double"),
+      size(filter(stopArr, s => array_contains(ltoks, s))).cast("double"),
+      size(lines).cast("double"))
+  }
+
+  /** The Gopher keep decision over a signals array (either form), with the
+    * paper's default thresholds. Word-count bounds are the knob real
+    * curations tune per corpus — exposed as parameters. */
+  def gopherKeep(sig: Column, minWords: Long = 50, maxWords: Long = 100000,
+                 minMeanWord: Double = 3.0, maxMeanWord: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+                 maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                 minStopHits: Long = 2): Column =
+    sig(0) >= minWords.toDouble && sig(0) <= maxWords.toDouble &&
+      sig(1) >= minMeanWord && sig(1) <= maxMeanWord &&
+      sig(2) <= maxSymbolRatio &&
+      sig(3) >= minAlphaFrac &&
+      sig(4) <= maxBulletFrac &&
+      sig(5) <= maxEllipsisFrac &&
+      sig(6) >= minStopHits.toDouble
 }

@@ -93,6 +93,32 @@ class CorpusIOSpec extends SparkSpec {
     intercept[IllegalArgumentException] { CorpusIO.writeDocs(docs.toDS().toDF(), path, "avro") }
   }
 
+  test("JSONL docs round-trip: canonical record, explicit schema, unicode + nulls intact") {
+    import graft.model.{Doc, Span}
+    val docs = Seq(
+      Doc("d0", Seq(Span(Span.KindText, "héllo \"quoted\" wörld\nsecond line", "", 0),
+                    Span(Span.KindMedia, "", "m1", 1))),
+      Doc("d1", Seq(Span(Span.KindText, "čišćenje — unicode", "", 0))),
+      Doc("d2", Seq.empty))
+    val path = tmp("jsonldocs")
+    CorpusIO.writeDocs(docs.toDS().toDF(), path, "jsonl")
+    // the sink really is line-delimited JSON (one parseable object per line)
+    val lines = spark.read.text(path).collect().map(_.getString(0))
+    assert(lines.nonEmpty && lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    val back = CorpusIO.readDocs(spark, path, "jsonl").as[Doc].collect()
+      .map(d => d.doc_id -> d).toMap
+    // JSON has no empty-array-vs-null distinction worth preserving here;
+    // compare per-doc with empty-span normalization
+    docs.foreach { d =>
+      val got = back(d.doc_id)
+      assert(Option(got.spans).getOrElse(Seq.empty) == d.spans, s"${d.doc_id}: $got")
+    }
+    // offset stays int32 via the explicit schema (inference would widen to long)
+    val offT = CorpusIO.readDocs(spark, path, "jsonl")
+      .select(explode(col("spans")).as("s")).select(col("s.offset")).schema.head.dataType
+    assert(offT == org.apache.spark.sql.types.IntegerType, offT.toString)
+  }
+
   test("partitioned docs sink: lang filter prunes partitions at the scan") {
     val path = tmp("partdocs")
     val docs = Seq(

@@ -229,6 +229,38 @@ class RunPipelineSpec extends SparkSpec {
     assert(again.contains(""""docs_removed":null"""), again)
   }
 
+  test("--gopher drops bullet-heavy and too-short docs; media-only docs pass") {
+    val base = Files.createTempDirectory("runpipeline17").toString
+    def oneTextDoc(tag: String, n: Int, text: org.apache.spark.sql.Column) = spark.range(n).select(
+      concat(lit(tag), col("id")).as("doc_id"),
+      array(struct(lit("text").as("kind"), text,
+        lit("").as("media_ref"), lit(0).cast("int").as("offset"))).as("spans"))
+    // healthy: 40 plain words + the two stopwords the 2-hit floor needs
+    val good = oneTextDoc("good", 10, concat_ws(" ",
+      (0 until 40).map(j => lit(s"word$j")) ++ Seq(lit("the"), lit("with")): _*).as("text"))
+    // every line a bullet → bullet_line_frac 1.0 > 0.9
+    val bullets = oneTextDoc("bul", 10, concat_ws("\n",
+      (0 until 12).map(j => lit(s"- item$j the with")): _*).as("text"))
+    // 3 words < the 10-word floor
+    val short = oneTextDoc("short", 10, lit("the with end").as("text"))
+    val media = spark.range(2).select(
+      concat(lit("media"), col("id")).as("doc_id"),
+      array(struct(lit("media").as("kind"), lit("").as("text"),
+        lit("m0").as("media_ref"), lit(0).cast("int").as("offset"))).as("spans"))
+    good.union(bullets).union(short).union(media).write.parquet(s"$base/in")
+
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "gopher" -> "10:2", "buckets" -> "4", "group-size" -> "2"))
+    assert(out.contains(""""docs_in":12"""), out) // 10 good + 2 media
+    val written = spark.read.parquet(s"$base/out")
+    assert(written.filter(col("doc_id").startsWith("bul")).count() == 0)
+    assert(written.filter(col("doc_id").startsWith("short")).count() == 0)
+    assert(written.filter(col("doc_id").startsWith("good")).count() == 10)
+    assert(written.filter(col("doc_id").startsWith("media")).count() == 2,
+      "media-only docs must pass the gopher gate")
+  }
+
   test("--lm-model/--lm-min-logprob drops out-of-distribution docs") {
     import graft.textanalysis.LmScore
     import spark.implicits._
@@ -273,6 +305,14 @@ class RunPipelineSpec extends SparkSpec {
       "input" -> s"$base/in_orc", "output" -> s"$base/out_orc", "corrector" -> "null",
       "input-format" -> "orc", "buckets" -> "4", "group-size" -> "2"))
     assert(orcOut.contains(""""docs_in":20"""), orcOut)
+
+    // JSONL input end-to-end via --input-format (canonical record, explicit
+    // schema on scan — the LLM-corpus interchange boundary)
+    graft.sources.CorpusIO.writeDocs(spanDocs(healthyTexts), s"$base/in_jsonl", "jsonl")
+    val jsonlOut = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in_jsonl", "output" -> s"$base/out_jsonl", "corrector" -> "null",
+      "input-format" -> "jsonl", "buckets" -> "4", "group-size" -> "2"))
+    assert(jsonlOut.contains(""""docs_in":20"""), jsonlOut)
 
     // --decontam: docs sharing an 8-gram with the eval table are dropped
     // (the fixture sentences are 10 tokens, so the default 13-gram window

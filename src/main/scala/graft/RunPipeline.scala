@@ -54,8 +54,18 @@ import graft.pipeline.CheckpointedRun
  *                                  #   log-prob under the reference model is < x (CCNet-
  *                                  #   style perplexity filter); docs with no bigram
  *                                  #   evidence (< 2 tokens) and media-only docs pass
+ *   [--dsir-model /data/dsir]      # DSIR importance resampling (Xie'23): a persisted
+ *                                  #   target bag-of-ngrams model (Dsir.saveModel
+ *                                  #   layout: counts/ + meta/ parquet); text docs are
+ *                                  #   Gumbel-top-k sampled ∝ their importance weight
+ *                                  #   against it — distribution matching, not a score
+ *                                  #   gate; media-only docs pass
+ *   [--dsir-k n]                   # with --dsir-model: the resample budget (count of
+ *                                  #   text docs kept); both-or-neither with the model
+ *   [--dsir-alpha x]               # add-α bucket-model smoothing (default 0.5)
  *                                  # curation order: sample -> quality gate -> gopher
- *                                  # -> quality model -> LM filter -> decontam -> PII
+ *                                  # -> quality model -> LM filter -> DSIR resample
+ *                                  # -> decontam -> PII
  *                                  # scrub -> doc
  *                                  # dedup -> span dedup -> media dedup -> source mix
  *                                  # (narrow/cheap first, shuffle-bearing later; dedup
@@ -419,6 +429,28 @@ object RunPipeline {
       .drop("__txt", "__n")
   }
 
+  /** DSIR importance resampling (`--dsir-model`/`--dsir-k`): Gumbel-top-k
+    * sample `k` text docs ∝ their importance weight against a persisted
+    * target model ([[graft.textanalysis.Dsir]]). Media-only docs pass —
+    * the model has no evidence about them (the quality-filter family's
+    * passthrough policy), so the output holds k text docs PLUS the media
+    * passthrough. Distribution matching, not a gate: the budget is spent
+    * to REPRODUCE the target's hashed-n-gram distribution. */
+  private def dsirDocs(docs: org.apache.spark.sql.DataFrame, spansCol: String,
+                       modelDir: String, k: Int, alpha: Double): org.apache.spark.sql.DataFrame = {
+    import graft.textanalysis.Dsir
+    val (counts, dim) = Dsir.loadModel(docs.sparkSession, modelDir)
+    val tagged = tagDocText(docs, spansCol)
+    val hasText = tagged.where(col("__n") > 0)
+    val picked = Dsir.resample(
+        hasText.select(col("doc_id"), col("__txt")), counts, k, dim, alpha,
+        idCol = "doc_id", textCol = "__txt")
+      .select(col("doc_id"))
+    hasText.join(picked, Seq("doc_id"), "left_semi")
+      .unionByName(tagged.where(col("__n") === 0))
+      .drop("__txt", "__n")
+  }
+
   /** `--source-mix alpha:budget` → (alpha, budgetFraction); both mandatory
     * (there is no sensible default budget) and range-checked downstream. */
   private[graft] def parseSourceMixSpec(spec: String): (Double, Double) =
@@ -464,6 +496,7 @@ object RunPipeline {
     val dedupMode = a.getOrElse("dedup", "none")
     val sampleFrac = a.get("sample").map(_.toDouble)
     val gateSpec = a.get("quality-gate")
+    val gopherSpec = a.get("gopher")
     val decontamSpec = a.get("decontam")
     val piiScrub = a.get("pii-scrub").exists(_.toBoolean)
     val mediaDedupSpec = a.get("media-dedup")
@@ -474,10 +507,17 @@ object RunPipeline {
     val qualityModelMin = a.getOrElse("quality-model-min", "0").toLong
     val sourceMix = a.get("source-mix").map(parseSourceMixSpec)
     val mixSourceCol = a.getOrElse("mix-source-col", "source")
+    val dsirModel = a.get("dsir-model")
+    val dsirK = a.get("dsir-k").map(_.toInt)
+    val dsirAlpha = a.getOrElse("dsir-alpha", "0.5").toDouble
     // both-or-neither: --lm-model alone would otherwise be a SILENT no-op
     // (an operator shipping an "LM-filtered" corpus that was never filtered)
     require(lmModel.isEmpty == lmMinLp.isEmpty,
       "--lm-model and --lm-min-logprob must be provided together")
+    // same rule for DSIR: a model with no budget (or a budget with no
+    // model) has no defined behavior — fail loudly, not silently
+    require(dsirModel.isEmpty == dsirK.isEmpty,
+      "--dsir-model and --dsir-k must be provided together")
 
     val t0 = System.nanoTime()
     val fmt = a.getOrElse("input-format", "parquet")
@@ -491,13 +531,18 @@ object RunPipeline {
     val sampled = sampleFrac.fold(docs0)(f =>
       graft.pipeline.Sampling.deterministicSample(docs0, "doc_id", f))
     val gated = gateSpec.fold(sampled)(s => gateDocs(sampled, spansCol, s))
-    val gophered = a.get("gopher").fold(gated)(s => gopherDocs(gated, spansCol, s))
+    val gophered = gopherSpec.fold(gated)(s => gopherDocs(gated, spansCol, s))
     val modelGated = qualityModel.fold(gophered)(
       dir => qualityModelDocs(gophered, spansCol, dir, qualityModelMin))
     val lmFiltered = (for { m <- lmModel; lp <- lmMinLp }
       yield lmFilterDocs(modelGated, spansCol, m, lp)).getOrElse(modelGated)
-    val decontamed = decontamSpec.fold(lmFiltered)(
-      spec => decontamDocs(lmFiltered, spansCol, spec,
+    // DSIR after the gates (resample the budget over docs that survived the
+    // cheap filters), before the shuffle-bearing stages (every doc the
+    // resample drops costs no decontam/dedup work)
+    val dsired = (for { m <- dsirModel; k <- dsirK }
+      yield dsirDocs(lmFiltered, spansCol, m, k, dsirAlpha)).getOrElse(lmFiltered)
+    val decontamed = decontamSpec.fold(dsired)(
+      spec => decontamDocs(dsired, spansCol, spec,
         a.getOrElse("decontam-format", fmt)))
     val scrubbed = if (piiScrub) piiScrubDocs(decontamed, spansCol) else decontamed
     val textDeduped = if (dedupMode == "none") scrubbed
@@ -542,12 +587,14 @@ object RunPipeline {
       s"buckets=$nBuckets groupSize=$groupSize salted=$salted dedup=$dedupMode" +
       sampleFrac.map(f => s" sample=$f").getOrElse("") +
       gateSpec.map(g => s" gate=$g").getOrElse("") +
+      gopherSpec.map(g => s" gopher=$g").getOrElse("") +
       decontamSpec.map(d => s" decontam=$d").getOrElse("") +
       (if (piiScrub) " pii-scrub" else "") +
       spanDedupSpec.map(s => s" span-dedup=$s").getOrElse("") +
       mediaDedupSpec.map(s => s" media-dedup=$s").getOrElse("") +
       (for { m <- lmModel; lp <- lmMinLp } yield s" lm=$m>=$lp").getOrElse("") +
       qualityModel.map(m => s" quality-model=$m>$qualityModelMin").getOrElse("") +
+      (for { m <- dsirModel; k <- dsirK } yield s" dsir=$m@$k:$dsirAlpha").getOrElse("") +
       sourceMix.map { case (al, b) => s" source-mix=$al:$b@$mixSourceCol" }.getOrElse("")
     // stage token fingerprints the SOURCES: a resume of this output dir with
     // a different input/clean table (or spans columns, or dedup setting)
@@ -556,10 +603,12 @@ object RunPipeline {
     val stageToken = java.security.MessageDigest.getInstance("MD5")
       .digest((s"$input|$clean|$spansCol|$cleanSpansCol|$dedupMode" +
         s"|${sampleFrac.getOrElse("")}|${gateSpec.getOrElse("")}" +
+        s"|${gopherSpec.getOrElse("")}" +
         s"|${lmModel.getOrElse("")}|${lmMinLp.getOrElse("")}" +
         s"|${decontamSpec.getOrElse("")}|$fmt|$piiScrub" +
         s"|${mediaDedupSpec.getOrElse("")}|${spanDedupSpec.getOrElse("")}" +
         s"|${qualityModel.getOrElse("")}|$qualityModelMin" +
+        s"|${dsirModel.getOrElse("")}|${dsirK.getOrElse("")}|$dsirAlpha" +
         s"|${sourceMix.getOrElse("")}|$mixSourceCol").getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     // docs_in comes from the staged bucketed copy WHILE it exists (an
@@ -580,8 +629,8 @@ object RunPipeline {
     // (no curation plan attached); skipped entirely on a no-op resume, and
     // equal to docs_in by definition when no curation step is active
     val curationOff = dedupMode == "none" && sampleFrac.isEmpty && gateSpec.isEmpty &&
-      decontamSpec.isEmpty && (lmModel.isEmpty || lmMinLp.isEmpty) &&
-      qualityModel.isEmpty && sourceMix.isEmpty
+      gopherSpec.isEmpty && decontamSpec.isEmpty && (lmModel.isEmpty || lmMinLp.isEmpty) &&
+      qualityModel.isEmpty && (dsirModel.isEmpty || dsirK.isEmpty) && sourceMix.isEmpty
     val docsInPre: Option[Long] =
       if (docsIn.isEmpty) None
       else if (curationOff) docsIn
@@ -599,9 +648,10 @@ object RunPipeline {
     // sample/gate are also active (the delta is then not attributable)
     val docsRemoved = for (pre <- docsInPre; post <- docsIn) yield pre - post
     val dedupRemoved =
-      if (sampleFrac.isEmpty && gateSpec.isEmpty && decontamSpec.isEmpty &&
-          (lmModel.isEmpty || lmMinLp.isEmpty) &&
-          qualityModel.isEmpty && sourceMix.isEmpty)
+      if (sampleFrac.isEmpty && gateSpec.isEmpty && gopherSpec.isEmpty &&
+          decontamSpec.isEmpty && (lmModel.isEmpty || lmMinLp.isEmpty) &&
+          qualityModel.isEmpty && (dsirModel.isEmpty || dsirK.isEmpty) &&
+          sourceMix.isEmpty)
         docsRemoved
       else None
     s"""{"run_id":${jsonStr(runId)},"docs_in":${optLong(docsIn)},""" +

@@ -253,6 +253,11 @@ class RunPipelineSpec extends SparkSpec {
       "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
       "gopher" -> "10:2", "buckets" -> "4", "group-size" -> "2"))
     assert(out.contains(""""docs_in":12"""), out) // 10 good + 2 media
+    // the gopher gate is real curation: the pre-curation count and removal
+    // delta must be reported (regression — the flag was once missing from
+    // the curation predicates, so docs_removed read 0 with --gopher alone)
+    assert(out.contains(""""docs_in_pre":32"""), out)
+    assert(out.contains(""""docs_removed":20"""), out)
     val written = spark.read.parquet(s"$base/out")
     assert(written.filter(col("doc_id").startsWith("bul")).count() == 0)
     assert(written.filter(col("doc_id").startsWith("short")).count() == 0)
@@ -509,6 +514,53 @@ class RunPipelineSpec extends SparkSpec {
       "quality-model" -> s"$base/qm", "quality-model-min" -> "1000000000",
       "buckets" -> "4", "group-size" -> "2"))
     assert(strict.contains(""""docs_in":1"""), strict)
+  }
+
+  test("--dsir-model/--dsir-k resamples the text-doc budget toward the target; media passes") {
+    import graft.textanalysis.Dsir
+    val base = Files.createTempDirectory("runpipeline_dsir").toString
+    // small closed vocabulary so the target model genuinely COVERS the
+    // in-distribution docs' grams (a thin target over an open vocabulary
+    // alpha-floors good and spam alike — DSIR then rightly penalizes
+    // whatever is merely raw-common, which is not what this test pins)
+    val goodV = Seq("theorem", "proof", "lemma", "analysis", "measure", "bound")
+    def vocabDoc(i: Long, v: Seq[String]): String =
+      (0 until 12).map(j => v(((i * 31 + j * 7) % v.size).toInt)).mkString("the ", " the ", "")
+    val goodTexts = (0 until 20).map(i => (f"doc$i%02d", vocabDoc(i.toLong, goodV)))
+    val spamTexts = (0 until 8).map(i => (f"spam$i%02d",
+      (0 until 12).map(j => s"wq${i}xz${j}k").mkString(" ")))
+    // target model trained on a DISJOINT slice of the same distribution —
+    // the production shape (the trusted corpus is not the crawl)
+    val target = (100 until 130).map(i => (f"tgt$i%02d", vocabDoc(i.toLong, goodV)))
+      .toDF("doc_id", "text")
+    val dim = 4096
+    Dsir.saveModel(target, dim, s"$base/dsir")
+
+    def spanDocs(rows: Seq[(String, String)]) = rows.toDF("doc_id", "__t").select(
+      col("doc_id"), array(struct(lit("text").as("kind"), col("__t").as("text"),
+        lit("").as("media_ref"), lit(0).cast("int").as("offset"))).as("spans"))
+    val mediaOnly = Seq(("media00",
+      Seq(graft.model.Span("media", null, "media://77", 0)))).toDF("doc_id", "spans")
+    spanDocs(goodTexts ++ spamTexts).unionByName(mediaOnly).write.parquet(s"$base/in")
+
+    // budget = exactly the in-distribution half: the logw separation
+    // (tens of nats over 12-token docs) dominates the bounded Gumbel
+    // noise, so the resample keeps every good doc and no spam
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "dsir-model" -> s"$base/dsir", "dsir-k" -> "20",
+      "buckets" -> "4", "group-size" -> "2"))
+    assert(out.contains(""""docs_in":21"""), out)
+    val written = spark.read.parquet(s"$base/out")
+    assert(written.filter(col("doc_id").startsWith("spam")).count() == 0)
+    assert(written.filter(col("doc_id") === "media00").count() == 1,
+      "media-only docs pass the DSIR resample")
+    assert(written.select("doc_id").distinct().count() == 21)
+
+    // a model without a budget (or vice versa) fails loudly, not silently
+    assertThrows[IllegalArgumentException](RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out2", "corrector" -> "null",
+      "dsir-model" -> s"$base/dsir")))
   }
 
   test("--source-mix keeps exactly the temperatureMix rows; missing column fails fast") {

@@ -32,7 +32,7 @@ object Bench {
     "q_corpus_rollup", "q_winnow_pairs", "q_len_quantiles",
     "q_bm25_doc", "q_quality_gate", "q_bigrams", "q_sample_strat", "q_profile",
     "q_dup_segments", "q_seg_dedup", "q_semdedup_pairs", "q_semdedup",
-    "q_source_mix", "q_qclf", "q_sq8", "q_sq8_topk", "q_gopher")
+    "q_source_mix", "q_qclf", "q_sq8", "q_sq8_topk", "q_gopher", "q_dsir")
 
   /** The join/window-heavy tail runs in a FRESH session: in BENCH_r04 these
     * queries drifted 3–6× inside the long shared session (AQE flipping join
@@ -40,8 +40,8 @@ object Bench {
     * ~1.3×; a clean heap + a System.gc() per query keeps their plans on the
     * broadcast path they get in isolation. */
   private val headlineHeavy = Seq(
-    "q_shared_substrings", "q_dup_intervals", "q_substr_cut", "q_lm_score",
-    "q_decontam", "q_pii_scrub", "q_source_quota", "q_seq_pack")
+    "q_shared_substrings", "q_dup_intervals", "q_substr_cut", "q_self_repeats",
+    "q_lm_score", "q_decontam", "q_pii_scrub", "q_source_quota", "q_seq_pack")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -430,6 +430,20 @@ object SparkEntry {
       qc.countDiffScores(docs, qc.countDiffModel(docs, dim = 4096), dim = 4096)
     }),
 
+    // DSIR importance resampling (Xie et al. NeurIPS'23): hashed
+    // unigram+bigram bag models for target (lang='en' plays the trusted
+    // corpus) and raw (the whole table), per-doc log importance weight
+    // folded in feature-id order, Gumbel top-k selection on the
+    // deterministic md5 draw — sampling ∝ weight without replacement,
+    // reproducible on any engine/partitioning
+    "q_dsir" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.textanalysis.Dsir.resample(
+        docs,
+        graft.textanalysis.Dsir.bucketCounts(docs.filter(col("lang") === "en"), dim = 4096),
+        k = 200, dim = 4096)
+    }),
+
     // column-profile census: rows/nulls/exact-distinct/min-max length per
     // column (exact distinct = the oracle witness; approx_count_distinct is
     // the documented 100 TB path)
@@ -445,6 +459,14 @@ object SparkEntry {
     "q_shared_substrings" -> ((s, dir) =>
       graft.textanalysis.SubstringDup.sharedSubstringPairs(
         tbl(s, dir, "documents"), minLen = 25, k = 8, maxDocFreq = 64L)),
+
+    // WITHIN-doc repeated substrings (Lee'22's self-repetition half, which
+    // the cross-doc query excludes via doc_a < doc_b): same-doc pa < pb
+    // matches, islands per (doc, diagonal), per-(doc, k-gram) occurrence
+    // cap instead of the cross-doc df cap
+    "q_self_repeats" -> ((s, dir) =>
+      graft.textanalysis.SubstringDup.selfRepeats(
+        tbl(s, dir, "documents"), minLen = 16, k = 8, maxOcc = 64L)),
 
     // sequence-packing index (GPT-style pack-then-chunk): per-doc global
     // token offset and first/last 512-token training-sequence ids, computed
@@ -772,6 +794,31 @@ object SparkEntry {
          runs AS (SELECT doc_a, doc_b, diag, island, count(*) + 7 AS run_chars,
                     min(pa) AS pa_start, min(pa) - diag AS pb_start
                   FROM isl GROUP BY 1, 2, 3, 4)"""
+    // within-doc variant: same nt/hsv/kg hash CTEs, then the per-(doc, h)
+    // occurrence cap, same-doc pa < pb matches, islands per (doc, diagonal)
+    val selfRunCtes =
+      raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),
+         hsv AS (SELECT doc_id,
+               CASE WHEN length(nt) >= 8 THEN
+                 list_transform(range(1, length(nt) - 7 + 1),
+                   i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(substr(nt, CAST(i AS INT), 8), ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+                        (h, cp) -> (h * 131 + cp) % 2147483647))
+               ELSE [] END AS hs FROM nt),
+         kg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, h FROM (
+                  SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS i FROM hsv) u),
+         occ AS (SELECT doc_id, h FROM (
+                   SELECT doc_id, h, count(*) AS c FROM kg GROUP BY 1, 2) WHERE c <= 64),
+         capped AS (SELECT kg.* FROM kg JOIN occ USING (doc_id, h)),
+         sm AS (SELECT a.doc_id, a.pos AS pa, a.pos - b.pos AS diag
+                FROM capped a JOIN capped b
+                ON a.doc_id = b.doc_id AND a.h = b.h AND a.pos < b.pos),
+         sisl AS (SELECT doc_id, diag, pa,
+                    pa - row_number() OVER (PARTITION BY doc_id, diag ORDER BY pa) AS island
+                  FROM sm),
+         sruns AS (SELECT doc_id, diag, island, count(*) + 7 AS run_chars
+                   FROM sisl GROUP BY 1, 2, 3)"""
     // C4-style segment-dedup CTE chain (width 10, minTokens 10): normalized
     // tokens → non-overlapping 10-token segments with ordinals → 60-bit md5
     // candidates (full-width only) → two-step winner (min doc_id, then min
@@ -1217,6 +1264,15 @@ object SparkEntry {
                   CAST(max(run_chars) AS BIGINT) AS max_run_chars
            FROM runs WHERE run_chars >= 25 GROUP BY 1, 2""",
 
+      // within-doc restatement: same rolling-hash k-gram table, same-doc
+      // pa < pb join under the per-(doc, hash) occurrence cap, islands per
+      // (doc, diagonal)
+      "q_self_repeats" ->
+        raw"""$selfRunCtes
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+                  CAST(max(run_chars) AS BIGINT) AS max_run_chars
+           FROM sruns WHERE run_chars >= 16 GROUP BY 1""",
+
       // the removal intervals: doc_b side of each run, merged per doc by
       // the cumulative-max islands trick (same window math as the Spark
       // side, so boundary arithmetic is contractual on both engines)
@@ -1418,6 +1474,51 @@ object SparkEntry {
            SELECT d.doc_id, coalesce(sc.score_raw, 0) AS score_raw,
              coalesce(sc.score_raw, 0) > 0 AS keep
            FROM documents d LEFT JOIN sc USING (doc_id)""",
+
+      // DSIR restated: hashed unigram+bigram features (16-bit md5 % 4096),
+      // add-0.5 bucket models for target (lang='en') and raw (all docs),
+      // per-doc log-weight folded in feature-id order (associativity
+      // discipline), Gumbel key from the md5 16-bit uniform, top-200 by
+      // (rounded key desc, doc_id) — op order mirrors the Spark side
+      // exactly (quotient inside ln, subtract, multiply by the count)
+      "q_dsir" ->
+        raw"""WITH nt AS (SELECT doc_id, lang, $normText AS nt FROM documents),
+           tk AS (SELECT doc_id, tok, i FROM (
+                    SELECT doc_id, unnest(string_split(nt, ' ')) AS tok,
+                           generate_subscripts(string_split(nt, ' '), 1) AS i
+                    FROM nt) t WHERE length(tok) > 0),
+           gr AS (SELECT doc_id, tok AS gram FROM tk
+                  UNION ALL
+                  SELECT a.doc_id, a.tok || ' ' || b.tok AS gram
+                  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           ft AS (SELECT doc_id,
+                    CAST(('0x' || substr(md5(gram), 1, 4))::UBIGINT % 4096 AS INT) AS f,
+                    CAST(count(*) AS BIGINT) AS c
+                  FROM gr GROUP BY 1, 2),
+           p AS (SELECT f, CAST(sum(c) AS BIGINT) AS cp
+                 FROM ft JOIN (SELECT doc_id FROM documents WHERE lang = 'en') USING (doc_id)
+                 GROUP BY f),
+           q AS (SELECT f, CAST(sum(c) AS BIGINT) AS cq FROM ft GROUP BY f),
+           np AS (SELECT CAST(sum(cp) AS BIGINT) AS np FROM p),
+           nq AS (SELECT CAST(sum(cq) AS BIGINT) AS nq FROM q),
+           tm AS (SELECT ft.doc_id, ft.f, ft.c * (
+                    ln((CAST(COALESCE(p.cp, 0) AS DOUBLE) + 0.5) /
+                       (CAST(np.np AS DOUBLE) + 2048.0)) -
+                    ln((CAST(COALESCE(q.cq, 0) AS DOUBLE) + 0.5) /
+                       (CAST(nq.nq AS DOUBLE) + 2048.0))) AS term
+                  FROM ft LEFT JOIN p USING (f) LEFT JOIN q USING (f), np, nq),
+           w AS (SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY f)),
+                     (a, x) -> a + x) AS logw
+                 FROM tm GROUP BY doc_id),
+           al AS (SELECT d.doc_id, COALESCE(w.logw, CAST(0 AS DOUBLE)) AS logw
+                  FROM documents d LEFT JOIN w USING (doc_id)),
+           ky AS (SELECT doc_id, ${Portable.round4Sql("logw")} AS logw,
+                    ${Portable.round4Sql(
+                      "logw + (-ln(-ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT) AS DOUBLE) + 0.5) / 65536.0)))")} AS gumbel_key
+                  FROM al)
+           SELECT doc_id, logw, gumbel_key FROM ky
+           ORDER BY gumbel_key DESC, doc_id LIMIT 200""",
 
       // water-filling restated: per-source counts, saturation thresholds
       // t = n/sqrt(n), prefix/suffix sums over the t-ordered source table

@@ -305,8 +305,17 @@ object SubstringDup {
   def removeDuplicateRuns(docs: DataFrame, minLen: Int, k: Int = 8,
                           maxDocFreq: Long = 64L,
                           idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
-    val ivs = duplicateRunIntervals(docs, minLen, k, maxDocFreq, idCol, textCol)
+                          textCol: String = "text"): DataFrame =
+    applyIntervals(docs,
+      duplicateRunIntervals(docs, minLen, k, maxDocFreq, idCol, textCol),
+      idCol, textCol)
+
+  /** The cut tail shared by [[removeDuplicateRuns]] and
+    * [[removeSelfRepeats]]: apply an `(idCol, start_pos, end_pos)` interval
+    * table to the docs' normalized text. */
+  private def applyIntervals(docs: DataFrame, intervals: DataFrame,
+                             idCol: String, textCol: String): DataFrame = {
+    val ivs = intervals
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("start_pos").as("s"), col("end_pos").as("e"))))
         .as("__ivs"))
@@ -324,4 +333,77 @@ object SubstringDup {
           }))
       .drop("__ivs", "__nt")
   }
+
+  // ---- within-doc self-repetition (the Lee'22 within-doc case) ----
+
+  /** Maximal WITHIN-doc repeated-k-gram runs of >= `minLen` chars — the
+    * self-repetition half of Lee et al.'s substring dedup, which the
+    * cross-doc operators deliberately exclude (`doc_a < doc_b`): a doc
+    * repeating its own paragraph (template pages, scraper loops, LM
+    * degeneration) matches at `pa < pb` on the SAME doc; the islands trick
+    * over `(id, diag = pa - pb)` labels maximal runs exactly as in
+    * [[sharedRuns]] (the shared `runsFromMatches` tail, with
+    * `doc_a = doc_b = id`). `maxOcc` caps a k-gram's occurrences WITHIN a
+    * doc (per-(id, h) count, anti-joined like the stop-hash rule): a doc
+    * repeating one k-gram m times emits m²/2 pair rows, and such hashes are
+    * the doc's own boilerplate — same MOSS argument, scoped per doc. The
+    * cross-doc df cap does NOT apply here (a corpus-common k-gram can still
+    * be a genuine within-doc repeat). */
+  private def selfRuns(docs: DataFrame, minLen: Int, k: Int,
+                       maxOcc: Long, idCol: String, textCol: String): DataFrame = {
+    require(minLen > k,
+      s"minLen ($minLen) must be > k ($k): at minLen == k a single in-doc " +
+        "31-bit hash collision would qualify as a repeat run on its own")
+    val kg = kgramHashTable(docs, k, idCol, textCol)
+    val capped =
+      if (maxOcc <= 0L) kg
+      else {
+        // hot (id, h) pairs — k-grams a single doc repeats more than maxOcc
+        // times. Not hinted broadcast (the set is bounded by positions /
+        // maxOcc, not by a saturating vocabulary); AQE picks broadcast when
+        // it is small, and the anti join stays narrow either way.
+        val hot = kg.groupBy(col(idCol), col("h"))
+          .agg(count(lit(1)).as("__occ"))
+          .filter(col("__occ") > maxOcc)
+          .select(col(idCol), col("h"))
+        kg.join(hot, Seq(idCol, "h"), "left_anti")
+      }
+    val a = capped.select(col(idCol), col("pos").as("pa"), col("h"))
+    val b = capped.select(col(idCol), col("pos").as("pb"), col("h"))
+    val matches = a.join(b, Seq(idCol, "h"))
+      .filter(col("pa") < col("pb"))
+      .select(col(idCol).as("doc_a"), col(idCol).as("doc_b"),
+        col("pa"), col("pb"), (col("pa") - col("pb")).as("diag"))
+    runsFromMatches(matches, minLen, k)
+  }
+
+  /** Per-doc self-repetition report: `(idCol, n_runs, max_run_chars)` for
+    * docs containing an exact repeated substring of >= `minLen` chars. */
+  def selfRepeats(docs: DataFrame, minLen: Int, k: Int = 8,
+                  maxOcc: Long = 64L,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    selfRuns(docs, minLen, k, maxOcc, idCol, textCol)
+      .groupBy(col("doc_a").as(idCol))
+      .agg(count(lit(1)).as("n_runs"), max(col("run_chars")).as("max_run_chars"))
+
+  /** Merged removal intervals for the LATER occurrence of each within-doc
+    * repeat (`pa < pb` by construction, so the pb side loses — the first
+    * occurrence keeps its copy, the Lee'22 cut rule): `(idCol, start_pos,
+    * end_pos)`, 1-based normalized-text coordinates. */
+  def selfRepeatIntervals(docs: DataFrame, minLen: Int, k: Int = 8,
+                          maxOcc: Long = 64L,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    intervalsFromRuns(selfRuns(docs, minLen, k, maxOcc, idCol, textCol), idCol)
+
+  /** Apply the self-repeat cut: each doc's normalized text with the later
+    * occurrences of its internal repeats removed (`deduped_text`; docs with
+    * nothing to cut pass through). Periodic text ("abc" × m) collapses to
+    * its leading period: overlapping same-diag matches merge into one
+    * interval starting at the second period. */
+  def removeSelfRepeats(docs: DataFrame, minLen: Int, k: Int = 8,
+                        maxOcc: Long = 64L,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    applyIntervals(docs,
+      selfRepeatIntervals(docs, minLen, k, maxOcc, idCol, textCol),
+      idCol, textCol)
 }

@@ -154,6 +154,90 @@ class SubstringDupSpec extends SparkSpec {
     assert(after == 0L, s"re-detection still finds $after pairs")
   }
 
+  test("self-repeats: planted within-doc block found, clean docs absent") {
+    val block = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"alpha $block middle filler $block omega"),
+      (2L, "no internal repetition in this document at all whatsoever"),
+      (3L, s"cross-doc only: $block appears once here")).toDF("doc_id", "text")
+    val reps = SubstringDup.selfRepeats(docs, minLen = 20, k = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(reps.keySet == Set(1L), s"got $reps")
+    // both occurrences are followed by ' ' so the maximal run extends one
+    // char past the block — exactly the brute-force LRS
+    assert(reps(1L)._2 == lrsOverlap(norm(s"alpha $block middle filler $block omega")))
+    // doc 3 shares the block with doc 1 CROSS-doc but has no self-repeat;
+    // the cross-doc query is the one that must flag (1,3)
+    val pairs = SubstringDup.sharedSubstringPairs(docs, minLen = 20, k = 8)
+      .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("property: self max_run_chars == brute-force longest repeated substring") {
+    val r = new scala.util.Random(57)
+    val rng = new graft.gen.DetRng(31L)
+    val texts = (0 until 12).map { i =>
+      val t = DocGenHelpers.sentence(rng, 8 + r.nextInt(5))
+      if (i % 2 == 1) {
+        // repeat a long middle slice of the doc within itself
+        val slice = t.substring(t.length / 4, t.length * 3 / 4)
+        s"$t ${DocGenHelpers.sentence(rng, 2)} $slice"
+      } else t
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val minLen = 15
+    val got = SubstringDup.selfRepeats(docs, minLen, k = 6)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = lrsOverlap(norm(t))
+      if (want >= minLen) assert(got(i.toLong) == want, s"doc $i: ${got.get(i.toLong)} vs $want")
+      else assert(!got.contains(i.toLong), s"doc $i flagged below minLen: ${got.get(i.toLong)}")
+    }
+  }
+
+  test("self-repeat cut keeps the FIRST occurrence; periodic text collapses to its period") {
+    val block = "an exactly repeated boilerplate fragment here"
+    val docs = Seq(
+      (1L, s"alpha $block middle $block omega"),
+      (2L, "abcd" * 10)).toDF("doc_id", "text")
+    val out = SubstringDup.removeSelfRepeats(docs, minLen = 16, k = 8)
+      .select($"doc_id", $"deduped_text").as[(Long, String)].collect().toMap
+    // first occurrence survives, the later one is cut
+    assert(out(1L).indexOf(block) >= 0)
+    assert(out(1L).indexOf(block) == out(1L).lastIndexOf(block), out(1L))
+    // periodic doc: overlapping-diagonal intervals merge to one cut from
+    // the second period to the end
+    assert(out(2L) == "abcd", out(2L))
+    // re-detection on the cut corpus finds nothing
+    val again = SubstringDup.selfRepeats(
+      out.toSeq.toDF("doc_id", "text"), minLen = 16, k = 8).count()
+    assert(again == 0L, s"re-detection still finds $again docs")
+  }
+
+  test("self-repeat per-(doc, hash) occurrence cap silences pathological repeaters") {
+    val docs = Seq((1L, "abcd" * 50)).toDF("doc_id", "text")
+    // every 4-gram of the periodic doc occurs ~50 times > cap 2: all hash
+    // candidates are dropped, so the doc emits no runs (the documented
+    // stop-hash trade, scoped per doc)
+    assert(SubstringDup.selfRepeats(docs, minLen = 8, k = 4, maxOcc = 2L).count() == 0L)
+    // with the cap off it is flagged
+    assert(SubstringDup.selfRepeats(docs, minLen = 8, k = 4, maxOcc = 0L).count() == 1L)
+  }
+
+  /** Brute-force longest repeated substring, overlap allowed: max common
+    * extension over start pairs i < j (suffix DP, O(n²)). */
+  private def lrsOverlap(s: String): Int = {
+    val n = s.length
+    val ext = Array.ofDim[Int](n + 1, n + 1)
+    var best = 0
+    for (i <- (n - 1) to 0 by -1; j <- (n - 1) to 0 by -1)
+      if (s(i) == s(j)) {
+        ext(i)(j) = ext(i + 1)(j + 1) + 1
+        if (i < j && ext(i)(j) > best) best = ext(i)(j)
+      }
+    best
+  }
+
   test("winnow-prefiltered form ≡ plain form (exactness guarantee at minLen >= 2k-1)") {
     val r = new scala.util.Random(54)
     val rng = new graft.gen.DetRng(29L)

@@ -632,6 +632,21 @@ object SparkEntry {
           col("neighbor_id"), col("sim"))
     }),
 
+    // product quantization (Jégou'11): 64-dim float32 → 8 byte codes
+    // (8 subspaces × 16-centroid codebooks, iterations = 0 keeps the
+    // deterministic seed codebooks — the oracle-restatable form, same rule
+    // as q_semdedup), ADC top-k = asymmetric cosine from two per-query
+    // lookup tables, scoring touches only the corpus byte codes
+    "q_pq_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val pq = graft.similarity.Pq
+      val cb = pq.pqTrain(e, m = 8, ksub = 16, iterations = 0)
+      pq.pqTopK(e.filter(col("vec_id") < 8),
+          pq.pqEncode(e, cb, m = 8, ksub = 16), cb, k = 10, m = 8, ksub = 16)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
+    }),
+
     // SemDeDup (Abbas'23): k-means-cluster-scoped semantic near-dup pairs —
     // only within-cluster pairs pay the exact cosine (iterations = 0 keeps
     // the deterministic seed centroids, the oracle-restatable form)
@@ -1718,6 +1733,59 @@ object SparkEntry {
            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
              FROM r) WHERE rank <= 5""",
+
+      // PQ restated: seed codebooks = first-16 vectors sliced into 8
+      // subspaces; assignment = argmin L2² with ties to the lowest code
+      // (Spark's array_position-first rule); ADC = per-subspace partial
+      // dots / squared norms summed IN SUBSPACE ORDER (the engine's fold),
+      // asymmetric cosine floor-rounded, ties by neighbor id
+      "q_pq_topk" ->
+        raw"""WITH js AS (SELECT unnest(range(0, 8)) AS j),
+           cbv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code,
+                     embedding AS cv
+                   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+           cb AS (SELECT CAST(js.j AS INT) AS j, code,
+                    list_transform(cv[(CAST(js.j AS INT) * 8 + 1):(CAST(js.j AS INT) * 8 + 8)],
+                      x -> CAST(x AS DOUBLE)) AS cent
+                  FROM cbv, js),
+           sv AS (SELECT vec_id, CAST(js.j AS INT) AS j,
+                    list_transform(embedding[(CAST(js.j AS INT) * 8 + 1):(CAST(js.j AS INT) * 8 + 8)],
+                      x -> CAST(x AS DOUBLE)) AS sub
+                  FROM embeddings, js),
+           asg AS (SELECT vec_id, j, code FROM (
+                     SELECT sv.vec_id, sv.j, cb.code,
+                       row_number() OVER (PARTITION BY sv.vec_id, sv.j ORDER BY
+                         ${foldSum("list_transform(list_zip(sub, cent), p -> (p[1] - p[2]) * (p[1] - p[2]))")} ASC,
+                         cb.code ASC) AS rn
+                     FROM sv JOIN cb USING (j)) WHERE rn = 1),
+           q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           qsub AS (SELECT query_id, CAST(js.j AS INT) AS j,
+                      list_transform(qv[(CAST(js.j AS INT) * 8 + 1):(CAST(js.j AS INT) * 8 + 8)],
+                        x -> CAST(x AS DOUBLE)) AS qs
+                    FROM q, js),
+           lut AS (SELECT query_id, j, code,
+                     ${foldSum("list_transform(list_zip(qs, cent), p -> p[1] * p[2])")} AS dp
+                   FROM qsub JOIN cb USING (j)),
+           nn2 AS (SELECT j, code,
+                     ${foldSum("list_transform(cent, x -> x * x)")} AS nn
+                   FROM cb),
+           parts AS (SELECT l.query_id, a.vec_id AS neighbor_id, a.j, l.dp, nn2.nn
+                     FROM asg a JOIN lut l ON l.j = a.j AND l.code = a.code
+                     JOIN nn2 ON nn2.j = a.j AND nn2.code = a.code
+                     WHERE a.vec_id != l.query_id),
+           agg AS (SELECT query_id, neighbor_id,
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dp ORDER BY j)), (acc, x) -> acc + x) AS dt,
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE), list(nn ORDER BY j)), (acc, x) -> acc + x) AS cn2
+                   FROM parts GROUP BY 1, 2),
+           qn AS (SELECT query_id, ${normSql("qv")} AS qn FROM q),
+           sc AS (SELECT agg.query_id, neighbor_id,
+                    CASE WHEN qn.qn * sqrt(cn2) = 0 THEN 0.0
+                         ELSE floor((dt / (qn.qn * sqrt(cn2))) * 10000 + 0.5) / 10000
+                    END AS sim
+                  FROM agg JOIN qn USING (query_id))
+           SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             FROM sc) WHERE rank <= 10""",
 
       "q_lsh_ann_bands" -> {
         // the same driver-computed hyperplane literals as the Spark plan

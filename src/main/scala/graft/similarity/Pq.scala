@@ -45,7 +45,7 @@ object Pq {
     * the API entry against the first vector, and null-safe per row). */
   private def subvecs(vec: Column, m: Int, subDim: Int): Column =
     transform(sequence(lit(0), lit(m - 1)),
-      j => transform(slice(vec, j * subDim + 1, subDim), x => x.cast("double")))
+      j => transform(slice(vec, j * subDim + 1, lit(subDim)), x => x.cast("double")))
 
   private def vecDim(emb: DataFrame, vecCol: String): Int = {
     val row = emb.select(size(col(vecCol)).as("d")).limit(1).collect()

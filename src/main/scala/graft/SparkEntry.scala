@@ -399,6 +399,14 @@ object SparkEntry {
       graft.textanalysis.TextAnalysis.corpusNgramCounts(
         tbl(s, dir, "documents"), n = 2, minCount = 3L)),
 
+    // BPE training statistic (Sennrich'16): weighted adjacent-symbol pair
+    // counts of the initial character symbolization over the DISTINCT-word
+    // frequency table — the argmax of this table is merge #1; the iterated
+    // merge loop is spec-asserted bit-equal to a reference implementation
+    // (iterative argmax+rewrite is not single-query SQL)
+    "q_bpe_pairs" -> ((s, dir) =>
+      graft.textanalysis.Bpe.pairCounts(tbl(s, dir, "documents"))),
+
     // deterministic hash-gated stratified sample: membership is a pure
     // function of (doc_id, lang) — reproducible across runs/engines/
     // partitionings, nested across growing fractions, scan-side narrow
@@ -1463,6 +1471,20 @@ object SparkEntry {
            SELECT a.tok || ' ' || b.tok AS gram, CAST(count(*) AS BIGINT) AS n
            FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
            GROUP BY 1 HAVING count(*) >= 3""",
+
+      // BPE pair statistic restated: distinct-word counts, per-character
+      // symbols + the </w> marker, adjacent positions weighted by word
+      // frequency (overlapping positions count separately)
+      "q_bpe_pairs" ->
+        raw"""WITH nt AS (SELECT $normText AS nt FROM documents),
+           w AS (SELECT unnest(string_split(nt, ' ')) AS word FROM nt),
+           wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+                  FROM w WHERE length(word) > 0 GROUP BY 1),
+           sym AS (SELECT n, list_append(string_split(word, ''), '</w>') AS s FROM wc),
+           pos AS (SELECT n, s, unnest(range(1, len(s))) AS i FROM sym)
+           SELECT s[CAST(i AS INT)] AS l, s[CAST(i AS INT) + 1] AS r,
+                  CAST(sum(n) AS BIGINT) AS cnt
+           FROM pos GROUP BY 1, 2""",
 
       "q_sample_strat" ->
         raw"""SELECT doc_id, lang FROM documents

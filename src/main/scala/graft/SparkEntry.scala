@@ -655,6 +655,20 @@ object SparkEntry {
           col("neighbor_id"), col("sim"))
     }),
 
+    // IVF-PQ (the FAISS IVFx,PQy recipe, non-residual): the coarse
+    // quantizer restricts each query's scan to its 2 nearest cells and
+    // within them vectors are 8 byte PQ codes scored by ADC — probe count
+    // trades recall for scan volume, scores identical to q_pq_topk
+    // (spec-asserted at nProbes = nCentroids)
+    "q_ivf_pq" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      graft.similarity.Pq.ivfPqTopK(e.filter(col("vec_id") < 8), e, k = 10,
+          nCentroids = 8, nProbes = 2, m = 8, ksub = 16,
+          ivfIterations = 0, pqIterations = 0)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
+    }),
+
     // SemDeDup (Abbas'23): k-means-cluster-scoped semantic near-dup pairs —
     // only within-cluster pairs pay the exact cosine (iterations = 0 keeps
     // the deterministic seed centroids, the oracle-restatable form)
@@ -1795,6 +1809,79 @@ object SparkEntry {
                      FROM asg a JOIN lut l ON l.j = a.j AND l.code = a.code
                      JOIN nn2 ON nn2.j = a.j AND nn2.code = a.code
                      WHERE a.vec_id != l.query_id),
+           agg AS (SELECT query_id, neighbor_id,
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dp ORDER BY j)), (acc, x) -> acc + x) AS dt,
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE), list(nn ORDER BY j)), (acc, x) -> acc + x) AS cn2
+                   FROM parts GROUP BY 1, 2),
+           qn AS (SELECT query_id, ${normSql("qv")} AS qn FROM q),
+           sc AS (SELECT agg.query_id, neighbor_id,
+                    CASE WHEN qn.qn * sqrt(cn2) = 0 THEN 0.0
+                         ELSE floor((dt / (qn.qn * sqrt(cn2))) * 10000 + 0.5) / 10000
+                    END AS sim
+                  FROM agg JOIN qn USING (query_id))
+           SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             FROM sc) WHERE rank <= 10""",
+
+      // IVF-PQ restated: the q_pq_topk PQ chain, with candidates gated by
+      // the coarse quantizer — cell assignment = argmax dot against the
+      // UNIT seed centroids (the assignWithCentroids normalization, norms
+      // folded in dim order), probes = top-2 cells per query by raw-
+      // centroid cosine, both with the lowest-centroid-id tie rule
+      "q_ivf_pq" ->
+        raw"""WITH js AS (SELECT unnest(range(0, 8)) AS j),
+           ivfc AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS centroid_id,
+                      embedding AS cv
+                    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+           ivfu AS (SELECT centroid_id,
+                      list_transform(cv, x -> CAST(x AS DOUBLE) / ${normSql("cv")}) AS ucv
+                    FROM ivfc),
+           cell AS (SELECT vec_id, centroid_id FROM (
+                      SELECT e.vec_id, u.centroid_id,
+                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                          ${dotSql("e.embedding", "u.ucv")} DESC, u.centroid_id ASC) AS rn
+                      FROM embeddings e CROSS JOIN ivfu u) WHERE rn = 1),
+           q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           probes AS (SELECT query_id, centroid_id FROM (
+                        SELECT q.query_id, c.centroid_id,
+                          row_number() OVER (PARTITION BY q.query_id ORDER BY
+                            ${dotSql("q.qv", "c.cv")} / (${normSql("q.qv")} * ${normSql("c.cv")}) DESC,
+                            c.centroid_id ASC) AS rn
+                        FROM q CROSS JOIN ivfc c) WHERE rn <= 2),
+           cbv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code,
+                     embedding AS cv
+                   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+           cb AS (SELECT CAST(js.j AS INT) AS j, code,
+                    list_transform(cv[(CAST(js.j AS INT) * 8 + 1):(CAST(js.j AS INT) * 8 + 8)],
+                      x -> CAST(x AS DOUBLE)) AS cent
+                  FROM cbv, js),
+           sv AS (SELECT vec_id, CAST(js.j AS INT) AS j,
+                    list_transform(embedding[(CAST(js.j AS INT) * 8 + 1):(CAST(js.j AS INT) * 8 + 8)],
+                      x -> CAST(x AS DOUBLE)) AS sub
+                  FROM embeddings, js),
+           asg AS (SELECT vec_id, j, code FROM (
+                     SELECT sv.vec_id, sv.j, cb.code,
+                       row_number() OVER (PARTITION BY sv.vec_id, sv.j ORDER BY
+                         ${foldSum("list_transform(list_zip(sub, cent), p -> (p[1] - p[2]) * (p[1] - p[2]))")} ASC,
+                         cb.code ASC) AS rn
+                     FROM sv JOIN cb USING (j)) WHERE rn = 1),
+           qsub AS (SELECT query_id, CAST(js.j AS INT) AS j,
+                      list_transform(qv[(CAST(js.j AS INT) * 8 + 1):(CAST(js.j AS INT) * 8 + 8)],
+                        x -> CAST(x AS DOUBLE)) AS qs
+                    FROM q, js),
+           lut AS (SELECT query_id, j, code,
+                     ${foldSum("list_transform(list_zip(qs, cent), p -> p[1] * p[2])")} AS dp
+                   FROM qsub JOIN cb USING (j)),
+           nn2 AS (SELECT j, code,
+                     ${foldSum("list_transform(cent, x -> x * x)")} AS nn
+                   FROM cb),
+           parts AS (SELECT pr.query_id, a.vec_id AS neighbor_id, a.j, l.dp, nn2.nn
+                     FROM asg a
+                     JOIN cell ON cell.vec_id = a.vec_id
+                     JOIN probes pr ON pr.centroid_id = cell.centroid_id
+                     JOIN lut l ON l.query_id = pr.query_id AND l.j = a.j AND l.code = a.code
+                     JOIN nn2 ON nn2.j = a.j AND nn2.code = a.code
+                     WHERE a.vec_id != pr.query_id),
            agg AS (SELECT query_id, neighbor_id,
                      list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dp ORDER BY j)), (acc, x) -> acc + x) AS dt,
                      list_reduce(list_prepend(CAST(0 AS DOUBLE), list(nn ORDER BY j)), (acc, x) -> acc + x) AS cn2

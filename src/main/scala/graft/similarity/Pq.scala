@@ -157,6 +157,58 @@ object Pq {
         .as("vec_hat"))
   }
 
+  /** Per-query ADC lookup tables `(query_id, __lut, __qn)`:
+    * `__lut[(j·ksub)+c+1] = q_sub_j · cb[j][c]` (partial dots, flat layout)
+    * and the query norm — one narrow pass over the queries; the codebooks
+    * ride as literals. */
+  private def queryLuts(queries: DataFrame, cb: Array[Array[Array[Double]]],
+                        m: Int, subDim: Int,
+                        idCol: String, vecCol: String): DataFrame = {
+    val cbLit = array(cb.map(sub => array(sub.map(c => array(c.map(lit): _*)): _*)): _*)
+    queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__lut",
+        graft.dedup.Dedup.let(subvecs(col("__qv"), m, subDim)) { qs =>
+          flatten(transform(cbLit, (cents, j) =>
+            transform(cents, c =>
+              aggregate(zip_with(element_at(qs, j + 1), c, (x, y) => x * y),
+                lit(0.0), (acc, x) => acc + x))))
+        })
+      .withColumn("__qn",
+        sqrt(aggregate(transform(col("__qv"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)))
+      .select(col("query_id"), col("__lut"), col("__qn"))
+  }
+
+  /** ADC score + rank over pre-joined candidate rows
+    * `(query_id, neighbor_id, codes, __lut, __qn)`: both Σ_j fold in
+    * subspace order (deterministic); asymmetric cosine
+    * `Σ lut / (|q|·sqrt(Σ n2))` floor-rounded; [[TopKBySim]] ranking
+    * (sim desc, neighbor id asc). */
+  private def adcScoreRank(joined: DataFrame, n2Flat: Column,
+                           k: Int, ksub: Int, roundTo: Int): DataFrame = {
+    val scored = joined
+      .withColumn("__dot",
+        aggregate(transform(col("codes"),
+            (code, j) => element_at(col("__lut"), j * ksub + code.cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("__cn2",
+        aggregate(transform(col("codes"),
+            (code, j) => element_at(n2Flat, j * ksub + code.cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("query_id"), col("neighbor_id"),
+        Portable.roundAt(
+          when(col("__qn") * sqrt(col("__cn2")) === 0.0, 0.0)
+            .otherwise(col("__dot") / (col("__qn") * sqrt(col("__cn2")))),
+          roundTo).as("sim"))
+    TopKBySim.rank(scored, k)
+  }
+
+  /** Query-independent flat LUT of partial squared centroid norms,
+    * same `(j·ksub)+c+1` layout as the dot LUT. */
+  private def n2Lut(cb: Array[Array[Array[Double]]]): Column =
+    array(cb.flatMap(sub => sub.map(c => lit(c.map(x => x * x).sum))): _*)
+
   /**
    * ADC top-k: for each float query, rank PQ-encoded corpus vectors by the
    * asymmetric cosine `q · x̂ / (|q|·|x̂|)` computed ENTIRELY from two
@@ -174,42 +226,62 @@ object Pq {
              roundTo: Int = 4): DataFrame = {
     val d = vecDim(queries, vecCol)
     require(d % m == 0, s"query dim $d must divide into m=$m subspaces")
-    val subDim = d / m
     val cb = collectCodebooks(codebooks, m, ksub)
-    val cbLit = array(cb.map(sub => array(sub.map(c => array(c.map(lit): _*)): _*)): _*)
-    // flat LUTs, index (j·ksub + code + 1): partial dots per query; the
-    // squared-norm LUT is query-independent and folds to the same layout
-    val n2Flat = array(cb.flatMap(sub => sub.map(c => lit(c.map(x => x * x).sum))): _*)
-    val q = queries
+    val q = queryLuts(queries, cb, m, d / m, idCol, vecCol)
+    adcScoreRank(
+      codes.select(col(idCol).cast("long").as("neighbor_id"), col("codes"))
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id")),
+      n2Lut(cb), k, ksub, roundTo)
+  }
+
+  /**
+   * IVF-PQ: the two levers composed — the IVF coarse quantizer
+   * ([[Similarity.ivfIndex]]) restricts each query's scan to its `nProbes`
+   * nearest cells (partition pruning), and within the probed cells corpus
+   * vectors are only m byte PQ codes scored by ADC (bandwidth). The
+   * standard billion-scale recipe (FAISS `IVFx,PQy`), here in its
+   * non-residual form: PQ encodes the RAW vectors, so with
+   * `nProbes = nCentroids` the result is EXACTLY [[pqTopK]]
+   * (spec-asserted) — the probe count trades recall for scan volume and
+   * nothing else. A query may return fewer than k rows when its probed
+   * cells hold fewer candidates (the IVF candidate-gap, same family as
+   * LSH).
+   */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCentroids: Int, nProbes: Int, m: Int, ksub: Int,
+                ivfIterations: Int = 1, pqIterations: Int = 1,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                roundTo: Int = 4): DataFrame = {
+    require(nProbes >= 1 && nProbes <= nCentroids,
+      s"need 1 <= nProbes ($nProbes) <= nCentroids ($nCentroids)")
+    val spark = queries.sparkSession
+    val d = vecDim(queries, vecCol)
+    require(d % m == 0, s"query dim $d must divide into m=$m subspaces")
+    val (centroids, assigned) = Similarity.ivfIndex(corpus, nCentroids, ivfIterations, idCol, vecCol)
+    val codebooks = pqTrain(corpus, m, ksub, pqIterations, idCol, vecCol)
+    val codes = pqEncode(corpus, codebooks, m, ksub, idCol, vecCol)
+      .join(assigned.select(col(idCol), col("centroid_id")), idCol)
+    // per query: the nProbes nearest cells (the ivfTopK probe rule —
+    // centroid cosine desc, centroid_id asc)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__csim").desc, col("centroid_id").asc)
+    val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__lut",
-        graft.dedup.Dedup.let(subvecs(col("__qv"), m, subDim)) { qs =>
-          flatten(transform(cbLit, (cents, j) =>
-            transform(cents, c =>
-              aggregate(zip_with(element_at(qs, j + 1), c, (x, y) => x * y),
-                lit(0.0), (acc, x) => acc + x))))
-        })
-      .withColumn("__qn",
-        sqrt(aggregate(transform(col("__qv"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x)))
-      .select(col("query_id"), col("__lut"), col("__qn"))
-    val scored = codes
-      .select(col(idCol).cast("long").as("neighbor_id"), col("codes"))
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("__dot",
-        aggregate(transform(col("codes"),
-            (code, j) => element_at(col("__lut"), j * ksub + code.cast("int") + 1)),
-          lit(0.0), (acc, x) => acc + x))
-      .withColumn("__cn2",
-        aggregate(transform(col("codes"),
-            (code, j) => element_at(n2Flat, j * ksub + code.cast("int") + 1)),
-          lit(0.0), (acc, x) => acc + x))
-      .select(col("query_id"), col("neighbor_id"),
-        Portable.roundAt(
-          when(col("__qn") * sqrt(col("__cn2")) === 0.0, 0.0)
-            .otherwise(col("__dot") / (col("__qn") * sqrt(col("__cn2")))),
-          roundTo).as("sim"))
-    TopKBySim.rank(scored, k)
+      .join(broadcast(centroids), lit(true))
+      .withColumn("__csim", Similarity.cosineNative(spark, col("__qv"), col("centroid")))
+      .withColumn("__crank", row_number().over(wProbe))
+      .filter(col("__crank") <= nProbes)
+      .select(col("query_id"), col("centroid_id"))
+    val cb = collectCodebooks(codebooks, m, ksub)
+    val q = queryLuts(queries, cb, m, d / m, idCol, vecCol)
+    // the probe table broadcasts (queries × nProbes rows) and the cell
+    // filter rides INTO the codes scan before any scoring work
+    adcScoreRank(
+      codes.join(broadcast(probes), Seq("centroid_id"))
+        .select(col("query_id"), col(idCol).cast("long").as("neighbor_id"), col("codes"))
+        .join(broadcast(q), Seq("query_id"))
+        .filter(col("query_id") =!= col("neighbor_id")),
+      n2Lut(cb), k, ksub, roundTo)
   }
 
   /** Persist a PQ index: `dir/codebooks` (m, code, centroid) +

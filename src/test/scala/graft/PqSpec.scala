@@ -139,6 +139,42 @@ class PqSpec extends AnyFunSuite {
     assert(adc == exact, s"adc diverges from exact: ${adc.toSet.diff(exact.toSet).take(3)}")
   }
 
+  test("IVF-PQ with all cells probed is exactly pqTopK; pruning stays cell-consistent") {
+    val (m, ksub, k, nc) = (4, 4, 5, 4)
+    val queries = emb.filter($"vec_id" < 4)
+    // nProbes = nCentroids: the probe filter keeps every cell, so IVF-PQ
+    // must reproduce plain PQ bit-for-bit (same codebooks: trained on the
+    // same corpus with the same seed rule)
+    val cbDf = Pq.pqTrain(emb, m, ksub, iterations = 1)
+    val codes = Pq.pqEncode(emb, cbDf, m, ksub)
+    val plain = Pq.pqTopK(queries, codes, cbDf, k, m, ksub)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val full = Pq.ivfPqTopK(queries, emb, k, nCentroids = nc, nProbes = nc,
+        m = m, ksub = ksub, ivfIterations = 1, pqIterations = 1)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(full.toSeq == plain.toSeq)
+
+    // nProbes = 1: every neighbor lies in the query's single probed cell,
+    // and each returned sim equals the plain-PQ sim for that same pair
+    // (pruning changes the candidate set, never a score)
+    val (_, assigned) = graft.similarity.Similarity.ivfIndex(emb, nc, iterations = 1)
+    val cellOf = assigned.select($"vec_id", $"centroid_id")
+      .as[(Long, Int)].collect().toMap
+    val pruned = Pq.ivfPqTopK(queries, emb, k, nCentroids = nc, nProbes = 1,
+        m = m, ksub = ksub, ivfIterations = 1, pqIterations = 1)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pruned.nonEmpty)
+    val plainSims = Pq.pqTopK(queries, codes, cbDf, k = n, m, ksub)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._3) -> r._4).toMap
+    pruned.foreach { case (q, _, nb, sim) =>
+      assert(plainSims((q, nb)) == sim, s"sim drift on ($q, $nb)")
+    }
+    // all neighbors of one query share one cell under nProbes = 1
+    pruned.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(r => cellOf(r._3)).toSet.size == 1, s"query $q spans cells")
+    }
+  }
+
   test("persisted index round-trips and ranks identically") {
     val (m, ksub) = (4, 4)
     val dir = java.nio.file.Files.createTempDirectory("pq-index").toString

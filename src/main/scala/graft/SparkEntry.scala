@@ -407,6 +407,22 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       graft.textanalysis.Bpe.pairCounts(tbl(s, dir, "documents"))),
 
+    // Bloom-sketch membership (the Dolma incremental-dedup primitive): the
+    // deterministic 30% sample plays "the corpus we already shipped" —
+    // its fingerprint sketch (8192 bits, 5 md5 probes) is probed by every
+    // doc scan-side; sampled docs always hit (no false negatives), the
+    // rest hit at the sketch's FP rate — deterministic on any engine
+    "q_bloom_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val existing = graft.pipeline.Sampling.deterministicSample(docs, "doc_id", 0.3)
+        .select(graft.dedup.Dedup.fingerprint(col("text")).as("fp"))
+      val words = graft.dedup.Bloom.build(existing, "fp", mBits = 8192, k = 5)
+      docs.select(col("doc_id"),
+        graft.dedup.Bloom.mightContain(
+          graft.dedup.Dedup.fingerprint(col("text")), words, mBits = 8192, k = 5)
+          .as("member"))
+    }),
+
     // deterministic hash-gated stratified sample: membership is a pure
     // function of (doc_id, lang) — reproducible across runs/engines/
     // partitionings, nested across growing fractions, scan-side narrow
@@ -1499,6 +1515,28 @@ object SparkEntry {
            SELECT s[CAST(i AS INT)] AS l, s[CAST(i AS INT) + 1] AS r,
                   CAST(sum(n) AS BIGINT) AS cnt
            FROM pos GROUP BY 1, 2""",
+
+      // Bloom sketch restated: same md5(fp || ':' || i) probe positions,
+      // 32-bit words bit_or-packed into BIGINTs (shift <= 31 — exact and
+      // overflow-safe in both engines), membership = every probe bit set
+      "q_bloom_dedup" ->
+        raw"""WITH ex AS (SELECT md5($normText) AS fp FROM documents
+                   WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT) < 19661),
+           ks AS (SELECT fp, unnest(range(0, 5)) AS i FROM ex),
+           ps AS (SELECT CAST(('0x' || substr(md5(fp || ':' || CAST(i AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 8192 AS pos
+                  FROM ks),
+           bl AS (SELECT CAST(pos // 32 AS INT) AS w,
+                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+                  FROM ps GROUP BY 1),
+           pr AS (SELECT doc_id, md5($normText) AS fp FROM documents),
+           pp AS (SELECT doc_id, fp, unnest(range(0, 5)) AS i FROM pr),
+           hit AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(fp || ':' || CAST(i AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 8192 AS pos
+                   FROM pp),
+           chk AS (SELECT doc_id,
+                     (COALESCE(b.bits, 0) & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) != 0 AS bitset
+                   FROM hit LEFT JOIN bl b ON b.w = CAST(pos // 32 AS INT))
+           SELECT doc_id, bool_and(bitset) AS member FROM chk GROUP BY 1""",
 
       "q_sample_strat" ->
         raw"""SELECT doc_id, lang FROM documents

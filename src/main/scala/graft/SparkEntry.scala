@@ -412,6 +412,14 @@ object SparkEntry {
     // its fingerprint sketch (8192 bits, 5 md5 probes) is probed by every
     // doc scan-side; sampled docs always hit (no false negatives), the
     // rest hit at the sketch's FP rate — deterministic on any engine
+    // Count-Min heavy hitters: frequency estimates from a d=4 × w=8192
+    // counter sketch (bounded memory regardless of vocabulary size),
+    // candidates from the deterministic 30% sample, one-sided error
+    // (est >= true always) — all-integer, oracle-exact
+    "q_cms_hh" -> ((s, dir) =>
+      graft.textanalysis.CountMin.heavyHitters(tbl(s, dir, "documents"),
+        threshold = 500L, sampleFraction = 0.3, d = 4, w = 8192)),
+
     "q_bloom_dedup" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val existing = graft.pipeline.Sampling.deterministicSample(docs, "doc_id", 0.3)
@@ -1519,6 +1527,30 @@ object SparkEntry {
       // Bloom sketch restated: same md5(fp || ':' || i) probe positions,
       // 32-bit words bit_or-packed into BIGINTs (shift <= 31 — exact and
       // overflow-safe in both engines), membership = every probe bit set
+      // Count-Min restated: global token counts → d·w counter cells via
+      // the md5(token || '#' || r) family → min-over-rows estimates for
+      // the sampled candidate tokens — every number BIGINT-exact
+      "q_cms_hh" ->
+        raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),
+           tc AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS n FROM (
+                    SELECT unnest(string_split(nt, ' ')) AS t FROM nt)
+                  WHERE length(t) > 0 GROUP BY 1),
+           cel AS (SELECT CAST(r AS INT) AS r,
+                     CAST(('0x' || substr(md5(token || '#' || CAST(r AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 8192 AS c,
+                     n
+                   FROM (SELECT token, n, unnest(range(0, 4)) AS r FROM tc)),
+           sk AS (SELECT r, c, CAST(sum(n) AS BIGINT) AS cnt FROM cel GROUP BY 1, 2),
+           cand AS (SELECT DISTINCT t AS token FROM (
+                      SELECT unnest(string_split(nt, ' ')) AS t FROM nt
+                      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT) < 19661)
+                    WHERE length(t) > 0),
+           pc AS (SELECT token, CAST(r AS INT) AS r,
+                    CAST(('0x' || substr(md5(token || '#' || CAST(r AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 8192 AS c
+                  FROM (SELECT token, unnest(range(0, 4)) AS r FROM cand)),
+           est AS (SELECT token, CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+                   FROM pc LEFT JOIN sk USING (r, c) GROUP BY 1)
+           SELECT token, est FROM est WHERE est >= 500""",
+
       "q_bloom_dedup" ->
         raw"""WITH ex AS (SELECT md5($normText) AS fp FROM documents
                    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT) < 19661),

@@ -412,6 +412,14 @@ object SparkEntry {
     // its fingerprint sketch (8192 bits, 5 md5 probes) is probed by every
     // doc scan-side; sampled docs always hit (no false negatives), the
     // rest hit at the sketch's FP rate — deterministic on any engine
+    // T5 span corruption (Raffel'20 §3.1.4) in the deterministic union-of-
+    // spans form: md5-gated span starts/lengths, maximal masked runs take
+    // one <extra_id_k> sentinel each (islands), target carries the masked
+    // spans + the closing sentinel — the denoising-objective data builder
+    "q_span_corrupt" -> ((s, dir) =>
+      graft.pipeline.SpanCorruption.corrupt(
+        tbl(s, dir, "documents"), pStart = 0.06, maxLen = 4)),
+
     // Count-Min heavy hitters: frequency estimates from a d=4 × w=8192
     // counter sketch (bounded memory regardless of vocabulary size),
     // candidates from the deterministic 30% sample, one-sided error
@@ -1527,6 +1535,48 @@ object SparkEntry {
       // Bloom sketch restated: same md5(fp || ':' || i) probe positions,
       // 32-bit words bit_or-packed into BIGINTs (shift <= 31 — exact and
       // overflow-safe in both engines), membership = every probe bit set
+      // T5 span corruption restated: same md5 gates for starts/lengths,
+      // union-of-spans masking (phantom past-the-end positions pad only
+      // the tail run, exactly as in the engine), islands + dense_rank
+      // sentinels, position-ordered string_agg reassembly
+      "q_span_corrupt" ->
+        raw"""WITH nt AS (SELECT doc_id, $normText AS nt FROM documents),
+           tk AS (SELECT doc_id, i - 1 AS pos, tok FROM (
+                    SELECT doc_id, unnest(string_split(nt, ' ')) AS tok,
+                           generate_subscripts(string_split(nt, ' '), 1) AS i
+                    FROM nt) t WHERE length(tok) > 0),
+           sp AS (SELECT doc_id, pos AS s,
+                    pos + 1 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT) % 4 AS e
+                  FROM tk
+                  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT) < 3932),
+           mk AS (SELECT DISTINCT doc_id, CAST(unnest(range(s, e)) AS BIGINT) AS pos FROM sp),
+           runs AS (SELECT doc_id, pos,
+                      CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY island) AS BIGINT) - 1 AS k
+                    FROM (SELECT doc_id, pos,
+                            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                          FROM mk)),
+           ann AS (SELECT tk.doc_id, tk.pos, tk.tok, runs.k,
+                     CASE WHEN runs.k IS NOT NULL THEN
+                       row_number() OVER (PARTITION BY tk.doc_id, runs.k ORDER BY tk.pos) = 1
+                     ELSE false END AS fst
+                   FROM tk LEFT JOIN runs ON runs.doc_id = tk.doc_id AND runs.pos = tk.pos),
+           agg AS (SELECT doc_id,
+                     string_agg(CASE WHEN k IS NULL THEN tok
+                                     ELSE '<extra_id_' || CAST(k AS VARCHAR) || '>' END, ' '
+                       ORDER BY pos) FILTER (WHERE k IS NULL OR fst) AS input_text,
+                     string_agg(CASE WHEN fst THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok
+                                     ELSE tok END, ' '
+                       ORDER BY pos) FILTER (WHERE k IS NOT NULL) AS body,
+                     COALESCE(max(k), -1) + 1 AS kc
+                   FROM ann GROUP BY doc_id)
+           SELECT d.doc_id,
+             COALESCE(agg.input_text, '') AS input_text,
+             COALESCE(CASE WHEN agg.body IS NULL OR agg.body = ''
+                           THEN '<extra_id_' || CAST(agg.kc AS VARCHAR) || '>'
+                           ELSE agg.body || ' <extra_id_' || CAST(agg.kc AS VARCHAR) || '>' END,
+                      '<extra_id_0>') AS target_text
+           FROM documents d LEFT JOIN agg USING (doc_id)""",
+
       // Count-Min restated: global token counts → d·w counter cells via
       // the md5(token || '#' || r) family → min-over-rows estimates for
       // the sampled candidate tokens — every number BIGINT-exact

@@ -63,6 +63,21 @@ import graft.pipeline.CheckpointedRun
  *   [--dsir-k n]                   # with --dsir-model: the resample budget (count of
  *                                  #   text docs kept); both-or-neither with the model
  *   [--dsir-alpha x]               # add-α bucket-model smoothing (default 0.5)
+ *   [--bloom-dedup /data/bloom]    # cross-BATCH incremental dedup (Dolma-style): drop
+ *                                  #   text docs whose normalized-text fingerprint hits
+ *                                  #   a persisted Bloom sketch of previously shipped
+ *                                  #   batches (Bloom.save layout: words/ + meta/);
+ *                                  #   true re-crawls ALWAYS drop (no false negatives),
+ *                                  #   fresh docs drop at the sketch's FP rate (the
+ *                                  #   documented trade); media-only docs pass; runs
+ *                                  #   with the dedup family, keyed on the same
+ *                                  #   (redacted) text
+ *   [--bloom-out /data/bloom2]     # write the updated sketch: this batch's surviving
+ *                                  #   text fingerprints, MERGED into the --bloom-dedup
+ *                                  #   input sketch when given (same geometry) — the
+ *                                  #   accumulator the next batch deduplicates against
+ *   [--bloom-bits m] [--bloom-k k] # sketch geometry when --bloom-out starts fresh
+ *                                  #   (no input sketch; defaults 1048576:5)
  *                                  # curation order: sample -> quality gate -> gopher
  *                                  # -> quality model -> LM filter -> DSIR resample
  *                                  # -> decontam -> PII
@@ -451,6 +466,45 @@ object RunPipeline {
       .drop("__txt", "__n")
   }
 
+  /** Cross-batch Bloom dedup (`--bloom-dedup`): drop text docs whose
+    * normalized concatenated-text fingerprint might be in the persisted
+    * sketch. Media-only/empty-text docs pass — their fingerprint is the
+    * constant md5("") and the membership question is meaningless for them
+    * (the dedup family's passthrough policy). */
+  private def bloomDedupDocs(docs: org.apache.spark.sql.DataFrame, spansCol: String,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.{Bloom, Dedup}
+    val (words, mBits, k) = Bloom.load(docs.sparkSession, dir)
+    val tagged = tagDocText(docs, spansCol)
+    tagged.where(col("__n") === 0 ||
+        !Bloom.mightContain(Dedup.fingerprint(col("__txt")), words, mBits, k))
+      .drop("__txt", "__n")
+  }
+
+  /** `--bloom-out`: persist the sketch of this batch's SURVIVING text-doc
+    * fingerprints, merged into the input sketch when `--bloom-dedup` was
+    * given (geometry inherited), else fresh at `mBits`/`k`. */
+  private def bloomOutSketch(docs: org.apache.spark.sql.DataFrame, spansCol: String,
+                             outDir: String, inDir: Option[String],
+                             mBits: Int, k: Int): Unit = {
+    import graft.dedup.{Bloom, Dedup}
+    val spark = docs.sparkSession
+    val (gm, gk) = inDir match {
+      case Some(d) =>
+        val (_, m0, k0) = Bloom.load(spark, d)
+        (m0, k0)
+      case None => (mBits, k)
+    }
+    val tagged = tagDocText(docs, spansCol).where(col("__n") > 0)
+    val batch = Bloom.buildTable(
+      tagged.select(Dedup.fingerprint(col("__txt")).as("__fp")), "__fp", gm, gk)
+    val merged = inDir match {
+      case Some(d) => Bloom.merge(spark.read.parquet(s"$d/words"), batch)
+      case None    => batch
+    }
+    Bloom.save(spark, merged, gm, gk, outDir)
+  }
+
   /** `--source-mix alpha:budget` → (alpha, budgetFraction); both mandatory
     * (there is no sensible default budget) and range-checked downstream. */
   private[graft] def parseSourceMixSpec(spec: String): (Double, Double) =
@@ -510,6 +564,10 @@ object RunPipeline {
     val dsirModel = a.get("dsir-model")
     val dsirK = a.get("dsir-k").map(_.toInt)
     val dsirAlpha = a.getOrElse("dsir-alpha", "0.5").toDouble
+    val bloomDedup = a.get("bloom-dedup")
+    val bloomOut = a.get("bloom-out")
+    val bloomBits = a.getOrElse("bloom-bits", "1048576").toInt
+    val bloomK = a.getOrElse("bloom-k", "5").toInt
     // both-or-neither: --lm-model alone would otherwise be a SILENT no-op
     // (an operator shipping an "LM-filtered" corpus that was never filtered)
     require(lmModel.isEmpty == lmMinLp.isEmpty,
@@ -545,8 +603,12 @@ object RunPipeline {
       spec => decontamDocs(dsired, spansCol, spec,
         a.getOrElse("decontam-format", fmt)))
     val scrubbed = if (piiScrub) piiScrubDocs(decontamed, spansCol) else decontamed
-    val textDeduped = if (dedupMode == "none") scrubbed
-                      else dedupDocs(scrubbed, spansCol, dedupMode)
+    // cross-batch Bloom dedup BEFORE in-batch dedup: drops docs already
+    // shipped by earlier batches; in-batch duplicates still need the
+    // regular dedup family below
+    val bloomed = bloomDedup.fold(scrubbed)(d => bloomDedupDocs(scrubbed, spansCol, d))
+    val textDeduped = if (dedupMode == "none") bloomed
+                      else dedupDocs(bloomed, spansCol, dedupMode)
     // span dedup after doc dedup: whole-doc drops first, then boilerplate
     // spans are cut from the SURVIVORS only
     val spanDeduped = spanDedupSpec.fold(textDeduped)(
@@ -562,6 +624,11 @@ object RunPipeline {
     // scan-side filter — cheap wherever it runs
     val docs = sourceMix.fold(mediaDeduped) { case (alpha, budget) =>
       sourceMixDocs(mediaDeduped, mixSourceCol, alpha, budget) }
+    // accumulate the cross-batch sketch over the SURVIVING docs (merged
+    // into the input sketch when one was probed) — written every
+    // invocation so a resumed run still ships the artifact
+    bloomOut.foreach(out =>
+      bloomOutSketch(docs, spansCol, out, bloomDedup, bloomBits, bloomK))
     val cleanDocs0 = if (clean == input) docs
                      else graft.sources.CorpusIO.readDocs(spark, clean, fmt, cleanSpansCol)
     // the truth table must see the same redaction as the input, or every
@@ -595,6 +662,7 @@ object RunPipeline {
       (for { m <- lmModel; lp <- lmMinLp } yield s" lm=$m>=$lp").getOrElse("") +
       qualityModel.map(m => s" quality-model=$m>$qualityModelMin").getOrElse("") +
       (for { m <- dsirModel; k <- dsirK } yield s" dsir=$m@$k:$dsirAlpha").getOrElse("") +
+      bloomDedup.map(d => s" bloom-dedup=$d").getOrElse("") +
       sourceMix.map { case (al, b) => s" source-mix=$al:$b@$mixSourceCol" }.getOrElse("")
     // stage token fingerprints the SOURCES: a resume of this output dir with
     // a different input/clean table (or spans columns, or dedup setting)
@@ -609,6 +677,7 @@ object RunPipeline {
         s"|${mediaDedupSpec.getOrElse("")}|${spanDedupSpec.getOrElse("")}" +
         s"|${qualityModel.getOrElse("")}|$qualityModelMin" +
         s"|${dsirModel.getOrElse("")}|${dsirK.getOrElse("")}|$dsirAlpha" +
+        s"|${bloomDedup.getOrElse("")}" +
         s"|${sourceMix.getOrElse("")}|$mixSourceCol").getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     // docs_in comes from the staged bucketed copy WHILE it exists (an
@@ -630,7 +699,8 @@ object RunPipeline {
     // equal to docs_in by definition when no curation step is active
     val curationOff = dedupMode == "none" && sampleFrac.isEmpty && gateSpec.isEmpty &&
       gopherSpec.isEmpty && decontamSpec.isEmpty && (lmModel.isEmpty || lmMinLp.isEmpty) &&
-      qualityModel.isEmpty && (dsirModel.isEmpty || dsirK.isEmpty) && sourceMix.isEmpty
+      qualityModel.isEmpty && (dsirModel.isEmpty || dsirK.isEmpty) &&
+      bloomDedup.isEmpty && sourceMix.isEmpty
     val docsInPre: Option[Long] =
       if (docsIn.isEmpty) None
       else if (curationOff) docsIn
@@ -651,7 +721,7 @@ object RunPipeline {
       if (sampleFrac.isEmpty && gateSpec.isEmpty && gopherSpec.isEmpty &&
           decontamSpec.isEmpty && (lmModel.isEmpty || lmMinLp.isEmpty) &&
           qualityModel.isEmpty && (dsirModel.isEmpty || dsirK.isEmpty) &&
-          sourceMix.isEmpty)
+          bloomDedup.isEmpty && sourceMix.isEmpty)
         docsRemoved
       else None
     s"""{"run_id":${jsonStr(runId)},"docs_in":${optLong(docsIn)},""" +

@@ -563,6 +563,54 @@ class RunPipelineSpec extends SparkSpec {
       "dsir-model" -> s"$base/dsir")))
   }
 
+  test("--bloom-dedup/--bloom-out: cross-batch incremental dedup accumulates") {
+    val base = Files.createTempDirectory("runpipeline_bloom").toString
+    def spanDocs(rows: Seq[(String, String)]) = rows.toDF("doc_id", "__t").select(
+      col("doc_id"), array(struct(lit("text").as("kind"), col("__t").as("text"),
+        lit("").as("media_ref"), lit(0).cast("int").as("offset"))).as("spans"))
+    val mediaOnly = Seq(("media00",
+      Seq(graft.model.Span("media", null, "media://9", 0)))).toDF("doc_id", "spans")
+
+    // batch 1: 10 docs, sketch written fresh
+    val b1 = (0 until 10).map(i => (f"b1d$i%02d", s"batch one document number $i"))
+    spanDocs(b1).write.parquet(s"$base/in1")
+    RunPipeline.run(spark, Map(
+      "input" -> s"$base/in1", "output" -> s"$base/out1", "corrector" -> "null",
+      "bloom-out" -> s"$base/sketch1", "bloom-bits" -> "65536",
+      "buckets" -> "4", "group-size" -> "2"))
+
+    // batch 2: 4 re-crawls of batch 1 (one with whitespace/case drift —
+    // still a normalized duplicate), 6 fresh docs, 1 media-only doc
+    val b2 = (0 until 3).map(i => (f"b2r$i%02d", s"batch one document number $i")) ++
+      Seq(("b2r03", "  Batch ONE  document number 3 ")) ++
+      (0 until 6).map(i => (f"b2f$i%02d", s"batch two fresh document $i"))
+    spanDocs(b2).unionByName(mediaOnly).write.parquet(s"$base/in2")
+    val out2 = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in2", "output" -> s"$base/out2", "corrector" -> "null",
+      "bloom-dedup" -> s"$base/sketch1", "bloom-out" -> s"$base/sketch2",
+      "buckets" -> "4", "group-size" -> "2"))
+    val w2 = spark.read.parquet(s"$base/out2")
+    assert(w2.filter(col("doc_id").startsWith("b2r")).count() == 0,
+      "every re-crawl must drop (no false negatives)")
+    assert(w2.filter(col("doc_id").startsWith("b2f")).count() == 6)
+    assert(w2.filter(col("doc_id") === "media00").count() == 1,
+      "media-only docs pass the bloom gate")
+    assert(out2.contains(""""docs_in":7"""), out2) // 6 fresh + 1 media
+
+    // batch 3 against the ACCUMULATED sketch: re-crawls of both batches drop
+    val b3 = Seq(("b3r00", "batch one document number 5"),
+      ("b3r01", "batch two fresh document 2"),
+      ("b3f00", "a third batch genuinely new document"))
+    spanDocs(b3).write.parquet(s"$base/in3")
+    RunPipeline.run(spark, Map(
+      "input" -> s"$base/in3", "output" -> s"$base/out3", "corrector" -> "null",
+      "bloom-dedup" -> s"$base/sketch2",
+      "buckets" -> "4", "group-size" -> "2"))
+    val w3 = spark.read.parquet(s"$base/out3").select("doc_id").distinct()
+      .as[String].collect().toSet
+    assert(w3 == Set("b3f00"), s"got $w3")
+  }
+
   test("--source-mix keeps exactly the temperatureMix rows; missing column fails fast") {
     val base = Files.createTempDirectory("runpipeline_mix").toString
     // 3 sources with skewed natural sizes riding as an EXTRA input column

@@ -534,7 +534,12 @@ object SparkEntry {
         concat(col("text"),
           lit(" contact doc"), col("doc_id").cast("string"), lit("@example.com"),
           lit(" from 10.2."), (col("doc_id") % 256).cast("string"), lit(".7"),
-          lit(" call +1 (555) 01"), (col("doc_id") % 90 + 10).cast("string")).as("text"))
+          lit(" call +1 (555) 01"), (col("doc_id") % 90 + 10).cast("string"),
+          // even docs carry a Luhn-VALID card (must redact), odd docs the
+          // same digits with a broken checksum (must NOT — the Luhn gate)
+          lit(" pay "),
+          when(col("doc_id") % 2 === 0, lit("4111 1111 1111 1111"))
+            .otherwise(lit("4111 1111 1111 1112"))).as("text"))
       graft.textanalysis.Pii.scrub(dirty)
     }),
 
@@ -1450,20 +1455,42 @@ object SparkEntry {
         raw"""WITH dirty AS (SELECT doc_id,
              text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com' ||
              ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ||
-             ' call +1 (555) 01' || CAST(doc_id % 90 + 10 AS VARCHAR) AS text
+             ' call +1 (555) 01' || CAST(doc_id % 90 + 10 AS VARCHAR) ||
+             ' pay ' || CASE WHEN doc_id % 2 = 0 THEN '4111 1111 1111 1111'
+                             ELSE '4111 1111 1111 1112' END AS text
            FROM documents),
            st AS (SELECT doc_id, text,
              regexp_replace(text, '${Pii.EmailRe}', '[EMAIL]', 'g') AS after_email
            FROM dirty),
            st2 AS (SELECT doc_id, text, after_email,
              regexp_replace(after_email, '${Pii.PhoneRe}', '[PHONE]', 'g') AS after_phone
-           FROM st)
-           SELECT doc_id,
+           FROM st),
+           st3 AS (SELECT doc_id, text, after_email, after_phone,
+             regexp_replace(after_phone, '${Pii.Ipv4Re}', '[IP]', 'g') AS after_ip
+           FROM st2),
+           cd AS (SELECT doc_id, c, reverse(regexp_replace(c, '[ -]', '', 'g')) AS r
+                  FROM (SELECT doc_id, unnest(regexp_extract_all(after_ip, '${Pii.CardRe}')) AS c
+                        FROM st3)),
+           cv AS (SELECT doc_id, c FROM cd
+                  WHERE list_reduce(list_prepend(0, list_transform(range(1, length(r) + 1),
+                          i -> CASE WHEN i % 2 = 1
+                                    THEN CAST(substr(r, CAST(i AS INT), 1) AS INT)
+                                    ELSE CASE WHEN CAST(substr(r, CAST(i AS INT), 1) AS INT) > 4
+                                              THEN CAST(substr(r, CAST(i AS INT), 1) AS INT) * 2 - 9
+                                              ELSE CAST(substr(r, CAST(i AS INT), 1) AS INT) * 2 END
+                               END)),
+                        (a, x) -> a + x) % 10 = 0),
+           ccnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cards FROM cv GROUP BY 1),
+           clst AS (SELECT doc_id, list(c ORDER BY length(c) DESC, c) AS cl
+                    FROM (SELECT DISTINCT doc_id, c FROM cv) GROUP BY 1)
+           SELECT st3.doc_id,
              CAST(len(regexp_extract_all(text, '${Pii.EmailRe}')) AS BIGINT) AS n_emails,
              CAST(len(regexp_extract_all(after_phone, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ipv4,
              CAST(len(regexp_extract_all(after_email, '${Pii.PhoneRe}')) AS BIGINT) AS n_phones,
-             regexp_replace(after_phone, '${Pii.Ipv4Re}', '[IP]', 'g') AS redacted
-           FROM st2""",
+             COALESCE(ccnt.n_cards, 0) AS n_cards,
+             list_reduce(list_prepend(after_ip, COALESCE(clst.cl, CAST([] AS VARCHAR[]))),
+               (acc, c) -> replace(acc, c, '[CARD]')) AS redacted
+           FROM st3 LEFT JOIN ccnt USING (doc_id) LEFT JOIN clst USING (doc_id)""",
 
       // 13-gram collision check; eval = the md5-gated 5% sample (cutoff
       // round(0.05 * 65536) = 3277), grams via list slicing

@@ -41,13 +41,62 @@ object Pii {
   /** Text after the email + phone passes — stage 2. */
   def afterPhones(text: Column): Column = regexp_replace(afterEmails(text), PhoneRe, "[PHONE]")
 
+  /** Text after the email + phone + IP passes — stage 3. */
+  def afterIps(text: Column): Column = regexp_replace(afterPhones(text), Ipv4Re, "[IP]")
+
+  /** Payment-card CANDIDATES: 13–19 digits with optional single space/dash
+    * separators, word-bounded. A candidate becomes `[CARD]` only if it
+    * passes the Luhn checksum — format alone is how dates, ids, and
+    * tracking numbers would leak into the scrub; format + checksum is the
+    * standard card rule (a random digit run still passes at ~10%, the
+    * documented residual). */
+  val CardRe = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+
+  /** Luhn checksum over a pure digit string: from the RIGHT, odd positions
+    * count as-is, even positions doubled with digit-sum; valid iff the
+    * total is divisible by 10. Integer-exact on any engine. */
+  def luhnValid(digits: Column): Column =
+    graft.dedup.Dedup.let(reverse(digits)) { r =>
+      aggregate(sequence(lit(1), length(r)), lit(0),
+        (acc, i) => {
+          val d = substr(r, i, lit(1)).cast("int")
+          acc + when(i % 2 === 1, d)
+            .otherwise(when(d > 4, d * 2 - 9).otherwise(d * 2))
+        }) % 10 === 0
+    }
+
+  /** Luhn-validated card literals of a text, LONGEST FIRST (then
+    * lexicographic): replacement is by literal, and replacing a shorter
+    * valid card that happens to be a substring of a longer one first would
+    * corrupt the longer match. */
+  def validCards(text: Column): Column =
+    array_sort(
+      filter(array_distinct(regexp_extract_all(text, lit(CardRe), lit(0))),
+        c => luhnValid(regexp_replace(c, "[ -]", ""))),
+      (a, b) => when(length(a) =!= length(b), length(b) - length(a))
+        .otherwise(when(a < b, -1).when(a > b, 1).otherwise(0)))
+
+  def cardCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(CardRe), lit(0)),
+      c => luhnValid(regexp_replace(c, "[ -]", ""))))
+
+  /** Stage 4: every Luhn-valid card literal replaced (all occurrences of
+    * each validated literal — identical semantics on every engine; in the
+    * adversarial case of a valid literal also appearing inside an
+    * unmatched digit run, the literal replace takes it too). */
+  def afterCards(text: Column): Column =
+    graft.dedup.Dedup.let(text) { t =>
+      aggregate(validCards(t), t, (acc, c) => call_function("replace", acc, c, lit("[CARD]")))
+    }
+
   /** Typed-placeholder redaction. Order matters and is contractual:
     * emails first (an address may embed digit runs), then phones, then
-    * IPs — both engines apply the identical sequence. */
-  def redact(text: Column): Column = regexp_replace(afterPhones(text), Ipv4Re, "[IP]")
+    * IPs, then Luhn-validated cards — both engines apply the identical
+    * sequence. */
+  def redact(text: Column): Column = afterCards(afterIps(text))
 
   /** Per-doc audit report + scrubbed text:
-    * `(idCol, n_emails, n_ipv4, n_phones, redacted)`.
+    * `(idCol, n_emails, n_ipv4, n_phones, n_cards, redacted)`.
     *
     * Counts are SEQUENTIAL — each stage counts on the previous stage's
     * output, exactly like the redaction itself — so every count equals the
@@ -55,7 +104,9 @@ object Pii {
     * books always reconcile against the redacted text. (Raw-text counts
     * would not: a phone-shaped digit run inside an email local part, or an
     * IPv4 swallowed by an adjacent phone match, would be counted but never
-    * replaced.) */
+    * replaced. The one documented exception: `n_cards` counts regex
+    * matches, while the literal replace can also take a valid card
+    * embedded in an unmatched digit run — adversarial texts only.) */
   def scrub(docs: org.apache.spark.sql.DataFrame,
             idCol: String = "doc_id",
             textCol: String = "text"): org.apache.spark.sql.DataFrame = {
@@ -64,6 +115,7 @@ object Pii {
       emailCount(t).cast("long").as("n_emails"),
       ipv4Count(afterPhones(t)).cast("long").as("n_ipv4"),
       phoneCount(afterEmails(t)).cast("long").as("n_phones"),
+      cardCount(afterIps(t)).cast("long").as("n_cards"),
       redact(t).as("redacted"))
   }
 }

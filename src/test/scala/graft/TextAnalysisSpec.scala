@@ -377,18 +377,25 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "server at 192.168.0.17 and backup 10.0.0.1 port 8080"),
       (3L, "call +1 (555) 123-4567 or +44 20 7946 0958 now"),
       (4L, "no pii here, just 3.14 and version 1.2.3 and a-b@c"),  // decoys
-      (5L, "mixed: x@y.io at 8.8.8.8 dial +33 1 42 68 53 00")).toDF("doc_id", "text")
-    val r = Pii.scrub(df).as[(Long, Long, Long, Long, String)].collect()
+      (5L, "mixed: x@y.io at 8.8.8.8 dial +33 1 42 68 53 00"),
+      // Luhn gate: 4111111111111111 is a valid test Visa (separators ok),
+      // same digits ending ...12 fail the checksum and must NOT redact
+      (6L, "pay with 4111 1111 1111 1111 or card 5500-0000-0000-0004 thanks"),
+      (7L, "fake card 4111 1111 1111 1112 stays put")).toDF("doc_id", "text")
+    val r = Pii.scrub(df).as[(Long, Long, Long, Long, Long, String)].collect()
       .map(x => x._1 -> x).toMap
     assert(r(1L)._2 == 2 && r(1L)._3 == 0 && r(1L)._4 == 0)
-    assert(r(1L)._5 == "write to [EMAIL] or [EMAIL] today")
-    assert(r(2L)._3 == 2 && r(2L)._5 == "server at [IP] and backup [IP] port 8080")
-    assert(r(3L)._4 == 2 && r(3L)._5 == "call [PHONE] or [PHONE] now")
+    assert(r(1L)._6 == "write to [EMAIL] or [EMAIL] today")
+    assert(r(2L)._3 == 2 && r(2L)._6 == "server at [IP] and backup [IP] port 8080")
+    assert(r(3L)._4 == 2 && r(3L)._6 == "call [PHONE] or [PHONE] now")
     // decoys: 3.14 / 1.2.3 are not IPs (need 4 octets), a-b@c has no TLD
     assert(r(4L)._2 == 0 && r(4L)._3 == 0 && r(4L)._4 == 0)
-    assert(r(4L)._5 == "no pii here, just 3.14 and version 1.2.3 and a-b@c")
+    assert(r(4L)._6 == "no pii here, just 3.14 and version 1.2.3 and a-b@c")
     assert(r(5L)._2 == 1 && r(5L)._3 == 1 && r(5L)._4 == 1)
-    assert(r(5L)._5 == "mixed: [EMAIL] at [IP] dial [PHONE]")
+    assert(r(5L)._6 == "mixed: [EMAIL] at [IP] dial [PHONE]")
+    assert(r(6L)._5 == 2, r(6L).toString)
+    assert(r(6L)._6 == "pay with [CARD] or card [CARD] thanks")
+    assert(r(7L)._5 == 0 && r(7L)._6 == "fake card 4111 1111 1111 1112 stays put")
   }
 
   test("PII scrub: counts reconcile with emitted placeholders (sequential books)") {
@@ -399,17 +406,21 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "reach user+15551234567@gmail.com today"),
       // PhoneRe's class admits dots/spaces, so it swallows the adjacent IP:
       // zero [IP] emitted and n_ipv4 must be 0
-      (2L, "call +1 555 0100 10.2.3.4 now")).toDF("doc_id", "text")
-    val r = Pii.scrub(df).as[(Long, Long, Long, Long, String)].collect()
+      (2L, "call +1 555 0100 10.2.3.4 now"),
+      // a card digit run adjacent to other numbers still checks alone
+      (3L, "order 7 pay 4111 1111 1111 1111 ok")).toDF("doc_id", "text")
+    val r = Pii.scrub(df).as[(Long, Long, Long, Long, Long, String)].collect()
       .map(x => x._1 -> x).toMap
     assert(r(1L)._2 == 1 && r(1L)._4 == 0, r(1L).toString)
-    assert(r(1L)._5 == "reach [EMAIL] today")
+    assert(r(1L)._6 == "reach [EMAIL] today")
     assert(r(2L)._4 == 1 && r(2L)._3 == 0, r(2L).toString)
-    assert(!r(2L)._5.contains("[IP]"))
+    assert(!r(2L)._6.contains("[IP]"))
+    assert(r(3L)._5 == 1 && r(3L)._6 == "order 7 pay [CARD] ok")
     // invariant: each count == occurrences of its placeholder
-    r.values.foreach { case (_, ne, ni, np, red) =>
+    r.values.foreach { case (_, ne, ni, np, nc, red) =>
       def occ(m: String) = m.r.findAllIn(red).size
-      assert(occ("\\[EMAIL\\]") == ne && occ("\\[IP\\]") == ni && occ("\\[PHONE\\]") == np)
+      assert(occ("\\[EMAIL\\]") == ne && occ("\\[IP\\]") == ni &&
+        occ("\\[PHONE\\]") == np && occ("\\[CARD\\]") == nc)
     }
   }
 

@@ -360,6 +360,20 @@ object StreamingOps {
     * the quality Column family) — stateless, shuffle-free, identical
     * semantics on batch and streaming frames, so the same call is the batch
     * backfill filter. */
+  /** Cross-batch Bloom dedup at the STREAM boundary: drop arriving docs
+    * whose normalized-text fingerprint hits a static corpus sketch
+    * ([[graft.dedup.Bloom]] — "already shipped in an earlier batch").
+    * STATELESS by design: the sketch is a broadcast literal probed
+    * scan-side, so the gate composes with any downstream stateful stage
+    * and the batch path is the IDENTICAL expression (batch ≡ stream
+    * spec-asserted). In-stream duplicates are [[dedupStream]]'s job — the
+    * same split as the batch pipeline's --bloom-dedup before --dedup.
+    * False negatives impossible; fresh docs drop at the sketch's FP rate. */
+  def bloomGate(docs: DataFrame, words: Array[Long], mBits: Int, k: Int,
+                textCol: String = "text"): DataFrame =
+    docs.filter(!graft.dedup.Bloom.mightContain(
+      graft.dedup.Dedup.fingerprint(col(textCol)), words, mBits, k))
+
   def qualityGate(docs: DataFrame, textCol: String = "text",
                   minQuality: Double = 0.3,
                   maxDupTokenRatio: Double = 0.6): DataFrame =

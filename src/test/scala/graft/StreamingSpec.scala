@@ -306,6 +306,31 @@ class StreamingSpec extends SparkSpec {
       t.contains("[EMAIL]") && t.contains("[IP]") && !t.contains("@example.com")))
   }
 
+  test("streaming Bloom gate: shipped docs drop at the boundary, batch ≡ stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val shipped = (0 until 20).map(i => s"previously shipped document $i")
+    val words = graft.dedup.Bloom.build(
+      shipped.toDF("t").select(graft.dedup.Dedup.fingerprint($"t").as("fp")),
+      "fp", mBits = 8192, k = 5)
+    val arriving = (0L until 10L).map(i => (i, s"previously shipped document $i")) ++
+      (10L until 25L).map(i => (i, s"a fresh streaming document $i"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(arriving)
+    val gated = StreamingOps.bloomGate(
+      stream.toDF().toDF("doc_id", "text"), words, mBits = 8192, k = 5)
+    val q = gated.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode(OutputMode.Append()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("bloom_stream").select("doc_id").as[Long].collect().toSet
+    // every shipped re-arrival drops; fresh docs survive (FP rate ~0.1%)
+    assert((0L until 10L).forall(!streamed.contains(_)))
+    assert((10L until 25L).count(streamed.contains) >= 14)
+    val batch = StreamingOps.bloomGate(
+      arriving.toDF("doc_id", "text"), words, mBits = 8192, k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch, "gate membership must be frame-kind-independent")
+  }
+
   test("streaming unit dedup: repeated spans flagged, short spans immune, state evicted") {
     implicit val sqlCtx = spark.sqlContext
     import graft.model.Span

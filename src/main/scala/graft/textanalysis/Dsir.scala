@@ -95,9 +95,13 @@ object Dsir {
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     require(alpha > 0.0, s"add-alpha smoothing needs alpha > 0, got $alpha")
-    // ft feeds the raw-model agg AND the term join; the rebuild is a narrow
-    // scan-side chain, so recompute over materialize (the SubstringDup kg
-    // measurement — see measure-before-materialize discipline)
+    // ft feeds the raw-model agg AND the term join, so the plan rebuilds
+    // the tokenize→gram-explode→hash-agg chain once per consumer. An
+    // explicit localCheckpoint of ft was MEASURED SLOWER at sf0.1 (q_dsir
+    // 2.22 → 2.96 s best-of-3, tools/QueryProbe): unlike LmScore's token
+    // arrays, the (id, f, c) surface is ~docs × distinct-features rows and
+    // materializing it costs more than the narrow codegen'd rebuild —
+    // recompute is the measured trade (see measure-before-materialize)
     val ft = featureTable(raw, dim, idCol, textCol)
     val p = targetCounts.select(col("f"), col("c").cast("long").as("__cp"))
     val q = ft.groupBy(col("f")).agg(sum(col("c")).cast("long").as("__cq"))

@@ -412,6 +412,13 @@ object SparkEntry {
     // its fingerprint sketch (8192 bits, 5 md5 probes) is probed by every
     // doc scan-side; sampled docs always hit (no false negatives), the
     // rest hit at the sketch's FP rate — deterministic on any engine
+    // weighted sampling without replacement ∝ n_chars (Efraimidis-Spirakis
+    // priority sampling, Gumbel form, deterministic md5 draws): long docs
+    // sample proportionally more — the "sample by token mass" primitive
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.pipeline.Sampling.weightedSample(
+        tbl(s, dir, "documents"), "doc_id", "n_chars", k = 150)),
+
     // T5 span corruption (Raffel'20 §3.1.4) in the deterministic union-of-
     // spans form: md5-gated span starts/lengths, maximal masked runs take
     // one <extra_id_k> sentinel each (islands), target carries the masked
@@ -1562,6 +1569,18 @@ object SparkEntry {
       // Bloom sketch restated: same md5(fp || ':' || i) probe positions,
       // 32-bit words bit_or-packed into BIGINTs (shift <= 31 — exact and
       // overflow-safe in both engines), membership = every probe bit set
+      // priority sampling restated: ln(weight) + the md5 Gumbel draw,
+      // rounded key, top-150 by (key desc, doc_id)
+      "q_weighted_sample" ->
+        raw"""WITH w AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight FROM documents
+                   WHERE n_chars IS NOT NULL AND n_chars > 0),
+           ky AS (SELECT doc_id, weight,
+                    ${Portable.round4Sql(
+                      "ln(weight) + (-ln(-ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT) AS DOUBLE) + 0.5) / 65536.0)))")} AS gumbel_key
+                  FROM w)
+           SELECT doc_id, weight, gumbel_key FROM ky
+           ORDER BY gumbel_key DESC, doc_id LIMIT 150""",
+
       // T5 span corruption restated: same md5 gates for starts/lengths,
       // union-of-spans masking (phantom past-the-end positions pad only
       // the tail run, exactly as in the engine), islands + dense_rank

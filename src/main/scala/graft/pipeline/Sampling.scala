@@ -61,6 +61,36 @@ object Sampling {
   }
 
   /**
+   * Weighted sampling WITHOUT replacement, probability ∝ `weightCol` —
+   * Efraimidis & Spirakis (IPL 2006) priority sampling in its Gumbel
+   * formulation: key = `ln(w) + Gumbel(0,1)`, take the k largest (the
+   * u^(1/w)-key rule log-transformed). Like everything here, the random
+   * draw is DETERMINISTIC per row (the md5 16-bit uniform through the
+   * Gumbel inverse-CDF), so the sample is a pure function of the row set —
+   * reproducible across runs, engines, and partitionings, which a seeded
+   * partition-stream RNG cannot give. Rows with null or non-positive
+   * weight never sample (weight 0 = excluded, matching the ∝-w semantics).
+   *
+   * Returns `(idCol, weight, gumbel_key)` — selection ordered by the
+   * ROUNDED key (ties by id) so the boundary is engine-portable; join back
+   * on `idCol` for full rows. Top-k is `orderBy.limit` =
+   * TakeOrderedAndProject: per-partition heaps, no global sort shuffle.
+   * [[graft.textanalysis.Dsir.resample]] is this sampler applied to log
+   * importance weights.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"sample size k must be >= 1, got $k")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("double").as("weight"))
+      .select(col(idCol), col("weight"),
+        graft.Portable.round4(
+          graft.textanalysis.Dsir.gumbelKey(log(col("weight")), col(idCol)))
+          .as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * Per-source diversity quota — cap documents per source/domain so no
    * single crawl host dominates the training mix (the standard "domain
    * cap" of web-corpus recipes). Keeps the top `k` docs per `sourceCol`

@@ -195,6 +195,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(uni == Map("the" -> 3L, "cat" -> 4L))
   }
 
+  test("weighted sampling: proportional-to-weight, repartition-proof, zero-weight excluded") {
+    import graft.pipeline.Sampling
+    // heavy rows weigh 1000x light ones: the top-k should be dominated by
+    // heavies (deterministic given the md5 draws — asserted exactly)
+    val df = ((0L until 30L).map(i => (i, 1000.0)) ++
+      (100L until 400L).map(i => (i, 1.0)) ++
+      Seq((900L, 0.0), (901L, -3.0), (902L, Double.NaN))).toDF("doc_id", "w")
+    val sel = Sampling.weightedSample(df, "doc_id", "w", k = 30)
+      .as[(Long, Double, Double)].collect()
+    assert(sel.length == 30)
+    assert(sel.count(_._1 < 30L) >= 25, s"heavies underrepresented: ${sel.count(_._1 < 30L)}")
+    assert(sel.forall(r => r._1 < 900L), "zero/negative/NaN-weight rows must never sample")
+    // pure function of the row set
+    val sel2 = Sampling.weightedSample(df.repartition(7), "doc_id", "w", k = 30)
+      .as[(Long, Double, Double)].collect()
+    assert(sel.sortBy(_._1).toSeq == sel2.sortBy(_._1).toSeq)
+    // selection = the top-k of the full key table (re-derived)
+    val all = df.filter($"w" > 0).select($"doc_id", $"w",
+        graft.Portable.round4(
+          graft.textanalysis.Dsir.gumbelKey(org.apache.spark.sql.functions.log($"w"), $"doc_id")).as("k"))
+      .as[(Long, Double, Double)].collect()
+    val want = all.sortBy(r => (-r._3, r._1)).take(30).map(_._1).toSet
+    assert(sel.map(_._1).toSet == want)
+  }
+
   test("deterministic sampling: membership is row-pure, nested, and stratified") {
     import graft.pipeline.Sampling
     val df = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "de"))

@@ -412,6 +412,15 @@ object SparkEntry {
     // its fingerprint sketch (8192 bits, 5 md5 probes) is probed by every
     // doc scan-side; sampled docs always hit (no false negatives), the
     // rest hit at the sketch's FP rate — deterministic on any engine
+    // length-bucketed batching (the seq2seq dynamic-batching rule): docs
+    // ranked by (token length, id) via the two-phase prefix trick, cut
+    // into 32-doc batches, per-batch padding accounting — each batch pads
+    // to ITS max length, not the corpus max
+    "q_len_batches" -> ((s, dir) =>
+      graft.pipeline.Packing.batchPaddingStats(
+        graft.pipeline.Packing.lengthBucketedBatches(
+          tbl(s, dir, "documents"), batchSize = 32))),
+
     // weighted sampling without replacement ∝ n_chars (Efraimidis-Spirakis
     // priority sampling, Gumbel form, deterministic md5 draws): long docs
     // sample proportionally more — the "sample by token mass" primitive
@@ -1569,6 +1578,21 @@ object SparkEntry {
       // Bloom sketch restated: same md5(fp || ':' || i) probe positions,
       // 32-bit words bit_or-packed into BIGINTs (shift <= 31 — exact and
       // overflow-safe in both engines), membership = every probe bit set
+      // length-batching restated: one GLOBAL rank window (the single-query
+      // form the engine's two-phase trick is spec-equal to), 32-doc cuts,
+      // integer padding accounting
+      "q_len_batches" ->
+        raw"""WITH tk AS (SELECT doc_id,
+                 CAST(len(list_filter(string_split($normText, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens
+               FROM documents),
+           r AS (SELECT doc_id, n_tokens,
+                   row_number() OVER (ORDER BY n_tokens, doc_id) AS rank FROM tk),
+           a AS (SELECT doc_id, n_tokens, CAST((rank - 1) // 32 AS BIGINT) AS batch_id FROM r)
+           SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(max(n_tokens) AS BIGINT) AS max_len,
+                  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padded_tokens
+           FROM a GROUP BY 1""",
+
       // priority sampling restated: ln(weight) + the md5 Gumbel draw,
       // rounded key, top-150 by (key desc, doc_id)
       "q_weighted_sample" ->

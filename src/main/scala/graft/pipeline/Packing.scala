@@ -75,4 +75,55 @@ object Packing {
           .otherwise(floor((col("tok_start") + col("n_tokens") - 1) / seqLen))
           .cast("long").as("end_bin"))
   }
+
+  /**
+   * Length-bucketed batch assignment — the padded-batch counterpart of
+   * [[packSequences]]: sort documents by token length and cut consecutive
+   * `batchSize`-doc batches, so each batch pads to ITS OWN max length
+   * instead of the corpus max (the dynamic-batching rule every seq2seq
+   * fine-tuning loader uses; padding waste drops from corpus-max to
+   * within-batch spread). Output `(idCol, n_tokens, batch_id,
+   * pos_in_batch)` with batches in (length, id) rank order.
+   *
+   * Scale design: the global rank by `(n_tokens, id)` is TWO-PHASE like
+   * the packing prefix sum — an in-group `row_number` partitioned by the
+   * EXACT length value (parallel across distinct lengths; a hot common
+   * length is aggregation-key skew, AQE-splittable) plus base offsets from
+   * a prefix sum over the per-length counts table (one row per DISTINCT
+   * length — bounded by max doc length, broadcast back). Identical to the
+   * single-partition global window at every batchSize (spec-asserted).
+   */
+  def lengthBucketedBatches(docs: DataFrame, batchSize: Int,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(batchSize >= 1, s"batch size must be >= 1, got $batchSize")
+    // same materialize-once argument as packSequences: 2 narrow columns
+    // per doc, consumed by the window and the counts aggregate
+    val toks = docs.select(col(idCol),
+      size(filter(graft.dedup.Dedup.tokens(col(textCol)), t => length(t) > 0))
+        .cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    val inLen = Window.partitionBy(col("n_tokens")).orderBy(col(idCol))
+    val withLocal = toks.withColumn("__rn_in", row_number().over(inLen).cast("long"))
+    val counts = toks.groupBy(col("n_tokens")).agg(count(lit(1)).as("__cnt"))
+    val base = counts.withColumn("__base",
+      coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col("n_tokens")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_tokens"), col("__base"))
+    withLocal.join(broadcast(base), "n_tokens")
+      .withColumn("__rank", col("__base") + col("__rn_in"))
+      .select(col(idCol), col("n_tokens"),
+        floor((col("__rank") - 1) / batchSize).cast("long").as("batch_id"),
+        ((col("__rank") - 1) % batchSize).cast("long").as("pos_in_batch"))
+  }
+
+  /** Per-batch padding accounting over a [[lengthBucketedBatches]]
+    * assignment: `(batch_id, n_docs, max_len, padded_tokens)` with
+    * `padded_tokens = n_docs·max_len − Σ n_tokens` — the waste a padded
+    * loader actually allocates. One hash agg over the assignment. */
+  def batchPaddingStats(assignment: DataFrame): DataFrame =
+    assignment.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_len"),
+        (count(lit(1)) * max(col("n_tokens")) - sum(col("n_tokens")))
+          .cast("long").as("padded_tokens"))
 }

@@ -465,6 +465,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(keptTies.toSeq == Seq(3L, 5L))
   }
 
+  test("length-bucketed batching: two-phase rank == global window; padding drops vs id order") {
+    import graft.pipeline.Packing
+    val r = new scala.util.Random(71)
+    val docs = (0L until 200L).map(i =>
+      (i, (0 until (1 + r.nextInt(40))).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val B = 16
+    val got = Packing.lengthBucketedBatches(docs, B)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // reference: single global window rank by (n_tokens, doc_id)
+    val lens = docs.select($"doc_id",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.filter(graft.dedup.Dedup.tokens($"text"),
+            t => org.apache.spark.sql.functions.length(t) > 0)).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val rankOrder = lens.toSeq.sortBy { case (id, n) => (n, id) }.map(_._1).zipWithIndex.toMap
+    got.foreach { case (id, n, batch, pos) =>
+      assert(n == lens(id))
+      assert(batch == rankOrder(id) / B, s"doc $id")
+      assert(pos == rankOrder(id) % B, s"doc $id")
+    }
+    // padding accounting, and the point of the operator: sorted batches
+    // waste less than id-order batches on the same corpus
+    val stats = Packing.batchPaddingStats(Packing.lengthBucketedBatches(docs, B))
+      .as[(Long, Long, Long, Long)].collect()
+    stats.foreach { case (_, nd, mx, pad) => assert(pad >= 0 && pad <= nd * mx) }
+    val sortedPad = stats.map(_._4).sum
+    val idOrderPad = lens.toSeq.sortBy(_._1).map(_._2).grouped(B)
+      .map(g => g.length * g.max - g.sum).sum
+    assert(sortedPad < idOrderPad,
+      s"length-sorted padding $sortedPad should beat id-order $idOrderPad")
+    // pure function of the row set
+    val again = Packing.lengthBucketedBatches(docs.repartition(7), B)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("sequence packing: hand fixture and bucket-size invariance") {
     import graft.pipeline.Packing
     val docs = Seq(

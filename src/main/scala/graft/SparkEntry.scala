@@ -412,6 +412,31 @@ object SparkEntry {
     // its fingerprint sketch (8192 bits, 5 md5 probes) is probed by every
     // doc scan-side; sampled docs always hit (no false negatives), the
     // rest hit at the sketch's FP rate — deterministic on any engine
+    // corpus snapshot diff: verdicts between two crawls — the lower 50%
+    // gate band unchanged, the 50-75% band edited, the top band removed
+    // from the new snapshot and re-added under new ids; fingerprint
+    // equality on the normalized text (whitespace drift is not a change)
+    "q_corpus_diff" -> ((s, dir) => {
+      // string ids on BOTH snapshots: the synthetic "_v2" ids are strings,
+      // and a mixed-type join key would force a failing string->long cast
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      val g = graft.pipeline.Sampling.gate16(col("doc_id"))
+      val kept = docs.filter(g < 49152)
+        .select(col("doc_id"),
+          when(g >= 32768, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")).as("text"))
+      val added = docs.filter(g >= 49152)
+        .select(concat(col("doc_id"), lit("_v2")).as("doc_id"), col("text"))
+      graft.dedup.CorpusDiff.diff(docs, kept.unionByName(added))
+    }),
+
+    // token frequency-of-frequencies spectrum (the Zipf/Good-Turing corpus
+    // health statistic): how many distinct tokens occur exactly freq times
+    "q_freq_spectrum" -> ((s, dir) =>
+      graft.textanalysis.TextAnalysis.tokenFrequencySpectrum(
+        tbl(s, dir, "documents"))),
+
     // length-bucketed batching (the seq2seq dynamic-batching rule): docs
     // ranked by (token length, id) via the two-phase prefix trick, cut
     // into 32-doc batches, per-batch padding accounting — each batch pads
@@ -1578,6 +1603,33 @@ object SparkEntry {
       // Bloom sketch restated: same md5(fp || ':' || i) probe positions,
       // 32-bit words bit_or-packed into BIGINTs (shift <= 31 — exact and
       // overflow-safe in both engines), membership = every probe bit set
+      // snapshot diff restated: same gate bands, same normalized-text
+      // fingerprints, full outer join verdicts
+      "q_corpus_diff" ->
+        raw"""WITH g AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS BIGINT) AS gate
+               FROM documents),
+           newd AS (SELECT doc_id,
+                      CASE WHEN gate >= 32768 THEN text || ' [v2]' ELSE text END AS text
+                    FROM g WHERE gate < 49152
+                    UNION ALL
+                    SELECT doc_id || '_v2' AS doc_id, text FROM g WHERE gate >= 49152),
+           o AS (SELECT doc_id, md5($normText) AS fp FROM g),
+           n AS (SELECT doc_id, md5($normText) AS fp FROM newd)
+           SELECT doc_id,
+             CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  WHEN o.fp = n.fp THEN 'unchanged'
+                  ELSE 'changed' END AS status
+           FROM o FULL OUTER JOIN n USING (doc_id)""",
+
+      // spectrum restated: vocabulary counts, then counts-of-counts
+      "q_freq_spectrum" ->
+        raw"""WITH tk AS (SELECT unnest(string_split($normText, ' ')) AS t FROM documents),
+           tc AS (SELECT t, CAST(count(*) AS BIGINT) AS freq
+                  FROM tk WHERE length(t) > 0 GROUP BY 1)
+           SELECT freq, CAST(count(*) AS BIGINT) AS n_types FROM tc GROUP BY 1""",
+
       // length-batching restated: one GLOBAL rank window (the single-query
       // form the engine's two-phase trick is spec-equal to), 32-doc cuts,
       // integer padding accounting

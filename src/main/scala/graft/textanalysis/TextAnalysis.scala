@@ -275,6 +275,20 @@ object TextAnalysis {
       size(lines).cast("double"))
   }
 
+  /** Token frequency-of-frequencies spectrum: `(freq, n_types)` — how many
+    * DISTINCT tokens occur exactly `freq` times. The Zipf/Good-Turing
+    * statistic corpus health checks read (a healthy natural-language corpus
+    * has a long hapax tail: n_types(1) dominating; boilerplate-flooded or
+    * template corpora show a truncated tail), and the smoothing input of
+    * Good-Turing LMs. Two hash aggs: token counts (vocabulary-sized, the
+    * corpusNgramCounts shuffle), then counts-of-counts (≤ distinct
+    * frequencies rows — tiny). All-integer, exact on any engine. */
+  def tokenFrequencySpectrum(docs: org.apache.spark.sql.DataFrame, textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(explode(graft.dedup.Dedup.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+
   /** The Gopher keep decision over a signals array (either form), with the
     * paper's default thresholds. Word-count bounds are the knob real
     * curations tune per corpus — exposed as parameters. */

@@ -412,6 +412,17 @@ object SparkEntry {
     // its fingerprint sketch (8192 bits, 5 md5 probes) is probed by every
     // doc scan-side; sampled docs always hit (no false negatives), the
     // rest hit at the sketch's FP rate — deterministic on any engine
+    // Cavnar-Trenkle n-gram-profile language ID (the model-based upgrade
+    // of q_langid's char-class heuristic): per-lang top-200 trigram rank
+    // profiles trained from the corpus's own labels, docs classified by
+    // the integer out-of-place distance (ties to the smallest lang)
+    "q_lang_profile" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.textanalysis.LangProfile.classify(docs,
+        graft.textanalysis.LangProfile.train(docs, k = 200),
+        docK = 100, penalty = 200L)
+    }),
+
     // corpus snapshot diff: verdicts between two crawls — the lower 50%
     // gate band unchanged, the 50-75% band edited, the top band removed
     // from the new snapshot and re-added under new ids; fingerprint
@@ -1603,6 +1614,39 @@ object SparkEntry {
       // Bloom sketch restated: same md5(fp || ':' || i) probe positions,
       // 32-bit words bit_or-packed into BIGINTs (shift <= 31 — exact and
       // overflow-safe in both engines), membership = every probe bit set
+      // CT langid restated: padded trigrams, per-lang and per-doc rank
+      // windows with the (freq desc, gram asc) tie rule, integer
+      // out-of-place sums, argmin by (dist, lang)
+      "q_lang_profile" ->
+        raw"""WITH nt AS (SELECT doc_id, lang, ' ' || $normText || ' ' AS s FROM documents),
+           dg AS (SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS gram
+                  FROM (SELECT doc_id, lang, s, unnest(range(1, length(s) - 1)) AS i
+                        FROM nt WHERE length(s) >= 3)),
+           lp AS (SELECT lang, gram, CAST(rank AS BIGINT) AS rank FROM (
+                    SELECT lang, gram,
+                      row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC) AS rank
+                    FROM (SELECT lang, gram, CAST(count(*) AS BIGINT) AS n
+                          FROM dg GROUP BY 1, 2)) WHERE rank <= 200),
+           dp AS (SELECT doc_id, gram, CAST(rank AS BIGINT) AS rank_d FROM (
+                    SELECT doc_id, gram,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram ASC) AS rank
+                    FROM (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n
+                          FROM dg GROUP BY 1, 2)) WHERE rank <= 100),
+           ls AS (SELECT DISTINCT lang FROM documents),
+           dists AS (SELECT dp.doc_id, ls.lang,
+                       CAST(sum(CASE WHEN lp.rank IS NULL THEN 200
+                                     ELSE abs(dp.rank_d - lp.rank) END) AS BIGINT) AS dist
+                     FROM dp CROSS JOIN ls
+                     LEFT JOIN lp ON lp.lang = ls.lang AND lp.gram = dp.gram
+                     GROUP BY 1, 2),
+           best AS (SELECT doc_id, lang AS lang_pred, dist FROM (
+                      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
+                      FROM dists) WHERE rn = 1)
+           SELECT d.doc_id,
+             COALESCE(b.lang_pred, (SELECT min(lang) FROM ls)) AS lang_pred,
+             COALESCE(b.dist, 0) AS dist
+           FROM documents d LEFT JOIN best b USING (doc_id)""",
+
       // snapshot diff restated: same gate bands, same normalized-text
       // fingerprints, full outer join verdicts
       "q_corpus_diff" ->

@@ -1,0 +1,108 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * N-gram-profile language identification — Cavnar & Trenkle, "N-Gram-Based
+ * Text Categorization" (SDAIR 1994): a language's profile is its top-K
+ * character n-grams in frequency-rank order; a document classifies to the
+ * language whose profile is closest under the OUT-OF-PLACE measure
+ * `Σ_g |rank_doc(g) − rank_lang(g)|` with a fixed penalty for grams absent
+ * from the language profile. This is the model-based upgrade of
+ * [[TextAnalysis.langId]]'s character-class heuristic (exactly the
+ * "broadcast-table upgrade of the same shape" its Scaladoc names): the
+ * rank tables are DATA, trained from any labeled corpus, where the
+ * heuristic is hard-coded script rules.
+ *
+ * Everything is integer arithmetic over deterministic ranks (frequency
+ * DESC, gram ASC tie-break), so training and classification are
+ * bit-identical on any engine and partitioning — the whole surface is
+ * oracle-checkable, unlike probabilistic langid models.
+ *
+ * Scale shape: training = one exploded gram count keyed by (lang, gram)
+ * + a per-lang top-K window (WindowGroupLimit keeps the sort partial
+ * map-side); the profile table is ≤ langs·K rows — broadcast. A document's
+ * own profile is bounded by `docK` grams (per-doc window over its own
+ * gram counts — many small groups); the distance join probes the
+ * broadcast profile per (doc-gram × lang), ≤ docK·|langs| rows per doc.
+ */
+object LangProfile {
+
+  /** Character trigrams of the padded normalized text (`' ' + text + ' '`
+    * — CT's word-boundary evidence), as strings (profiles are small; the
+    * hash families are for the dedup operators, not rank tables). */
+  private def grams(text: Column): Column = {
+    val t = concat(lit(" "), graft.dedup.Dedup.normalizeText(text), lit(" "))
+    graft.dedup.Dedup.let(t) { s =>
+      when(length(s) >= 3,
+        transform(sequence(lit(1), length(s) - 2), i => s.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+    }
+  }
+
+  /** Train per-language rank profiles from a labeled corpus:
+    * `(lang, gram, rank)` with rank 1..K by (frequency DESC, gram ASC). */
+  def train(docs: DataFrame, k: Int = 300,
+            textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    require(k >= 1, s"profile size k must be >= 1, got $k")
+    val w = Window.partitionBy(col(langCol)).orderBy(col("__n").desc, col("gram").asc)
+    docs.select(col(langCol).as("lang"), explode(grams(col(textCol))).as("gram"))
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("__n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("__n").desc, col("gram").asc)))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("gram"), col("rank").cast("long").as("rank"))
+  }
+
+  /**
+   * Classify every doc against trained profiles: `(idCol, lang_pred,
+   * dist)` — the argmin-out-of-place language (ties to the
+   * lexicographically smallest lang). `penalty` is the out-of-profile
+   * rank distance (CT's "maximum" value; defaults to the profile size
+   * implied by the table). Docs with no grams (empty text) get the
+   * smallest lang at distance 0 — no evidence, deterministic fallback.
+   */
+  def classify(docs: DataFrame, profiles: DataFrame, docK: Int = 100,
+               penalty: Long = 300L,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(docK >= 1, s"doc profile size must be >= 1, got $docK")
+    val dp = docs.select(col(idCol), explode(grams(col(textCol))).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__n"))
+      .withColumn("rank_d", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__n").desc, col("gram").asc)))
+      .filter(col("rank_d") <= docK)
+      .select(col(idCol), col("gram"), col("rank_d").cast("long").as("rank_d"))
+    val langs = profiles.select(col("lang")).distinct()
+    val dists = dp.join(broadcast(langs), lit(true))
+      .join(broadcast(profiles), Seq("lang", "gram"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(when(col("rank").isNull, penalty)
+        .otherwise(abs(col("rank_d") - col("rank")))).cast("long").as("dist"))
+    val best = dists
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("dist").asc, col("lang").asc)))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("lang").as("lang_pred"), col("dist"))
+    // empty-text docs emit no gram rows — deterministic no-evidence fallback
+    val minLang = langs.agg(min(col("lang")).as("__l"))
+    docs.select(col(idCol)).join(best, Seq(idCol), "left")
+      .crossJoin(broadcast(minLang))
+      .select(col(idCol),
+        coalesce(col("lang_pred"), col("__l")).as("lang_pred"),
+        coalesce(col("dist"), lit(0L)).as("dist"))
+  }
+
+  /** Persist profiles: `dir/profiles` (lang, gram, rank). */
+  def save(profiles: DataFrame, dir: String): Unit =
+    profiles.write.mode("overwrite").parquet(s"$dir/profiles")
+
+  /** Load persisted profiles, asserting the layout. */
+  def load(spark: SparkSession, dir: String): DataFrame = {
+    val p = spark.read.parquet(s"$dir/profiles")
+    require(p.columns.toSet == Set("lang", "gram", "rank"),
+      s"lang profiles must have (lang, gram, rank), got ${p.columns.mkString(",")}")
+    p
+  }
+}

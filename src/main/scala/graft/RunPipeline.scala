@@ -78,6 +78,12 @@ import graft.pipeline.CheckpointedRun
  *                                  #   accumulator the next batch deduplicates against
  *   [--bloom-bits m] [--bloom-k k] # sketch geometry when --bloom-out starts fresh
  *                                  #   (no input sketch; defaults 1048576:5)
+ *   [--langid-model /data/lp]      # language gate (the CCNet langid filter): classify
+ *                                  #   each text doc with a persisted Cavnar-Trenkle
+ *                                  #   n-gram rank profile (LangProfile.save layout)
+ *                                  #   and keep only docs predicted in --langid-keep;
+ *                                  #   media-only docs pass; both-or-neither
+ *   [--langid-keep en,de]          # comma-separated allowed languages
  *                                  # curation order: sample -> quality gate -> gopher
  *                                  # -> quality model -> LM filter -> DSIR resample
  *                                  # -> decontam -> PII
@@ -505,6 +511,26 @@ object RunPipeline {
     Bloom.save(spark, merged, gm, gk, outDir)
   }
 
+  /** Language gate (`--langid-model`/`--langid-keep`): classify each text
+    * doc against persisted Cavnar-Trenkle profiles and keep predicted
+    * members of the allowed set. Media-only docs pass (no text evidence —
+    * the quality-filter family's passthrough policy). */
+  private def langidDocs(docs: org.apache.spark.sql.DataFrame, spansCol: String,
+                         modelDir: String, keep: Set[String]): org.apache.spark.sql.DataFrame = {
+    import graft.textanalysis.LangProfile
+    val profiles = LangProfile.load(docs.sparkSession, modelDir)
+    val tagged = tagDocText(docs, spansCol)
+    val hasText = tagged.where(col("__n") > 0)
+    val kept = LangProfile.classify(
+        hasText.select(col("doc_id"), col("__txt")), profiles,
+        idCol = "doc_id", textCol = "__txt")
+      .filter(col("lang_pred").isin(keep.toSeq: _*))
+      .select(col("doc_id"))
+    hasText.join(kept, Seq("doc_id"), "left_semi")
+      .unionByName(tagged.where(col("__n") === 0))
+      .drop("__txt", "__n")
+  }
+
   /** `--source-mix alpha:budget` → (alpha, budgetFraction); both mandatory
     * (there is no sensible default budget) and range-checked downstream. */
   private[graft] def parseSourceMixSpec(spec: String): (Double, Double) =
@@ -568,6 +594,12 @@ object RunPipeline {
     val bloomOut = a.get("bloom-out")
     val bloomBits = a.getOrElse("bloom-bits", "1048576").toInt
     val bloomK = a.getOrElse("bloom-k", "5").toInt
+    val langidModel = a.get("langid-model")
+    val langidKeep = a.get("langid-keep")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    require(langidModel.isEmpty == langidKeep.isEmpty,
+      "--langid-model and --langid-keep must be provided together")
+    require(langidKeep.forall(_.nonEmpty), "--langid-keep must name at least one language")
     // both-or-neither: --lm-model alone would otherwise be a SILENT no-op
     // (an operator shipping an "LM-filtered" corpus that was never filtered)
     require(lmModel.isEmpty == lmMinLp.isEmpty,
@@ -590,8 +622,13 @@ object RunPipeline {
       graft.pipeline.Sampling.deterministicSample(docs0, "doc_id", f))
     val gated = gateSpec.fold(sampled)(s => gateDocs(sampled, spansCol, s))
     val gophered = gopherSpec.fold(gated)(s => gopherDocs(gated, spansCol, s))
-    val modelGated = qualityModel.fold(gophered)(
-      dir => qualityModelDocs(gophered, spansCol, dir, qualityModelMin))
+    // language gate right after the heuristic gates (CCNet's order: langid
+    // before the model-based filters — wrong-language docs should not pay
+    // classifier/LM joins)
+    val langGated = (for { m <- langidModel; ks <- langidKeep }
+      yield langidDocs(gophered, spansCol, m, ks)).getOrElse(gophered)
+    val modelGated = qualityModel.fold(langGated)(
+      dir => qualityModelDocs(langGated, spansCol, dir, qualityModelMin))
     val lmFiltered = (for { m <- lmModel; lp <- lmMinLp }
       yield lmFilterDocs(modelGated, spansCol, m, lp)).getOrElse(modelGated)
     // DSIR after the gates (resample the budget over docs that survived the
@@ -655,6 +692,8 @@ object RunPipeline {
       sampleFrac.map(f => s" sample=$f").getOrElse("") +
       gateSpec.map(g => s" gate=$g").getOrElse("") +
       gopherSpec.map(g => s" gopher=$g").getOrElse("") +
+      (for { m <- langidModel; ks <- langidKeep }
+        yield s" langid=$m@${ks.toSeq.sorted.mkString("+")}").getOrElse("") +
       decontamSpec.map(d => s" decontam=$d").getOrElse("") +
       (if (piiScrub) " pii-scrub" else "") +
       spanDedupSpec.map(s => s" span-dedup=$s").getOrElse("") +
@@ -672,6 +711,7 @@ object RunPipeline {
       .digest((s"$input|$clean|$spansCol|$cleanSpansCol|$dedupMode" +
         s"|${sampleFrac.getOrElse("")}|${gateSpec.getOrElse("")}" +
         s"|${gopherSpec.getOrElse("")}" +
+        s"|${langidModel.getOrElse("")}|${langidKeep.map(_.toSeq.sorted.mkString("+")).getOrElse("")}" +
         s"|${lmModel.getOrElse("")}|${lmMinLp.getOrElse("")}" +
         s"|${decontamSpec.getOrElse("")}|$fmt|$piiScrub" +
         s"|${mediaDedupSpec.getOrElse("")}|${spanDedupSpec.getOrElse("")}" +
@@ -698,7 +738,8 @@ object RunPipeline {
     // (no curation plan attached); skipped entirely on a no-op resume, and
     // equal to docs_in by definition when no curation step is active
     val curationOff = dedupMode == "none" && sampleFrac.isEmpty && gateSpec.isEmpty &&
-      gopherSpec.isEmpty && decontamSpec.isEmpty && (lmModel.isEmpty || lmMinLp.isEmpty) &&
+      gopherSpec.isEmpty && langidModel.isEmpty &&
+      decontamSpec.isEmpty && (lmModel.isEmpty || lmMinLp.isEmpty) &&
       qualityModel.isEmpty && (dsirModel.isEmpty || dsirK.isEmpty) &&
       bloomDedup.isEmpty && sourceMix.isEmpty
     val docsInPre: Option[Long] =
@@ -719,6 +760,7 @@ object RunPipeline {
     val docsRemoved = for (pre <- docsInPre; post <- docsIn) yield pre - post
     val dedupRemoved =
       if (sampleFrac.isEmpty && gateSpec.isEmpty && gopherSpec.isEmpty &&
+          langidModel.isEmpty &&
           decontamSpec.isEmpty && (lmModel.isEmpty || lmMinLp.isEmpty) &&
           qualityModel.isEmpty && (dsirModel.isEmpty || dsirK.isEmpty) &&
           bloomDedup.isEmpty && sourceMix.isEmpty)

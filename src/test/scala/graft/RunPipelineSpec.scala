@@ -563,6 +563,41 @@ class RunPipelineSpec extends SparkSpec {
       "dsir-model" -> s"$base/dsir")))
   }
 
+  test("--langid-model/--langid-keep drops wrong-language docs; media passes") {
+    import graft.textanalysis.LangProfile
+    val base = Files.createTempDirectory("runpipeline_langid").toString
+    def enDoc(i: Int) = s"the quick brown fox number $i jumps over the lazy dog again"
+    def zzDoc(i: Int) = s"zxq qzx xqz number $i zzzz qqqq xxxx zxqzxq qzxqzx zxqqzx"
+    val labeled = ((0 until 15).map(i => (s"tr_en$i", enDoc(i), "en")) ++
+      (0 until 15).map(i => (s"tr_zz$i", zzDoc(i), "zz")))
+      .toDF("doc_id", "text", "lang")
+    LangProfile.save(LangProfile.train(labeled, k = 200), s"$base/lp")
+
+    def spanDocs(rows: Seq[(String, String)]) = rows.toDF("doc_id", "__t").select(
+      col("doc_id"), array(struct(lit("text").as("kind"), col("__t").as("text"),
+        lit("").as("media_ref"), lit(0).cast("int").as("offset"))).as("spans"))
+    val mediaOnly = Seq(("media00",
+      Seq(graft.model.Span("media", null, "media://5", 0)))).toDF("doc_id", "spans")
+    val in = (0 until 12).map(i => (f"en$i%02d", enDoc(100 + i))) ++
+      (0 until 6).map(i => (f"zz$i%02d", zzDoc(100 + i)))
+    spanDocs(in).unionByName(mediaOnly).write.parquet(s"$base/in")
+
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "langid-model" -> s"$base/lp", "langid-keep" -> "en",
+      "buckets" -> "4", "group-size" -> "2"))
+    assert(out.contains(""""docs_in":13"""), out) // 12 en + 1 media
+    val written = spark.read.parquet(s"$base/out")
+    assert(written.filter(col("doc_id").startsWith("zz")).count() == 0)
+    assert(written.filter(col("doc_id").startsWith("en")).count() == 12)
+    assert(written.filter(col("doc_id") === "media00").count() == 1,
+      "media-only docs pass the language gate")
+    // keep without a model (or vice versa) fails loudly
+    assertThrows[IllegalArgumentException](RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out2", "corrector" -> "null",
+      "langid-keep" -> "en")))
+  }
+
   test("--bloom-dedup/--bloom-out: cross-batch incremental dedup accumulates") {
     val base = Files.createTempDirectory("runpipeline_bloom").toString
     def spanDocs(rows: Seq[(String, String)]) = rows.toDF("doc_id", "__t").select(

@@ -218,6 +218,20 @@ object SparkEntry {
           Portable.round4(col("j")).as("jaccard"))
     }),
 
+    // containment verification (Broder'97's second measure): consecutive-doc
+    // pairs scored |A∩B|/|A| and |A∩B|/|B| from the same 60-bit-hash
+    // overlap join as jaccardVerify — the near-superset statistic symmetric
+    // similarity misses; pairs with no common shingle emit no row
+    "q_containment" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      Dedup.containmentVerify(d, pairs, shingleK = 2)
+        .select(col("id_a"), col("id_b"), Portable.round4(col("jaccard")).as("jaccard"),
+          Portable.round4(col("containment_a")).as("containment_a"),
+          Portable.round4(col("containment_b")).as("containment_b"))
+    }),
+
     "q_simhash_bands" -> ((s, dir) =>
       Dedup.simHashBands(tbl(s, dir, "documents"), nBands = 4)
         .select(col("doc_id"), col("band").cast("long").as("band"), col("band_key"))),
@@ -1220,6 +1234,30 @@ object SparkEntry {
                   floor((COALESCE(ni, 0) * 1.0 / (sa.n + sb.n - COALESCE(ni, 0))) * 10000 + 0.5) / 10000 AS jaccard
            FROM pr p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
            LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b""",
+
+      // containment restated: the q_ngram_jaccard overlap CTEs, INNER join
+      // on the intersection (zero-overlap pairs emit no row, matching the
+      // engine's verify join), three rounded ratios
+      "q_containment" ->
+        raw"""WITH $tokCte,
+           sh AS (SELECT DISTINCT doc_id, sh FROM (
+                  SELECT a.doc_id, a.tok || ' ' || b.tok AS sh
+                  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                  UNION ALL
+                  SELECT doc_id, $normText AS sh FROM documents
+                  WHERE len(string_split($normText, ' ')) < 2)),
+           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a
+                  JOIN documents b ON b.doc_id = a.doc_id + 1),
+           inter AS (SELECT p.id_a, p.id_b, count(*) AS ni FROM pr p
+                     JOIN sh x ON x.doc_id = p.id_a
+                     JOIN sh y ON y.doc_id = p.id_b AND y.sh = x.sh
+                     GROUP BY p.id_a, p.id_b)
+           SELECT i.id_a, i.id_b,
+                  floor((ni * 1.0 / (sa.n + sb.n - ni)) * 10000 + 0.5) / 10000 AS jaccard,
+                  floor((ni * 1.0 / sa.n) * 10000 + 0.5) / 10000 AS containment_a,
+                  floor((ni * 1.0 / sb.n) * 10000 + 0.5) / 10000 AS containment_b
+           FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b""",
 
       "q_chunked_identity" ->
         "SELECT doc_id, text FROM documents",

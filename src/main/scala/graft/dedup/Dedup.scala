@@ -212,6 +212,17 @@ object Dedup {
    * mega-clusters collapse to one representative before LSH.
    */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingleK: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    overlapVerify(docs, pairs, shingleK, idCol, textCol)
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+
+  /** The overlap statistics behind [[jaccardVerify]] and
+    * [[containmentVerify]]: `(id_a, id_b, n_inter, n_a, n_b)` — exact
+    * shingle-set intersection and sizes for the given candidate pairs,
+    * same 60-bit-hash join discipline (shuffles carry 8 bytes per shingle,
+    * never the k-word text). */
+  def overlapVerify(docs: DataFrame, pairs: DataFrame, shingleK: Int = 3,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ids = pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b").as("id"))).distinct()
     val sh = docs.join(ids, col(idCol) === col("id"), "left_semi")
@@ -227,9 +238,45 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"))
   }
+
+  /**
+   * Containment verification (Broder'97's second resemblance measure):
+   * `containment_a = |A∩B| / |A|` — the fraction of doc A's shingles that
+   * appear in B, and symmetrically `containment_b`. The NEAR-SUPERSET
+   * detector: a short doc quoted wholesale inside a long one has
+   * containment_a ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0 — the inclusion case
+   * every symmetric-similarity dedup misses by construction. Jaccard rides
+   * along (free from the same overlap stats).
+   */
+  def containmentVerify(docs: DataFrame, pairs: DataFrame, shingleK: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    overlapVerify(docs, pairs, shingleK, idCol, textCol)
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"),
+        (col("n_inter") / col("n_a")).as("containment_a"),
+        (col("n_inter") / col("n_b")).as("containment_b"))
+
+  /**
+   * Near-superset pair detection over MinHash-LSH candidates: pairs whose
+   * LARGER containment reaches `threshold`. DOCUMENTED CANDIDATE GAP,
+   * different from the Jaccard family's: LSH recalls by JACCARD, so an
+   * extreme-size-ratio inclusion (tiny A inside huge B ⇒ Jaccard ≈ |A|/|B|)
+   * can miss candidacy even though its containment is 1.0 — the regime
+   * where containment-aware indexes (LSH Ensemble, Zhu et al. VLDB'16) are
+   * the scale upgrade; within moderate size ratios (boilerplate pages,
+   * quoted articles with commentary) band candidacy holds and this form is
+   * exact on its candidates ([[containmentVerify]] on exhaustive pairs is
+   * the gap-free oracle surface).
+   */
+  def containmentPairs(docs: DataFrame, threshold: Double, shingleK: Int = 3,
+                       nBands: Int = 4, rowsPerBand: Int = 2,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    containmentVerify(docs,
+        lshCandidatePairs(docs, shingleK, nBands, rowsPerBand, idCol, textCol),
+        shingleK, idCol, textCol)
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
 
   /** Star reduction of a candidate-pair set: one row `(id_a, id_b)` per
     * non-minimal member, where `id_a` is the member's SMALLEST candidate

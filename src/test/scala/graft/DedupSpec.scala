@@ -172,6 +172,43 @@ class DedupSpec extends SparkSpec {
     assert(out("disjoint") == 0.0)
   }
 
+  test("containment: near-superset pairs score ~1 where jaccard scores low") {
+    // B quotes A wholesale and adds twice as much commentary: every shingle
+    // of A is in B, so containment_a = 1 while jaccard ~ |A|/|B|
+    val quoted = "the original short article body with its own exact words here"
+    val cdocs = Seq(
+      (0L, quoted),
+      (1L, s"$quoted plus a long commentary section that the aggregator site appended " +
+        "with extra paragraphs of unrelated discussion and citations and navigation text"),
+      (2L, "a completely different page about query planners")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.containmentVerify(cdocs, pairs, shingleK = 3)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val (_, _, j01, ca01, cb01) = got((0L, 1L))
+    assert(ca01 == 1.0, s"A fully inside B: containment_a = $ca01")
+    assert(j01 < 0.5, s"jaccard must miss the inclusion: $j01")
+    assert(cb01 < 0.5, s"B is not inside A: $cb01")
+    // zero-overlap pairs emit NO row (verify is an inner join on the
+    // intersection — same semantics as jaccardVerify)
+    assert(!got.contains((0L, 2L)))
+    // driver mirror: exact shingle-set arithmetic
+    def shingles(t: String) = {
+      val toks = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      (if (toks.length <= 3) Seq(toks.mkString(" "))
+       else toks.sliding(3).map(_.mkString(" ")).toSeq).toSet
+    }
+    val (sa, sb) = (shingles(quoted), shingles(cdocs.as[(Long, String)].collect()(1)._2))
+    val ni = (sa intersect sb).size.toDouble
+    assert(ca01 == ni / sa.size && cb01 == ni / sb.size)
+    assert(j01 == ni / (sa.size + sb.size - ni))
+    // the LSH-gated operator finds the inclusion when band candidacy holds
+    val found = Dedup.containmentPairs(cdocs, threshold = 0.9, shingleK = 3,
+        nBands = 8, rowsPerBand = 1)
+      .as[(Long, Long, Double, Double, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(found.contains((0L, 1L)), s"got $found")
+  }
+
   test("simhash banded near-dup pairs == brute-force pairs within the Hamming radius") {
     // near-dup family: long base text with single-token perturbations (small
     // signature flips) plus unrelated docs (far signatures)

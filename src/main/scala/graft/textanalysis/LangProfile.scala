@@ -44,10 +44,20 @@ object LangProfile {
 
   /** Train per-language rank profiles from a labeled corpus:
     * `(lang, gram, rank)` with rank 1..K by (frequency DESC, gram ASC). */
+  // NOTE on a rejected "single-pass" fusion: a selfClassify that derived
+  // the lang profiles from a per-(doc, lang, gram) count table (one explode
+  // feeding both profile families) was MEASURED SLOWER at sf0.1 than the
+  // plain classify(train(...)) composition (5.64-5.71 s vs 4.68 s
+  // best-of-3, tools/QueryProbe, with and without checkpointing the shared
+  // table): the finer (doc, gram) key defeats the map-side partial combine
+  // that collapses the (lang, gram) aggregation inside each partition, and
+  // for trigrams the intermediate is nearly explode-sized. Two independent
+  // aggregations over the narrow codegen'd explode are the measured
+  // optimum — the opposite conclusion from LmScore's token arrays (see
+  // measure-before-materialize).
   def train(docs: DataFrame, k: Int = 300,
             textCol: String = "text", langCol: String = "lang"): DataFrame = {
     require(k >= 1, s"profile size k must be >= 1, got $k")
-    val w = Window.partitionBy(col(langCol)).orderBy(col("__n").desc, col("gram").asc)
     docs.select(col(langCol).as("lang"), explode(grams(col(textCol))).as("gram"))
       .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("__n"))
       .withColumn("rank", row_number().over(
@@ -68,12 +78,26 @@ object LangProfile {
                penalty: Long = 300L,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(docK >= 1, s"doc profile size must be >= 1, got $docK")
-    val dp = docs.select(col(idCol), explode(grams(col(textCol))).as("gram"))
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__n"))
+    val dp = docProfiles(
+      docs.select(col(idCol), explode(grams(col(textCol))).as("gram"))
+        .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__n")),
+      docK, idCol)
+    rankDistance(docs, dp, profiles, penalty, idCol)
+  }
+
+  /** Doc-profile tail: per-doc top-docK rank over pre-aggregated
+    * `(idCol, gram, __n)` counts. */
+  private def docProfiles(counts: DataFrame, docK: Int, idCol: String): DataFrame =
+    counts
       .withColumn("rank_d", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__n").desc, col("gram").asc)))
       .filter(col("rank_d") <= docK)
       .select(col(idCol), col("gram"), col("rank_d").cast("long").as("rank_d"))
+
+  /** The out-of-place distance + argmin + no-evidence fallback tail shared
+    * by [[classify]] and [[selfClassify]]. */
+  private def rankDistance(docs: DataFrame, dp: DataFrame, profiles: DataFrame,
+                           penalty: Long, idCol: String): DataFrame = {
     val langs = profiles.select(col("lang")).distinct()
     val dists = dp.join(broadcast(langs), lit(true))
       .join(broadcast(profiles), Seq("lang", "gram"), "left")

@@ -426,6 +426,14 @@ object SparkEntry {
     // its fingerprint sketch (8192 bits, 5 md5 probes) is probed by every
     // doc scan-side; sampled docs always hit (no false negatives), the
     // rest hit at the sketch's FP rate — deterministic on any engine
+    // deterministic shard assignment (the "write N shuffled training
+    // shards" final-mile step): independent md5 draws for shard and
+    // intra-shard order — a reproducible global shuffle
+    "q_shards" -> ((s, dir) =>
+      graft.pipeline.Sampling.shardAssignment(
+        tbl(s, dir, "documents"), nShards = 8)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))),
+
     // Cavnar-Trenkle n-gram-profile language ID (the model-based upgrade
     // of q_langid's char-class heuristic): per-lang top-200 trigram rank
     // profiles trained from the corpus's own labels, docs classified by
@@ -1652,6 +1660,17 @@ object SparkEntry {
       // Bloom sketch restated: same md5(fp || ':' || i) probe positions,
       // 32-bit words bit_or-packed into BIGINTs (shift <= 31 — exact and
       // overflow-safe in both engines), membership = every probe bit set
+      // shard assignment restated: same two md5 draws, per-shard dense
+      // rank by (order key, id)
+      "q_shards" ->
+        raw"""WITH d AS (SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5('shard::' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 8 AS BIGINT) AS shard,
+                 CAST(('0x' || substr(md5('order::' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS ord
+               FROM documents)
+           SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY ord ASC, doc_id ASC) AS BIGINT) - 1 AS pos
+           FROM d""",
+
       // CT langid restated: padded trigrams, per-lang and per-doc rank
       // windows with the (freq desc, gram asc) tie rule, integer
       // out-of-place sums, argmin by (dist, lang)

@@ -91,6 +91,50 @@ object Sampling {
   }
 
   /**
+   * Deterministic shard assignment — the "write N shuffled training
+   * shards" final-mile step: every doc gets a shard (md5 draw mod
+   * `nShards`, balanced in expectation) and a position inside it (rank by
+   * an INDEPENDENT md5 order key, ties by id) — a reproducible global
+   * shuffle, which the dataloader contract requires and a seeded
+   * partition-stream RNG cannot give. `seed` re-deals both draws (epoch
+   * re-shuffles). Output `(idCol, shard, pos)` with pos 0-based and dense
+   * per shard.
+   *
+   * Scale shape: the shard draw is a scan-side narrow projection; the
+   * position is a per-shard window — an O(n/N log n/N) sort per shard,
+   * parallel across shards, which is the inherent cost of producing an
+   * ORDER (the two-phase prefix trick does not apply: the order key is
+   * uniform, not pre-bucketed). Writers compose with
+   * `partitionBy("shard")` sinks for storage-pruned shard reads.
+   */
+  def shardAssignment(df: DataFrame, nShards: Int, seed: String = "",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"shard count must be >= 1, got $nShards")
+    def draw(tag: String): Column =
+      conv(substring(md5(concat(lit(s"$tag:$seed:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__ord").asc, col(idCol).asc)
+    df.select(col(idCol),
+        (draw("shard") % nShards).cast("int").as("shard"),
+        draw("order").as("__ord"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__ord")
+  }
+
+  /** Per-shard manifest over an assignment joined back to the docs:
+    * `(shard, n_docs, n_tokens)` — the sizing table a shard writer and its
+    * dataloader consume. */
+  def shardManifest(docs: DataFrame, nShards: Int, seed: String = "",
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shardAssignment(docs, nShards, seed, idCol)
+      .join(docs.select(col(idCol),
+        size(filter(graft.dedup.Dedup.tokens(col(textCol)), t => length(t) > 0))
+          .cast("long").as("__nt")), idCol)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+
+  /**
    * Per-source diversity quota — cap documents per source/domain so no
    * single crawl host dominates the training mix (the standard "domain
    * cap" of web-corpus recipes). Keeps the top `k` docs per `sourceCol`

@@ -195,6 +195,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(uni == Map("the" -> 3L, "cat" -> 4L))
   }
 
+  test("shard assignment: disjoint dense cover, balanced, seed re-deals, repartition-proof") {
+    import graft.pipeline.Sampling
+    val docs = (0L until 400L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    val n = 8
+    val a = Sampling.shardAssignment(docs, n).as[(Long, Int, Long)].collect()
+    assert(a.length == 400 && a.map(_._1).toSet.size == 400)
+    // dense 0-based positions per shard
+    a.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(0 <= sh && sh < n)
+      assert(rows.map(_._3).sorted.toSeq == rows.indices.map(_.toLong), s"shard $sh")
+    }
+    // balanced in expectation: no shard under 25% or over 200% of fair share
+    val sizes = a.groupBy(_._2).map(_._2.length)
+    assert(sizes.min > 400 / n / 4 && sizes.max < 400 / n * 2, sizes.toString)
+    // pure function of the row set; a different seed re-deals
+    val b = Sampling.shardAssignment(docs.repartition(7), n).as[(Long, Int, Long)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    val c = Sampling.shardAssignment(docs, n, seed = "epoch2").as[(Long, Int, Long)].collect()
+    assert(c.sortBy(_._1).map(r => (r._2, r._3)).toSeq !=
+      a.sortBy(_._1).map(r => (r._2, r._3)).toSeq)
+    // manifest mass conservation
+    val m = Sampling.shardManifest(docs, n).as[(Int, Long, Long)].collect()
+    assert(m.map(_._2).sum == 400L && m.map(_._3).sum == 400L * 3)
+  }
+
   test("weighted sampling: proportional-to-weight, repartition-proof, zero-weight excluded") {
     import graft.pipeline.Sampling
     // heavy rows weigh 1000x light ones: the top-k should be dominated by

@@ -7,15 +7,16 @@ import org.apache.spark.sql.SparkSession
   * scale-up (CartesianProduct anywhere; BroadcastNestedLoop outside a
   * deliberate tiny-side pattern). One line per query, smells last.
   *
-  * Round-5 sweep result (sf0.01, all 79 queries): ZERO CartesianProducts;
-  * eleven BroadcastNestedLoopJoin hits, all adjudicated deliberate —
-  * q_tfidf / q_bm25 / q_bm25_doc / q_lm_score / q_dsir / q_source_mix
-  * attach a ONE-ROW (or ≤ sources-sized) scalar aggregate to every row,
-  * the correct broadcast-a-scalar pattern at any scale; q_ann_topk /
-  * q_cosine_neardup / q_sq8_topk / q_pq_topk / q_ivf_pq broadcast the tiny
-  * query/probe set under a non-equi (self-exclusion) condition by design
-  * (the documented brute-force/ADC scan shapes next to the IVF/LSH scale
-  * paths — the corpus side streams, only the query side is nested). SortMergeJoins appear only
+  * Round-5 sweep result (sf0.01, all 87 queries): ZERO CartesianProducts;
+  * twelve BroadcastNestedLoopJoin hits, all adjudicated deliberate —
+  * q_tfidf / q_bm25 / q_bm25_doc / q_lm_score / q_dsir / q_source_mix /
+  * q_lang_profile attach a ONE-ROW (or ≤ sources/langs-sized) broadcast
+  * aggregate to every row, the correct broadcast-a-scalar pattern at any
+  * scale; q_ann_topk / q_cosine_neardup / q_sq8_topk / q_pq_topk /
+  * q_ivf_pq broadcast the tiny query/probe set under a non-equi
+  * (self-exclusion) condition by design (the documented brute-force/ADC
+  * scan shapes next to the IVF/LSH scale paths — the corpus side streams,
+  * only the query side is nested). SortMergeJoins appear only
   * inside the iterative CC rounds and the LSH verify chain, where AQE picks
   * the strategy from runtime sizes. Note: codegen spans are not countable
   * here — under AQE the pre-execution plan string hides WholeStageCodegen

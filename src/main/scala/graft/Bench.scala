@@ -35,7 +35,8 @@ object Bench {
     "q_source_mix", "q_qclf", "q_sq8", "q_sq8_topk", "q_gopher", "q_dsir",
     "q_pq_topk", "q_bpe_pairs", "q_ivf_pq", "q_bloom_dedup", "q_cms_hh",
     "q_span_corrupt", "q_weighted_sample", "q_len_batches", "q_corpus_diff",
-    "q_freq_spectrum", "q_lang_profile", "q_containment", "q_shards")
+    "q_freq_spectrum", "q_lang_profile", "q_containment", "q_shards",
+    "q_good_turing")
 
   /** The join/window-heavy tail runs in a FRESH session: in BENCH_r04 these
     * queries drifted 3–6× inside the long shared session (AQE flipping join

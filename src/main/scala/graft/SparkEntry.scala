@@ -470,6 +470,13 @@ object SparkEntry {
       graft.textanalysis.TextAnalysis.tokenFrequencySpectrum(
         tbl(s, dir, "documents"))),
 
+    // Good-Turing adjusted counts over the spectrum: r* = (r+1)·n_{r+1}/n_r
+    // (null where the tail is empty) — one exactly-rounded division of
+    // integer-valued doubles, identical bits on both engines
+    "q_good_turing" -> ((s, dir) =>
+      graft.textanalysis.TextAnalysis.goodTuringAdjusted(
+        tbl(s, dir, "documents"))),
+
     // length-bucketed batching (the seq2seq dynamic-batching rule): docs
     // ranked by (token length, id) via the two-phase prefix trick, cut
     // into 32-doc batches, per-batch padding accounting — each batch pads
@@ -1730,6 +1737,16 @@ object SparkEntry {
            tc AS (SELECT t, CAST(count(*) AS BIGINT) AS freq
                   FROM tk WHERE length(t) > 0 GROUP BY 1)
            SELECT freq, CAST(count(*) AS BIGINT) AS n_types FROM tc GROUP BY 1""",
+
+      // Good-Turing restated: the spectrum self-joined on freq+1
+      "q_good_turing" ->
+        raw"""WITH tk AS (SELECT unnest(string_split($normText, ' ')) AS t FROM documents),
+           tc AS (SELECT t, CAST(count(*) AS BIGINT) AS freq
+                  FROM tk WHERE length(t) > 0 GROUP BY 1),
+           sp AS (SELECT freq, CAST(count(*) AS BIGINT) AS n_types FROM tc GROUP BY 1)
+           SELECT s.freq, s.n_types,
+                  (s.freq + 1) * t.n_types * 1.0 / s.n_types AS r_star
+           FROM sp s LEFT JOIN sp t ON t.freq = s.freq + 1""",
 
       // length-batching restated: one GLOBAL rank window (the single-query
       // form the engine's two-phase trick is spec-equal to), 32-doc cuts,

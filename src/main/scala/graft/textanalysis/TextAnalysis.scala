@@ -289,6 +289,24 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
 
+  /** Good-Turing adjusted counts over the frequency spectrum (Good 1953 —
+    * the smoothing [[tokenFrequencySpectrum]] feeds): `r* = (r+1)·n_{r+1} /
+    * n_r`, the frequency a count-r token SHOULD be credited once unseen
+    * mass is discounted; `r*` is null where `n_{r+1} = 0` (the sparse high
+    * tail — simple GT, the smoothed-spectrum variants are a driver-side
+    * refinement over this same table). Identity (spec-asserted exactly):
+    * `Σ r*·n_r over defined rows = N − n_1` — total mass minus the
+    * unseen-probability mass `n_1/N` GT reserves. One self-join over the
+    * ≤ distinct-frequencies spectrum — trivially bounded at any scale. */
+  def goodTuringAdjusted(docs: org.apache.spark.sql.DataFrame,
+                         textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val sp = tokenFrequencySpectrum(docs, textCol)
+    sp.join(sp.select((col("freq") - 1).as("freq"), col("n_types").as("__n_next")),
+        Seq("freq"), "left")
+      .select(col("freq"), col("n_types"),
+        ((col("freq") + 1) * col("__n_next") / col("n_types")).as("r_star"))
+  }
+
   /** The Gopher keep decision over a signals array (either form), with the
     * paper's default thresholds. Word-count bounds are the knob real
     * curations tune per corpus — exposed as parameters. */

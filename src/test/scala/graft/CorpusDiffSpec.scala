@@ -43,4 +43,22 @@ class CorpusDiffSpec extends AnyFunSuite {
     // Σ freq·n_types == total token count
     assert(got.map { case (f, n) => f * n }.sum == 9L)
   }
+
+  test("Good-Turing adjusted counts: definition and mass identity, exact") {
+    import graft.textanalysis.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha alpha alpha beta beta gamma"),
+      (2L, "beta delta gamma epsilon zeta")).toDF("doc_id", "text")
+    // counts: alpha 3, beta 3, gamma 2, delta 1, epsilon 1, zeta 1
+    // spectrum: n_1=3, n_2=1, n_3=2
+    val gt = TextAnalysis.goodTuringAdjusted(docs)
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(gt(1L) == ((3L, Some(2.0 * 1 / 3))))   // r*=2·n_2/n_1
+    assert(gt(2L) == ((1L, Some(3.0 * 2 / 1))))   // r*=3·n_3/n_2
+    assert(gt(3L) == ((2L, None)))                // n_4 = 0: tail undefined
+    // identity: Σ r*·n_r over defined rows = N − n_1 (exact in doubles —
+    // r*·n_r = (r+1)·n_{r+1}, an integer product far below 2^53)
+    val lhs = gt.values.collect { case (n, Some(rs)) => rs * n }.sum
+    assert(lhs == (11 - 3).toDouble)
+  }
 }

@@ -495,6 +495,16 @@ object RunPipeline {
                              mBits: Int, k: Int): Unit = {
     import graft.dedup.{Bloom, Dedup}
     val spark = docs.sparkSession
+    // Fail fast on in-place accumulation: the merge lazily reads the input
+    // sketch, so writing --bloom-out to the same dir would die at write time
+    // with Spark's opaque "cannot overwrite a path being read from".
+    inDir.foreach { d =>
+      require(new java.io.File(d).getCanonicalPath !=
+          new java.io.File(outDir).getCanonicalPath,
+        s"--bloom-out must differ from the --bloom-dedup input dir ('$d'): " +
+          "the merge reads the input sketch lazily; write the merged sketch " +
+          "to a new directory and rotate it in afterwards")
+    }
     val (gm, gk) = inDir match {
       case Some(d) =>
         val (_, m0, k0) = Bloom.load(spark, d)

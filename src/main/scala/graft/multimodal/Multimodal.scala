@@ -372,8 +372,14 @@ object Multimodal {
       .join(counts.withColumnRenamed("media_ref", "ref_b")
         .withColumnRenamed("n_hashes", "n_b"), Seq("ref_b"))
       .select(col("ref_a"), col("ref_b"),
-        least(col("matched_a"), col("matched_b")).as("matched_frames"),
-        (least(col("matched_a"), col("matched_b")).cast("double") /
+        // "fraction of the smaller set's distinct hashes that match": credit
+        // the matched count of the side whose set IS smaller — several small-
+        // side hashes may all match one big-side hash (least(matched_a,
+        // matched_b) would read 2-of-2 matched as 0.5 and miss a true dup).
+        when(col("n_a") <= col("n_b"), col("matched_a"))
+          .otherwise(col("matched_b")).as("matched_frames"),
+        (when(col("n_a") <= col("n_b"), col("matched_a"))
+          .otherwise(col("matched_b")).cast("double") /
           least(col("n_a"), col("n_b"))).as("match_frac"))
       .where(col("match_frac") >= minMatchFrac)
   }

@@ -69,20 +69,28 @@ object LangProfile {
   /**
    * Classify every doc against trained profiles: `(idCol, lang_pred,
    * dist)` — the argmin-out-of-place language (ties to the
-   * lexicographically smallest lang). `penalty` is the out-of-profile
-   * rank distance (CT's "maximum" value; defaults to the profile size
-   * implied by the table). Docs with no grams (empty text) get the
-   * smallest lang at distance 0 — no evidence, deterministic fallback.
+   * lexicographically smallest lang). `penalty` is the out-of-place
+   * rank distance for grams missing from a language profile (CT's
+   * "maximum" value); `penalty <= 0` (the default) derives it from the
+   * table as `max(rank)` — the profile size the training `k` actually
+   * implied — so a model trained with `k != 300` is penalized
+   * consistently without the caller restating `k`. The derivation is one
+   * driver-side agg over the (langs × k)-row profiles table, which is
+   * broadcast two lines later anyway. Docs with no grams (empty text) get
+   * the smallest lang at distance 0 — no evidence, deterministic fallback.
    */
   def classify(docs: DataFrame, profiles: DataFrame, docK: Int = 100,
-               penalty: Long = 300L,
+               penalty: Long = 0L,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(docK >= 1, s"doc profile size must be >= 1, got $docK")
+    val pen =
+      if (penalty > 0L) penalty
+      else profiles.agg(max(col("rank"))).head().getLong(0)
     val dp = docProfiles(
       docs.select(col(idCol), explode(grams(col(textCol))).as("gram"))
         .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__n")),
       docK, idCol)
-    rankDistance(docs, dp, profiles, penalty, idCol)
+    rankDistance(docs, dp, profiles, pen, idCol)
   }
 
   /** Doc-profile tail: per-doc top-docK rank over pre-aggregated

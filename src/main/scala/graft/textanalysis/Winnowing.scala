@@ -146,7 +146,19 @@ object Winnowing {
    * every caller sees every pair — only safe on bounded inputs): silently
    * dropping hot fingerprints under a default would change results for
    * callers of the original exhaustive signature, so scale callers opt in
-   * explicitly (the contract query passes 64). Returns
+   * explicitly (the contract query passes 64).
+   *
+   * @note Version note (round 5): the default changed `64 -> 0` (cap
+   *       disabled). Round-4 external callers relying on the implicit 64
+   *       cap must now pass `maxDocFreq = 64` explicitly or they silently
+   *       get exhaustive semantics — near-quadratic join volume on
+   *       boilerplate-heavy corpora. All in-repo callers pass it
+   *       explicitly. The flip direction was chosen deliberately:
+   *       exhaustive-by-default is the RESULT-preserving choice (a cap
+   *       default silently drops hot-fingerprint pairs), and scale is an
+   *       explicit opt-in like everywhere else in this engine.
+   *
+   * Returns
    * `(id_a, id_b, n_shared)` with `id_a < id_b`, where `n_shared` counts
    * shared sub-cap fingerprints.
    */

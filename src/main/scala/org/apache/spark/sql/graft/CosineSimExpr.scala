@@ -34,9 +34,12 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: two cosine_sim calls can land in one codegen scope; a
+      // fixed local name would collide and force interpreted fallback.
+      val r = ctx.freshName("r")
       s"""
-         |Object r = org.apache.spark.sql.graft.CosineKernel.cosine($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+         |Object $r = org.apache.spark.sql.graft.CosineKernel.cosine($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
        """.stripMargin
     })
 

@@ -34,9 +34,12 @@ case class Sq8Cosine(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: two sq8_cosine calls can land in one codegen scope; a
+      // fixed local name would collide and force interpreted fallback.
+      val r = ctx.freshName("r")
       s"""
-         |Object r = org.apache.spark.sql.graft.Sq8Kernel.cosine($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+         |Object $r = org.apache.spark.sql.graft.Sq8Kernel.cosine($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
        """.stripMargin
     })
 

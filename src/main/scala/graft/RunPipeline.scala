@@ -130,6 +130,33 @@ import graft.pipeline.CheckpointedRun
  *                                  #   asserts the (doc_id, spans) contract on scan;
  *                                  #   jsonl reads the canonical record with an explicit
  *                                  #   schema — no inference pass)
+ *   [--shards N[:seed]]            # TRAINING EXPORT (terminal, over the CORRECTED
+ *                                  #   output): deterministic shard assignment
+ *                                  #   (Sampling.shardAssignment — md5-keyed global
+ *                                  #   shuffle, dense 0-based pos per shard); writes
+ *                                  #   output/_export/shards (docs + shard + pos,
+ *                                  #   partitionBy(shard) for storage-pruned shard
+ *                                  #   reads) and output/_export/manifest
+ *                                  #   (shard, n_docs, n_tokens)
+ *   [--pack seqLen]                # with --shards: per-shard sequence-packing index
+ *                                  #   (Packing.packSequences over each shard's pos
+ *                                  #   order, token stream restarting at 0 per shard —
+ *                                  #   each shard feeds one dataloader); writes
+ *                                  #   output/_export/pack (doc_id, shard, pos,
+ *                                  #   n_tokens, tok_start, start_bin, end_bin)
+ *   [--span-corrupt p[:maxLen]]    # T5 span-corruption examples over the corrected
+ *                                  #   doc text (SpanCorruption.corrupt, deterministic
+ *                                  #   md5 gates; defaults maxLen 4); writes
+ *                                  #   output/_export/corrupt (doc_id, input_text,
+ *                                  #   target_text)
+ *   [--bpe-encode /data/bpe]       # tokenize the corrected doc text with a persisted
+ *                                  #   BPE merge table (Bpe.saveMerges layout); writes
+ *                                  #   output/_export/tokens (doc_id, tokens)
+ *                                  # Export stages are resumable as a unit: a sidecar
+ *                                  # output/_export/_spec records the export spec +
+ *                                  # source stage token; re-submitting the identical
+ *                                  # command skips them (byte-identical artifacts stay
+ *                                  # put), any spec/source change rebuilds them.
  *   [--run-id run1] [--spans-col spans] [--clean-spans-col spans]
  *   [--buckets 64] [--group-size 8] [--salted true]
  * }}}
@@ -541,6 +568,98 @@ object RunPipeline {
       .drop("__txt", "__n")
   }
 
+  /** `--shards N[:seed]` → (nShards, seed). */
+  private[graft] def parseShardsSpec(spec: String): (Int, String) =
+    spec.split(":", 2) match {
+      case Array(n, seed) => (n.toInt, seed)
+      case Array(n) => (n.toInt, "")
+    }
+
+  /** `--span-corrupt p[:maxLen]` → (pStart, maxLen); maxLen defaults to
+    * the T5 paper's mean-3 regime (our gate draws 1..maxLen uniform). */
+  private[graft] def parseCorruptSpec(spec: String): (Double, Int) =
+    spec.split(":", 2) match {
+      case Array(p, m) => (p.toDouble, m.toInt)
+      case Array(p) => (p.toDouble, 4)
+    }
+
+  /**
+   * Training-export tail (`--shards`/`--pack`/`--span-corrupt`/
+   * `--bpe-encode`): terminal stages over the CORRECTED output table —
+   * the step that turns a curated corpus into trainer-consumable
+   * artifacts, mirroring the reference keeping its batching/tensor-view
+   * surface in the pipeline (reference `src/util/data_functions.py:31-60`),
+   * not as library calls the operator must script.
+   *
+   * Resumable as a UNIT: a `_spec` sidecar under `outDir/_export` records
+   * the export spec plus the source stage token; when it matches, the
+   * whole tail is a no-op (artifacts already on disk are byte-identical —
+   * every stage is deterministic), and any change to the spec or the
+   * upstream sources rebuilds everything with Overwrite semantics.
+   *
+   * Scale shape: the shard assignment is one md5-keyed shuffle with
+   * per-shard (parallel) position sorts; packing is the two-phase prefix
+   * sum PER SHARD (pos is dense per shard, so bucketing holds); corruption
+   * and BPE encode shuffle by doc id only. Nothing here is corpus-global
+   * single-partition.
+   *
+   * @return "written" | "skipped" — the resume telemetry for the metrics
+   *         line.
+   */
+  private def exportArtifacts(spark: SparkSession, outDir: String, spansCol: String,
+                              shards: Option[(Int, String)], pack: Option[Int],
+                              corrupt: Option[(Double, Int)], bpeDir: Option[String],
+                              stageToken: String): String = {
+    import graft.pipeline.{Packing, Sampling, SpanCorruption}
+    val exportDir = s"$outDir/_export"
+    val specStr = s"shards=${shards.getOrElse("")}|pack=${pack.getOrElse("")}" +
+      s"|corrupt=${corrupt.getOrElse("")}|bpe=${bpeDir.getOrElse("")}|src=$stageToken"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$exportDir/_spec")
+    val fs = marker.getFileSystem(hconf)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      if (prev == specStr) return "skipped"
+    }
+    // the corrected table: underscore-prefixed siblings (_state, _export)
+    // are invisible to the parquet scan (Spark's hidden-path filter)
+    val docs = spark.read.parquet(outDir).drop("bucket")
+    val tagged = tagDocText(docs, spansCol)
+    shards.foreach { case (n, seed) =>
+      // one assignment computation feeds the docs sink AND the manifest
+      // (localCheckpoint: the per-shard position sort runs once; the
+      // checkpointed shape is 3 narrow columns per doc)
+      val assign = Sampling.shardAssignment(tagged, n, seed).localCheckpoint(true)
+      docs.join(assign, Seq("doc_id"))
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$exportDir/shards")
+      Sampling.manifestOfAssignment(assign, tagged, textCol = "__txt")
+        .write.mode("overwrite").parquet(s"$exportDir/manifest")
+      pack.foreach { seqLen =>
+        val withText = assign.join(
+          tagged.select(col("doc_id"), col("__txt")), Seq("doc_id"))
+        Packing.packSequences(withText, seqLen, idCol = "pos", textCol = "__txt",
+            partitionCols = Seq("shard"))
+          .join(assign.select(col("doc_id"), col("shard"), col("pos")), Seq("shard", "pos"))
+          .write.mode("overwrite").parquet(s"$exportDir/pack")
+      }
+    }
+    corrupt.foreach { case (p, maxLen) =>
+      SpanCorruption.corrupt(tagged, p, maxLen, textCol = "__txt")
+        .write.mode("overwrite").parquet(s"$exportDir/corrupt")
+    }
+    bpeDir.foreach { dir =>
+      val merges = graft.textanalysis.Bpe.loadMerges(spark, dir)
+      graft.textanalysis.Bpe.encodeDocs(tagged, merges, textCol = "__txt")
+        .write.mode("overwrite").parquet(s"$exportDir/tokens")
+    }
+    // marker LAST: a kill mid-export leaves no marker, so the resume
+    // rebuilds every artifact (each write is atomic per job)
+    val os = fs.create(marker, true)
+    try os.write(specStr.getBytes("UTF-8")) finally os.close()
+    "written"
+  }
+
   /** `--source-mix alpha:budget` → (alpha, budgetFraction); both mandatory
     * (there is no sensible default budget) and range-checked downstream. */
   private[graft] def parseSourceMixSpec(spec: String): (Double, Double) =
@@ -610,6 +729,15 @@ object RunPipeline {
     require(langidModel.isEmpty == langidKeep.isEmpty,
       "--langid-model and --langid-keep must be provided together")
     require(langidKeep.forall(_.nonEmpty), "--langid-keep must name at least one language")
+    val shardsSpec = a.get("shards").map(parseShardsSpec)
+    val packSpec = a.get("pack").map(_.toInt)
+    val corruptSpec = a.get("span-corrupt").map(parseCorruptSpec)
+    val bpeEncode = a.get("bpe-encode")
+    // packing is per-shard by design (each shard's token stream feeds one
+    // dataloader); a shard-less pack would be a corpus-global stream over a
+    // string id — undefined order, so fail loudly
+    require(packSpec.isEmpty || shardsSpec.nonEmpty,
+      "--pack requires --shards (sequences pack per shard, in shard-pos order)")
     // both-or-neither: --lm-model alone would otherwise be a SILENT no-op
     // (an operator shipping an "LM-filtered" corpus that was never filtered)
     require(lmModel.isEmpty == lmMinLp.isEmpty,
@@ -712,7 +840,11 @@ object RunPipeline {
       qualityModel.map(m => s" quality-model=$m>$qualityModelMin").getOrElse("") +
       (for { m <- dsirModel; k <- dsirK } yield s" dsir=$m@$k:$dsirAlpha").getOrElse("") +
       bloomDedup.map(d => s" bloom-dedup=$d").getOrElse("") +
-      sourceMix.map { case (al, b) => s" source-mix=$al:$b@$mixSourceCol" }.getOrElse("")
+      sourceMix.map { case (al, b) => s" source-mix=$al:$b@$mixSourceCol" }.getOrElse("") +
+      shardsSpec.map { case (n, seed) => s" shards=$n:$seed" }.getOrElse("") +
+      packSpec.map(s => s" pack=$s").getOrElse("") +
+      corruptSpec.map { case (p, m) => s" span-corrupt=$p:$m" }.getOrElse("") +
+      bpeEncode.map(d => s" bpe-encode=$d").getOrElse("")
     // stage token fingerprints the SOURCES: a resume of this output dir with
     // a different input/clean table (or spans columns, or dedup setting)
     // must rebuild its stages instead of silently reusing the previous
@@ -756,6 +888,12 @@ object RunPipeline {
       if (docsIn.isEmpty) None
       else if (curationOff) docsIn
       else Some(docs0.count())
+    // training-export tail: strictly after every bucket is committed (it
+    // reads the corrected output table), inside the timed run
+    val exportStatus: Option[String] =
+      if (shardsSpec.isEmpty && corruptSpec.isEmpty && bpeEncode.isEmpty) None
+      else Some(exportArtifacts(spark, output, spansCol,
+        shardsSpec, packSpec, corruptSpec, bpeEncode, stageToken))
     val total = CheckpointedRun.metrics(spark, state, runId)
     val sec = (System.nanoTime() - t0) / 1e9
 
@@ -782,7 +920,9 @@ object RunPipeline {
       s""""spans_this_invocation":${m.n},""" +
       s""""spans_total":${total.n},"cer":${num("%.4f", total.avgDistance)},""" +
       s""""pct_perfect":${num("%.4f", total.percentPerfect)},"wall_sec":${num("%.1f", sec)},""" +
-      s""""spans_per_sec":${num("%.1f", if (sec > 0) m.n / sec else 0.0)},"state":${jsonStr(state)}}"""
+      s""""spans_per_sec":${num("%.1f", if (sec > 0) m.n / sec else 0.0)},""" +
+      exportStatus.map(st => s""""export":${jsonStr(st)},""").getOrElse("") +
+      s""""state":${jsonStr(state)}}"""
   }
 
 }

@@ -28,9 +28,19 @@ import org.apache.spark.sql.functions._
  */
 object Packing {
 
+  /**
+   * `partitionCols` (optional) makes the packing PER-GROUP: each distinct
+   * key of `partitionCols` gets its own independent token stream starting
+   * at offset 0 — the per-shard packing a shard writer runs (each shard is
+   * consumed by one dataloader, so its sequences number from 0). With
+   * `Nil` (the default) the stream is corpus-global, exactly as before.
+   * Within a group the same two-phase prefix sum applies, so the id must
+   * be numeric and dense-ish PER GROUP (a shard assignment's `pos` is).
+   */
   def packSequences(docs: DataFrame, seqLen: Int, bucketSize: Long = 4096L,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    partitionCols: Seq[String] = Nil): DataFrame = {
     require(seqLen >= 1, s"sequence length must be >= 1, got $seqLen")
     require(bucketSize >= 1, s"bucket size must be >= 1, got $bucketSize")
     // fail FAST on a non-numeric id: floor(id / bucketSize) over strings
@@ -39,41 +49,46 @@ object Packing {
     require(docs.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"packSequences needs a numeric monotone $idCol for bucketing, got " +
         docs.schema(idCol).dataType.simpleString)
+    val parts = partitionCols.map(col)
     // materialize the tokenized projection ONCE: both the per-bucket window
     // and the totals aggregate consume it, and without a boundary each
     // branch re-tokenizes the full corpus (2× the dominant cost). Unlike
     // the SubstringDup case (see measure-before-materialize), the
     // checkpointed shape here is 3 narrow columns per DOC — tiny next to
     // the text scan it saves.
-    val toks = docs.select(col(idCol),
+    val toks = docs.select(parts ++ Seq(col(idCol),
       size(filter(graft.dedup.Dedup.tokens(col(textCol)), t => length(t) > 0))
         .cast("long").as("n_tokens"),
-      floor(col(idCol) / bucketSize).as("__b"))
+      floor(col(idCol) / bucketSize).as("__b")): _*)
       .localCheckpoint(true)
-    val inBucket = Window.partitionBy(col("__b")).orderBy(col(idCol))
+    val inBucket = Window.partitionBy(parts :+ col("__b"): _*).orderBy(col(idCol))
     val withLocal = toks.withColumn("__cum_in",
       coalesce(sum(col("n_tokens")).over(
         inBucket.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    // per-bucket totals: tiny (|buckets| rows) — the single-order window
-    // below runs over THIS table, never the corpus
-    val totals = toks.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__tot"))
+    // per-bucket totals: tiny (|groups × buckets| rows) — the
+    // single-order-per-group window below runs over THIS table, never the
+    // corpus (and with partitionCols it parallelizes across groups too)
+    val totals = toks.groupBy(parts :+ col("__b"): _*).agg(sum(col("n_tokens")).as("__tot"))
+    val baseW =
+      if (parts.isEmpty) Window.orderBy(col("__b"))
+      else Window.partitionBy(parts: _*).orderBy(col("__b"))
     val base = totals.withColumn("__base",
       coalesce(sum(col("__tot")).over(
-        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__b"), col("__base"))
+        baseW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(parts ++ Seq(col("__b"), col("__base")): _*)
     // a zero-token doc occupies NO sequence — its bins are NULL (a
     // tok_start landing exactly on a boundary at corpus end would otherwise
     // name a phantom bin past the last real sequence, and downstream
     // writers sizing output as max(end_bin)+1 would allocate it)
-    withLocal.join(broadcast(base), "__b")
+    withLocal.join(broadcast(base), partitionCols :+ "__b")
       .withColumn("tok_start", col("__base") + col("__cum_in"))
-      .select(col(idCol), col("n_tokens"), col("tok_start"),
+      .select(parts ++ Seq(col(idCol), col("n_tokens"), col("tok_start"),
         when(col("n_tokens") === 0, lit(null))
           .otherwise(floor(col("tok_start") / seqLen))
           .cast("long").as("start_bin"),
         when(col("n_tokens") === 0, lit(null))
           .otherwise(floor((col("tok_start") + col("n_tokens") - 1) / seqLen))
-          .cast("long").as("end_bin"))
+          .cast("long").as("end_bin")): _*)
   }
 
   /**

@@ -127,7 +127,15 @@ object Sampling {
     * dataloader consume. */
   def shardManifest(docs: DataFrame, nShards: Int, seed: String = "",
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    shardAssignment(docs, nShards, seed, idCol)
+    manifestOfAssignment(shardAssignment(docs, nShards, seed, idCol),
+      docs, idCol, textCol)
+
+  /** [[shardManifest]] over a PRECOMPUTED [[shardAssignment]] — callers
+    * that also write the assignment (the RunPipeline `--shards` sink)
+    * compute the per-shard sort window once instead of twice. */
+  def manifestOfAssignment(assignment: DataFrame, docs: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    assignment
       .join(docs.select(col(idCol),
         size(filter(graft.dedup.Dedup.tokens(col(textCol)), t => length(t) > 0))
           .cast("long").as("__nt")), idCol)

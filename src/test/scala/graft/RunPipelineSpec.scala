@@ -689,4 +689,101 @@ class RunPipelineSpec extends SparkSpec {
     assert(RunPipeline.parseDecontamSpec("/data/eval:0") == ("/data/eval:0", 13))
     assert(RunPipeline.parseDecontamSpec("/data/eval:101") == ("/data/eval:101", 13))
   }
+
+  test("training export: --shards/--pack/--span-corrupt/--bpe-encode ≡ operators, resume no-op") {
+    import graft.pipeline.{Packing, Sampling, SpanCorruption}
+    import graft.textanalysis.Bpe
+    val base = Files.createTempDirectory("runpipeline_export").toString
+    val docs = DocGen.docs(spark, 60).toDF()
+    docs.select(col("doc_id"), col("noisy_spans").as("spans")).write.parquet(s"$base/in")
+    docs.select(col("doc_id"), col("spans")).write.parquet(s"$base/truth")
+    // a tiny persisted BPE tokenizer for --bpe-encode
+    val trainTxt = docs.select(col("doc_id"),
+      concat_ws(" ", transform(col("spans"), sp => sp.getField("text"))).as("text"))
+    Bpe.saveMerges(spark, Bpe.trainMerges(trainTxt, numMerges = 6), s"$base/bpe")
+
+    val args = Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "clean" -> s"$base/truth",
+      "buckets" -> "4", "group-size" -> "2", "corrector" -> "null",
+      "shards" -> "3:s1", "pack" -> "16", "span-corrupt" -> "0.1:3",
+      "bpe-encode" -> s"$base/bpe")
+    val out = RunPipeline.run(spark, args)
+    assert(out.contains(""""export":"written""""), out)
+
+    // the corrected output and its export text key, exactly as the pipeline
+    // derives them
+    val corrected = spark.read.parquet(s"$base/out").drop("bucket")
+    val tagged = corrected.withColumn("__txt", concat_ws(" ",
+      transform(filter(col("spans"), sp => sp.getField("kind") === "text"),
+        sp => sp.getField("text"))))
+
+    // --shards ≡ Sampling.shardAssignment (+ manifest counts)
+    val wantAssign = Sampling.shardAssignment(tagged, 3, "s1")
+      .as[(String, Int, Long)].collect().toSet
+    val gotShards = spark.read.parquet(s"$base/out/_export/shards")
+    assert(gotShards.select($"doc_id", $"shard".cast("int"), $"pos")
+      .as[(String, Int, Long)].collect().toSet == wantAssign)
+    // every input column survives the shard sink
+    assert(corrected.columns.toSet.subsetOf(gotShards.columns.toSet))
+    val gotManifest = spark.read.parquet(s"$base/out/_export/manifest")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotManifest == Sampling.shardManifest(tagged, 3, "s1", textCol = "__txt")
+      .as[(Long, Long, Long)].collect().toSet)
+    assert(gotManifest.toSeq.map(_._2).sum == 60L)
+
+    // --pack ≡ per-shard Packing.packSequences over (pos, __txt)
+    val assign = Sampling.shardAssignment(tagged, 3, "s1")
+    val wantPack = Packing.packSequences(
+        assign.join(tagged.select($"doc_id", $"__txt"), Seq("doc_id")),
+        16, idCol = "pos", textCol = "__txt", partitionCols = Seq("shard"))
+      .join(assign.select($"doc_id", $"shard", $"pos"), Seq("shard", "pos"))
+      .select($"doc_id", $"shard", $"pos", $"n_tokens", $"tok_start")
+      .as[(String, Int, Long, Long, Long)].collect().toSet
+    assert(spark.read.parquet(s"$base/out/_export/pack")
+      .select($"doc_id", $"shard".cast("int"), $"pos", $"n_tokens", $"tok_start")
+      .as[(String, Int, Long, Long, Long)].collect().toSet == wantPack)
+
+    // --span-corrupt ≡ SpanCorruption.corrupt
+    val wantCorrupt = SpanCorruption.corrupt(tagged, 0.1, 3, textCol = "__txt")
+      .as[(String, String, String)].collect().toSet
+    assert(spark.read.parquet(s"$base/out/_export/corrupt")
+      .as[(String, String, String)].collect().toSet == wantCorrupt)
+
+    // --bpe-encode ≡ Bpe.encodeDocs under the persisted merges
+    val wantTokens = Bpe.encodeDocs(tagged, Bpe.loadMerges(spark, s"$base/bpe"),
+        textCol = "__txt")
+      .as[(String, Seq[String])].collect().toMap
+    assert(spark.read.parquet(s"$base/out/_export/tokens")
+      .as[(String, Seq[String])].collect().toMap == wantTokens)
+
+    // resume with the identical command: the export tail is a NO-OP — the
+    // artifact files on disk are untouched (same names, sizes, mtimes)
+    def listing(): Set[(String, Long, Long)] = {
+      val root = java.nio.file.Paths.get(s"$base/out/_export")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString == "_spec")
+        .map(p => (p.toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+    }
+    val before = listing()
+    val again = RunPipeline.run(spark, args)
+    assert(again.contains(""""export":"skipped""""), again)
+    assert(listing() == before, "resume must not rewrite export artifacts")
+
+    // a changed export spec REBUILDS (different shard count)
+    val changed = RunPipeline.run(spark, args + ("shards" -> "2:s1"))
+    assert(changed.contains(""""export":"written""""), changed)
+    assert(spark.read.parquet(s"$base/out/_export/shards")
+      .select($"shard".cast("int")).distinct().count() == 2)
+
+    // --pack without --shards fails fast
+    val e = intercept[Exception] {
+      RunPipeline.run(spark, Map(
+        "input" -> s"$base/in", "output" -> s"$base/out2", "corrector" -> "null",
+        "buckets" -> "2", "group-size" -> "2", "pack" -> "16"))
+    }
+    assert(e.getMessage.contains("--pack requires --shards"))
+  }
 }

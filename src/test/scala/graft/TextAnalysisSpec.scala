@@ -560,6 +560,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("per-group sequence packing ≡ independent per-group packing, streams restart at 0") {
+    import graft.pipeline.Packing
+    // two shards with dense per-shard pos — exactly the RunPipeline
+    // --shards/--pack shape
+    val docs = (0L until 120L).map { i =>
+      (i % 3, i / 3, ("w " * (1 + (i % 5)).toInt).trim)
+    }.toDF("shard", "pos", "text")
+    val grouped = Packing.packSequences(docs, 8, bucketSize = 7L,
+        idCol = "pos", partitionCols = Seq("shard"))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+    val independent = (0L until 3L).flatMap { s =>
+      Packing.packSequences(docs.where($"shard" === s), 8, bucketSize = 7L, idCol = "pos")
+        .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+        .map { case (p, n, t, b0, b1) => (s, p, n, t, b0, b1) }
+    }.toSet
+    assert(grouped == independent)
+    // every shard's stream starts at token offset 0
+    assert(grouped.filter(_._2 == 0L).forall(_._4 == 0L))
+  }
+
   test("column profile: hand fixture incl. nulls and distincts") {
     import graft.textanalysis.Profile
     val df = Seq(

@@ -507,11 +507,24 @@ object RunPipeline {
   private def bloomDedupDocs(docs: org.apache.spark.sql.DataFrame, spansCol: String,
                              dir: String): org.apache.spark.sql.DataFrame = {
     import graft.dedup.{Bloom, Dedup}
-    val (words, mBits, k) = Bloom.load(docs.sparkSession, dir)
+    val spark = docs.sparkSession
+    val (mBits, k) = Bloom.loadMeta(spark, dir)
     val tagged = tagDocText(docs, spansCol)
-    tagged.where(col("__n") === 0 ||
-        !Bloom.mightContain(Dedup.fingerprint(col("__txt")), words, mBits, k))
-      .drop("__txt", "__n")
+    if (mBits / Bloom.WordBits <= Bloom.LiteralProbeMaxWords) {
+      // scan-side probe: the sketch rides as one plan literal
+      val (words, _, _) = Bloom.load(spark, dir)
+      tagged.where(col("__n") === 0 ||
+          !Bloom.mightContain(Dedup.fingerprint(col("__txt")), words, mBits, k))
+        .drop("__txt", "__n")
+    } else {
+      // GB-scale sketch: probe by joining the sparse word table
+      // (identical survivors — BloomSpec equivalence)
+      val table = spark.read.parquet(s"$dir/words")
+      Bloom.dedupAgainstSketchTable(tagged.where(col("__n") > 0), table, mBits, k,
+          textCol = "__txt", idCol = "doc_id")
+        .unionByName(tagged.where(col("__n") === 0))
+        .drop("__txt", "__n")
+    }
   }
 
   /** `--bloom-out`: persist the sketch of this batch's SURVIVING text-doc

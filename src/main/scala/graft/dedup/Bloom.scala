@@ -32,6 +32,12 @@ object Bloom {
 
   val WordBits = 32
 
+  /** Ceiling for the plan-literal probe: sketches up to 2²¹ words (16 MiB
+    * of packed bits) ride as one `typedLit`; a 100 TB-corpus sketch (GBs)
+    * cannot live inside a plan — probe it with
+    * [[dedupAgainstSketchTable]] instead. */
+  val LiteralProbeMaxWords: Int = 1 << 21
+
   /** The i-th probe position of a key: `md5(key || ':' || i)` folded to 60
     * bits, mod `mBits`. */
   def position(key: Column, i: Int, mBits: Int): Column =
@@ -93,6 +99,36 @@ object Bloom {
                          textCol: String = "text"): DataFrame =
     docs.filter(!mightContain(Dedup.fingerprint(col(textCol)), words, mBits, k))
 
+  /**
+   * Incremental exact dedup with the sketch as a TABLE — the probe path for
+   * sketches past [[LiteralProbeMaxWords]] (a web-scale sketch is GBs: it
+   * can be a join side, never a plan literal). Each doc explodes its k word
+   * probes, joins the sparse `(w, bits)` table on word index (the sketch
+   * side broadcasts while it fits, shuffles when it doesn't — Spark's
+   * choice), and a doc is dropped iff ALL k bits are set. Survivor set is
+   * IDENTICAL to [[dedupAgainstSketch]] on the same sketch (BloomSpec).
+   *
+   * Cost shape vs the literal probe: k·rows join input + one per-doc
+   * regroup (two exchanges) instead of a free scan — the price of not
+   * shipping the sketch inside every task's plan.
+   */
+  def dedupAgainstSketchTable(docs: DataFrame, table: DataFrame, mBits: Int, k: Int,
+                              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val key = Dedup.fingerprint(col(textCol))
+    val posArr = array((0 until k).map(i => position(key, i, mBits)): _*)
+    val probes = docs.select(col(idCol), explode(posArr).as("pos"))
+      .select(col(idCol),
+        (col("pos") / WordBits).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("pos") % WordBits).cast("int")).as("mask"))
+    val inSketch = probes.join(table, Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(min((coalesce(col("bits"), lit(0L))
+        .bitwiseAND(col("mask")) =!= 0L).cast("int")).as("__all_set"))
+      .where(col("__all_set") === 1)
+      .select(col(idCol))
+    docs.join(inSketch, Seq(idCol), "left_anti")
+  }
+
   /** Persist a sketch: `dir/words` = the sparse (w, bits) table,
     * `dir/meta` = one row (m_bits, k) — the geometry travels WITH the
     * sketch (probing with different mBits/k reads garbage bits). */
@@ -103,14 +139,20 @@ object Bloom {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Load a persisted sketch as the dense probe form: `(words, mBits, k)`. */
-  def load(spark: SparkSession, dir: String): (Array[Long], Int, Int) = {
+  /** Load just the geometry `(mBits, k)` of a persisted sketch — cheap, and
+    * the input to the literal-vs-table probe-path decision. */
+  def loadMeta(spark: SparkSession, dir: String): (Int, Int) = {
     val meta = spark.read.parquet(s"$dir/meta")
     require(meta.columns.toSet == Set("m_bits", "k"),
       s"bloom meta must have (m_bits, k), got ${meta.columns.mkString(",")}")
     val rows = meta.select(col("m_bits").cast("int"), col("k").cast("int")).collect()
     require(rows.length == 1, s"bloom meta $dir/meta must hold exactly one row")
-    val (mBits, k) = (rows.head.getInt(0), rows.head.getInt(1))
+    (rows.head.getInt(0), rows.head.getInt(1))
+  }
+
+  /** Load a persisted sketch as the dense probe form: `(words, mBits, k)`. */
+  def load(spark: SparkSession, dir: String): (Array[Long], Int, Int) = {
+    val (mBits, k) = loadMeta(spark, dir)
     val table = spark.read.parquet(s"$dir/words")
     require(table.columns.toSet == Set("w", "bits"),
       s"bloom words must have (w, bits), got ${table.columns.mkString(",")}")

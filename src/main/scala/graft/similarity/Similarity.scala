@@ -410,12 +410,23 @@ object Similarity {
    * join shuffles (centroid_id, id, vec) once and is bounded per cluster.
    * `iterations = 0` keeps the deterministic seed centroids (the
    * oracle-restatable form); production raises it for tighter clusters.
+   *
+   * CLUSTER SIZING is the load-bearing knob: pair volume is Σ clusterᵢ², so
+   * `nCentroids` must GROW with the corpus — the paper runs ~100k clusters
+   * on web scale. `nCentroids = 0` (the default) applies the √-rule
+   * [[autoCentroids]]: ⌈√(n/2)⌉ centroids ⇒ expected cluster size ≈ √(2n)
+   * and expected pair volume ≈ O(n^1.5) instead of n² (at n = 2·10¹⁰
+   * embeddings that is ~10⁵ centroids — the paper's operating point). A
+   * skewed hot cluster still pays its own square — that residual skew is
+   * what AQE skew-join splitting absorbs at run time (spec-asserted
+   * correct under a 50%-hot-cluster fixture in SimilaritySpec).
    */
   def semDedupPairs(vecs: DataFrame, threshold: Double,
-                    nCentroids: Int = 8, iterations: Int = 0,
+                    nCentroids: Int = 0, iterations: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     roundTo: Int = 4): DataFrame = {
-    val (_, assigned) = ivfIndex(vecs, nCentroids, iterations, idCol, vecCol)
+    val nc = if (nCentroids > 0) nCentroids else autoCentroids(vecs.count())
+    val (_, assigned) = ivfIndex(vecs, nc, iterations, idCol, vecCol)
     val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, Seq("centroid_id"))
@@ -433,8 +444,15 @@ object Similarity {
    * closure) to its min-id representative — the embedding-space sibling of
    * `Dedup.dedupNearCC`'s survivor rule. Returns the surviving `idCol` rows.
    */
+  /** The SemDeDup √-rule: ⌈√(n/2)⌉ clusters (the k-means rule of thumb),
+    * clamped to [1, 2¹⁷]. Keeps expected within-cluster pair volume
+    * ~O(n^1.5); at web scale (n ≈ 10¹⁰) it lands at the SemDeDup paper's
+    * ~10⁵ clusters. Costs one `count()` when applied implicitly. */
+  def autoCentroids(n: Long): Int =
+    math.max(1L, math.min(1L << 17, math.ceil(math.sqrt(n / 2.0)).toLong)).toInt
+
   def semDedup(vecs: DataFrame, threshold: Double,
-               nCentroids: Int = 8, iterations: Int = 0,
+               nCentroids: Int = 0, iterations: Int = 0,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val pairs = semDedupPairs(vecs, threshold, nCentroids, iterations, idCol, vecCol)
       .select(col("id_a"), col("id_b"))

@@ -42,6 +42,24 @@ class BloomSpec extends AnyFunSuite {
     assert(words.toSeq == direct.toSeq)
   }
 
+  test("join-table probe path == literal probe path, survivor for survivor") {
+    val existing = (0 until 60).map(i => (i.toLong, s"existing doc $i"))
+    val sketchKeys = existing.toDF("doc_id", "text")
+      .select(graft.dedup.Dedup.fingerprint($"text").as("fp"))
+    val (mBits, k) = (2048, 4) // small m: some genuine FPs make the check strict
+    val table = Bloom.buildTable(sketchKeys, "fp", mBits, k)
+    val words = Bloom.build(sketchKeys, "fp", mBits, k)
+    val batch = ((0 until 30).map(i => (1000L + i, s"existing doc $i")) ++
+      (0 until 300).map(i => (2000L + i, s"fresh doc $i"))).toDF("doc_id", "text")
+    val viaLiteral = Bloom.dedupAgainstSketch(batch, words, mBits, k)
+      .select($"doc_id").as[Long].collect().toSet
+    val viaTable = Bloom.dedupAgainstSketchTable(batch, table, mBits, k)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaTable == viaLiteral, s"paths diverge: ${viaTable -- viaLiteral} / ${viaLiteral -- viaTable}")
+    // and both drop every true duplicate
+    assert((1000L until 1030L).forall(id => !viaTable.contains(id)))
+  }
+
   test("incremental dedup: true duplicates always dropped, fresh docs survive") {
     val existing = (0 until 50).map(i => (i.toLong, s"an existing corpus document number $i"))
     val sketchKeys = existing.toDF("doc_id", "text")

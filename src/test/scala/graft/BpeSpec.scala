@@ -70,6 +70,42 @@ class BpeSpec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  test("batched training bit-equals the sequential loop at batch 1/4/16 (small-alphabet fuzz)") {
+    // Tiny alphabets force heavy symbol reuse: count ties at batch
+    // boundaries, conflicting top pairs, and concat collisions with live
+    // symbols — every trim/freshness path in the batched selector.
+    val rnd = new scala.util.Random(20260818L)
+    for ((alpha, trial) <- Seq("ab", "cde", "abc").zipWithIndex) {
+      val words = (0 until 120).map(_ =>
+        (0 until (1 + rnd.nextInt(7))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      val wc = words.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      val fdocs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+      val want = refTrain(wc, 40, 1L)
+      for (b <- Seq(1, 4, 16)) {
+        val got = Bpe.trainMerges(fdocs, numMerges = 40, minPairCount = 1L, maxBatch = b)
+        assert(got == want, s"trial=$trial batch=$b\n got: $got\nwant: $want")
+      }
+    }
+  }
+
+  test("driver-local delta-maintained training bit-equals the relational loop and the reference") {
+    val want = refTrain(refWc, 25)
+    assert(Bpe.trainMergesLocal(docs, numMerges = 25) == want)
+    // delta maintenance vs full recount, on adversarial small alphabets
+    val rnd = new scala.util.Random(42L)
+    for (alpha <- Seq("ab", "abc", "abcd")) {
+      val words = (0 until 150).map(_ =>
+        (0 until (1 + rnd.nextInt(8))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      val wc = words.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      val fdocs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+      val want2 = refTrain(wc, 80, 1L)
+      assert(Bpe.trainMergesLocal(fdocs, 80, minPairCount = 1L) == want2, s"alpha=$alpha")
+    }
+    // maxWords truncation == training on the truncated word table
+    val top2 = refWc.toSeq.sortBy { case (w, n) => (-n, w) }.take(2).toMap
+    assert(Bpe.trainMergesLocal(docs, 25, maxWords = 2) == refTrain(top2, 25))
+  }
+
   test("early stop: no pair reaches minPairCount => shorter merge list") {
     val tiny = Seq((0L, "ab cd")).toDF("doc_id", "text")
     // every adjacent pair occurs exactly once: nothing to merge at the

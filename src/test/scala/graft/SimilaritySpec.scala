@@ -266,4 +266,40 @@ class SimilaritySpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(survivors == Set(1L, 2L, 6L, 7L, 8L), survivors.toString)
   }
+
+  test("SemDeDup √-rule sizing and a 50%-hot cluster stay correct and cluster-bounded") {
+    // the sizing rule itself
+    assert(Similarity.autoCentroids(0L) == 1)
+    assert(Similarity.autoCentroids(2L) == 1)
+    assert(Similarity.autoCentroids(200L) == 10)
+    assert(Similarity.autoCentroids(20_000_000_000L) == 100000) // paper scale: ~1e5 clusters
+    assert(Similarity.autoCentroids(Long.MaxValue) == (1 << 17)) // clamp
+
+    // hot cluster: half the corpus is one repeated embedding (the web-scale
+    // boilerplate case) and ties to ONE centroid; the other half is a ring
+    // of well-separated directions that seeds the centroids. Pairs must be
+    // exactly the within-cluster cosine hits — the hot cluster pays its own
+    // square (absorbed by AQE skew splitting at scale), never wrong.
+    val half = 128
+    val ring = (0 until half).map { i =>
+      val a = 2.0 * math.Pi * i / half // adjacent cos ≈ 0.9988 < τ
+      (i.toLong, Seq(0.0f, 0.0f, math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    val hot = (0 until half).map(i => (1000L + i, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+    val rows = (ring ++ hot).toDF("vec_id", "embedding")
+    // auto sizing: n = 256 -> ceil(sqrt(128)) = 12 centroids (ring seeds);
+    // every hot row dots 0 with every ring centroid and ties to centroid 0
+    val pairs = Similarity.semDedupPairs(rows, threshold = 0.999)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val hotIds = hot.map(_._1).toSet
+    val hotPairs = pairs.filter(p => hotIds(p._1) && hotIds(p._2))
+    assert(hotPairs.size == half * (half - 1) / 2,
+      s"expected the full hot pair set, got ${hotPairs.size}")
+    // the ring has no near-dups at this τ and never pairs with hot (cos 0)
+    assert(pairs == hotPairs, s"unexpected non-hot pairs: ${pairs -- hotPairs}")
+    // the action under auto sizing collapses the hot set to its min id
+    val survivors = Similarity.semDedup(rows, threshold = 0.999)
+      .as[Long].collect().toSet
+    assert(survivors == ring.map(_._1).toSet + 1000L, survivors.toString)
+  }
 }

@@ -93,6 +93,12 @@ import graft.pipeline.CheckpointedRun
  *                                  # keys on the REDACTED text when the scrub is on;
  *                                  # span cuts on doc-dedup survivors only; the mix
  *                                  # allocates over the CLEANED per-source counts)
+ *   [--stage-telemetry true]       # per-stage quality telemetry: null-CER + doc/span
+ *                                  #   counts of each ACTIVE doc-drop stage's surviving
+ *                                  #   population (which gate moved quality) — written
+ *                                  #   to <output>/_telemetry/stage_null_cer and rides
+ *                                  #   the artifact as "stage_cer"; opt-in (each stage
+ *                                  #   re-evaluates its curation prefix once)
  *   [--pii-scrub true]             # redact emails/IPv4/intl phones in TEXT spans with
  *                                  #   typed placeholders (Pii.redact) before correction;
  *                                  #   media spans untouched
@@ -561,6 +567,72 @@ object RunPipeline {
     Bloom.save(spark, merged, gm, gk, outDir)
   }
 
+  /**
+   * `--stage-telemetry true`: null-CER movement per curation stage — which
+   * gate moved quality. The noisy-vs-truth span distances are computed ONCE
+   * per doc (one positional join + the codegen'd `dl_distance` kernel,
+   * checkpointed at doc-count size: 4 columns/doc), and each ACTIVE stage
+   * then pays one id-projection + one join-aggregate against that side
+   * table — the stage's curation prefix re-evaluates for its id set, which
+   * is why this is an opt-in diagnostic, not an always-on artifact.
+   * Distances are measured on the ORIGINAL text (pre-PII-scrub) so stage
+   * rows are comparable across the scrub boundary; stages that mutate spans
+   * without dropping docs (pii, span/media dedup) are intentionally absent.
+   * Writes `(stage_no, stage, docs, spans, null_cer, pct_perfect)` to
+   * `<output>/_telemetry/stage_null_cer` and returns the same rows as a
+   * JSON array for the run artifact. Recomputed every invocation (derived
+   * from the input, not from run state).
+   */
+  private def stageNullCer(spark: SparkSession, output: String,
+                           stages: Seq[(String, org.apache.spark.sql.DataFrame)],
+                           docs0: org.apache.spark.sql.DataFrame,
+                           clean: String, input: String, fmt: String,
+                           spansCol: String, cleanSpansCol: String): String = {
+    import graft.pipeline.CorrectionPipeline
+    org.apache.spark.sql.graft.DamerauLevenshteinExpr.register(spark)
+    val cleanAll = if (clean == input) docs0
+                   else graft.sources.CorpusIO.readDocs(spark, clean, fmt, cleanSpansCol)
+    def textSpans(df: org.apache.spark.sql.DataFrame, sc: String, as: String) =
+      CorrectionPipeline.explodeSpans(df, sc)
+        .filter(col("kind") === graft.model.Span.KindText)
+        .select(col("doc_id"), col("offset"), col("text").as(as))
+    val noisySp = textSpans(docs0, spansCol, "__tn")
+    val cleanSp = textSpans(cleanAll, if (clean == input) spansCol else cleanSpansCol, "__tc")
+    // reference normalized distance: dist / codepoints(clean), empty-truth
+    // guard, exact-equality shortcut (skips the DP kernel)
+    val norm = when(col("__tn") === col("__tc"), lit(0.0))
+      .otherwise(when(length(col("__tc")) === 0, lit(1.0))
+        .otherwise(call_function("dl_distance", col("__tn"), col("__tc")).cast("double") /
+          length(col("__tc"))))
+    val perDoc = noisySp.join(cleanSp, Seq("doc_id", "offset"))
+      .groupBy(col("doc_id"))
+      .agg(sum(norm).as("__d"), count(lit(1)).as("__s"),
+        sum((col("__tn") === col("__tc")).cast("long")).as("__p"))
+      .localCheckpoint()
+    val rows = stages.zipWithIndex.map { case ((name, df), i) =>
+      val r = df.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("docs"),
+          coalesce(sum(col("__s")), lit(0L)).as("spans"),
+          coalesce(sum(col("__d")), lit(0.0)).as("d"),
+          coalesce(sum(col("__p")), lit(0L)).as("p"))
+        .head()
+      (i, name, r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    }
+    import spark.implicits._
+    rows.map { case (i, name, docs, spans, d, p) =>
+      (i, name, docs, spans,
+        if (spans > 0) d / spans else 0.0,
+        if (spans > 0) p.toDouble / spans else 0.0)
+    }.toDF("stage_no", "stage", "docs", "spans", "null_cer", "pct_perfect")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$output/_telemetry/stage_null_cer")
+    rows.map { case (_, name, docs, spans, d, p) =>
+      s"""{"stage":${Portable.jsonStr(name)},"docs":$docs,"spans":$spans,""" +
+        s""""null_cer":${Portable.jsonNum("%.4f", if (spans > 0) d / spans else 0.0)},""" +
+        s""""pct_perfect":${Portable.jsonNum("%.4f", if (spans > 0) p.toDouble / spans else 0.0)}}"""
+    }.mkString("[", ",", "]")
+  }
+
   /** Language gate (`--langid-model`/`--langid-keep`): classify each text
     * doc against persisted Cavnar-Trenkle profiles and keep predicted
     * members of the allowed set. Media-only docs pass (no text evidence —
@@ -817,6 +889,25 @@ object RunPipeline {
     // invocation so a resumed run still ships the artifact
     bloomOut.foreach(out =>
       bloomOutSketch(docs, spansCol, out, bloomDedup, bloomBits, bloomK))
+    // per-stage quality telemetry (opt-in): null-CER of each ACTIVE
+    // doc-drop stage's surviving population — which gate moved quality
+    val stageCer: Option[String] =
+      if (!a.get("stage-telemetry").exists(_.toBoolean)) None
+      else Some(stageNullCer(spark, output, Seq(
+          "input" -> Some(docs0),
+          "sample" -> sampleFrac.map(_ => sampled),
+          "quality-gate" -> gateSpec.map(_ => gated),
+          "gopher" -> gopherSpec.map(_ => gophered),
+          "langid" -> langidModel.map(_ => langGated),
+          "quality-model" -> qualityModel.map(_ => modelGated),
+          "lm" -> (for { _ <- lmModel; _ <- lmMinLp } yield lmFiltered),
+          "dsir" -> (for { _ <- dsirModel; _ <- dsirK } yield dsired),
+          "decontam" -> decontamSpec.map(_ => decontamed),
+          "bloom-dedup" -> bloomDedup.map(_ => bloomed),
+          "dedup" -> (if (dedupMode == "none") None else Some(textDeduped)),
+          "source-mix" -> sourceMix.map(_ => docs)
+        ).collect { case (n, Some(df)) => (n, df) },
+        docs0, clean, input, fmt, spansCol, cleanSpansCol))
     val cleanDocs0 = if (clean == input) docs
                      else graft.sources.CorpusIO.readDocs(spark, clean, fmt, cleanSpansCol)
     // the truth table must see the same redaction as the input, or every
@@ -935,6 +1026,7 @@ object RunPipeline {
       s""""pct_perfect":${num("%.4f", total.percentPerfect)},"wall_sec":${num("%.1f", sec)},""" +
       s""""spans_per_sec":${num("%.1f", if (sec > 0) m.n / sec else 0.0)},""" +
       exportStatus.map(st => s""""export":${jsonStr(st)},""").getOrElse("") +
+      stageCer.map(t => s""""stage_cer":$t,""").getOrElse("") +
       s""""state":${jsonStr(state)}}"""
   }
 

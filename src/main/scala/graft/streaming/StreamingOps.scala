@@ -374,6 +374,68 @@ object StreamingOps {
     docs.filter(!graft.dedup.Bloom.mightContain(
       graft.dedup.Dedup.fingerprint(col(textCol)), words, mBits, k))
 
+  /**
+   * ACCUMULATING Bloom dedup for streams — the streaming form of the batch
+   * pipeline's `--bloom-dedup`/`--bloom-out` pair, as a `foreachBatch`
+   * sink: each micro-batch probes the sketch AS OF the previous batch,
+   * appends the survivors to `outDir` (parquet), and merges the survivors'
+   * fingerprints back into `sketchDir` — so a document shipped in batch N
+   * is dropped by every later batch, across restarts (the sketch is the
+   * durable cross-batch state; no in-memory streaming state to grow).
+   *
+   * Replay-safe: the sketch dir carries the last applied batch id
+   * (`state`), and a replayed `batchId <= last` is a no-op for BOTH writes
+   * — effectively exactly-once given the sketch dir survives. The
+   * overwrite-while-reading hazard is designed out: the sketch is loaded
+   * DENSE (eager collect) and re-sparsified driver-side, so saving back to
+   * the same dir never reads lazily from it.
+   *
+   * In-batch duplicates are out of scope by the same split as the batch
+   * pipeline (`--bloom-dedup` before `--dedup`): compose [[dedupStream]]
+   * upstream for those. False negatives impossible; fresh docs drop at the
+   * sketch's FP rate.
+   *
+   * Scale shape: probe is scan-side (sketch literal), merge is one
+   * vocabulary-free `bit_or` agg over the batch's fingerprints + a
+   * driver-side union — per-batch cost independent of corpus history size.
+   * Past [[graft.dedup.Bloom.LiteralProbeMaxWords]] the literal probe (and
+   * the dense collect) stops fitting; at that geometry run the batch
+   * pipeline's join-path probe on a schedule instead.
+   */
+  def bloomAccumulateSink(sketchDir: String, outDir: String, mBits: Int, k: Int,
+                          textCol: String = "text"): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      import graft.dedup.{Bloom, Dedup}
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val stateFile = s"$sketchDir/state"
+      val exists = new java.io.File(s"$sketchDir/meta").exists()
+      val lastApplied =
+        if (new java.io.File(stateFile).exists())
+          spark.read.parquet(stateFile).select(max(col("batch_id"))).head.getLong(0)
+        else -1L
+      if (batchId > lastApplied) {
+        val words =
+          if (exists) {
+            val (w, m0, k0) = Bloom.load(spark, sketchDir)
+            require(m0 == mBits && k0 == k,
+              s"sketch $sketchDir geometry ($m0, $k0) != requested ($mBits, $k)")
+            w
+          } else Array.ofDim[Long](mBits / Bloom.WordBits)
+        val survivors = Bloom.dedupAgainstSketch(batch, words, mBits, k, textCol)
+          .localCheckpoint() // one pass: the write and the sketch build agree
+        survivors.write.mode("append").parquet(outDir)
+        val batchTable = Bloom.buildTable(
+          survivors.select(Dedup.fingerprint(col(textCol)).as("__fp")), "__fp", mBits, k)
+        val existing = words.zipWithIndex.collect { case (b, w) if b != 0L => (w, b) }
+          .toSeq.toDF("w", "bits")
+        Bloom.save(spark, Bloom.merge(existing, batchTable), mBits, k, sketchDir)
+        Seq(batchId).toDF("batch_id").coalesce(1)
+          .write.mode("overwrite").parquet(stateFile)
+      }
+    }
+  }
+
   def qualityGate(docs: DataFrame, textCol: String = "text",
                   minQuality: Double = 0.3,
                   maxDupTokenRatio: Double = 0.6): DataFrame =

@@ -67,6 +67,58 @@ class RunPipelineSpec extends SparkSpec {
     assert(node.get("docs_in").asLong() == 10L)
   }
 
+  test("--stage-telemetry: per-stage null-CER rows match directly-computed populations") {
+    import graft.model.Span
+    val base = Files.createTempDirectory("runpipeline-tel").toString
+    def span(t: String) = Seq(Span(Span.KindText, t, null, 1))
+    val cleanTexts = (1 to 40).map(i => i -> s"clean document number $i with shared words")
+    def noise(t: String) = t.replaceFirst("e", "3")
+    // 40 noisy docs + 10 exact copies under larger ids (dedup fodder)
+    val noisy = cleanTexts.map { case (i, t) => (f"d$i%03d", span(noise(t))) } ++
+      (1 to 10).map(i => (f"z$i%03d", span(noise(cleanTexts(i - 1)._2))))
+    val clean = cleanTexts.map { case (i, t) => (f"d$i%03d", span(t)) } ++
+      (1 to 10).map(i => (f"z$i%03d", span(cleanTexts(i - 1)._2)))
+    noisy.toDF("doc_id", "spans").write.parquet(s"$base/in")
+    clean.toDF("doc_id", "spans").write.parquet(s"$base/truth")
+
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "clean" -> s"$base/truth",
+      "corrector" -> "null", "buckets" -> "2", "group-size" -> "2",
+      "sample" -> "0.6", "dedup" -> "exact", "stage-telemetry" -> "true"))
+    assert(out.contains(""""stage_cer":["""), out)
+
+    val tel = spark.read.parquet(s"$base/out/_telemetry/stage_null_cer")
+      .orderBy("stage_no").collect()
+    assert(tel.map(_.getString(1)).toSeq == Seq("input", "sample", "dedup"))
+
+    // expected populations, computed directly from the fixture
+    val noisyMap = noisy.toMap
+    val cleanMap = clean.toMap
+    val sampled = graft.pipeline.Sampling.deterministicSample(
+        noisy.toDF("doc_id", "spans"), "doc_id", 0.6)
+      .select("doc_id").as[String].collect().toSet
+    assert(sampled.size < 50 && sampled.nonEmpty)
+    val deduped = sampled.groupBy(id => noisyMap(id).head.text).map(_._2.min).toSet
+    def expect(ids: Iterable[String]): (Long, Double) = {
+      val ds = ids.toSeq.map(id => graft.text.DamerauLevenshtein.normalized(
+        noisyMap(id).head.text, cleanMap(id).head.text))
+      (ids.size.toLong, ds.sum / ds.size)
+    }
+    val expected = Seq(expect(noisy.map(_._1)), expect(sampled), expect(deduped))
+    tel.zip(expected).foreach { case (row, (n, cer)) =>
+      assert(row.getLong(2) == n, s"stage ${row.getString(1)}: docs ${row.getLong(2)} != $n")
+      assert(row.getLong(3) == n, s"stage ${row.getString(1)}: one span per doc")
+      assert(math.abs(row.getDouble(4) - cer) < 1e-9,
+        s"stage ${row.getString(1)}: null_cer ${row.getDouble(4)} != $cer")
+      assert(row.getDouble(5) == 0.0, "every noisy span differs from clean")
+    }
+    // the artifact's JSON array carries the same stages in order
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+    val names = (0 until node.get("stage_cer").size())
+      .map(i => node.get("stage_cer").get(i).get("stage").asText())
+    assert(names == Seq("input", "sample", "dedup"))
+  }
+
   test("--dedup exact collapses duplicate docs before correction") {
     val base = Files.createTempDirectory("runpipeline4").toString
     val docs = DocGen.docs(spark, 30).toDF()

@@ -331,6 +331,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "gate membership must be frame-kind-independent")
   }
 
+  test("accumulating Bloom sink: three re-crawl micro-batches, sketch grows, replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("bloom-acc").toString
+    val (sketchDir, outDir) = (s"$base/sketch", s"$base/out")
+    val (mBits, k) = (8192, 5)
+    val sink = StreamingOps.bloomAccumulateSink(sketchDir, outDir, mBits, k)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink).outputMode(OutputMode.Append()).start()
+    def ship(rows: Seq[(Long, String)]): Unit = { stream.addData(rows); q.processAllAvailable() }
+    try {
+      // batch 0: A, B fresh            batch 1: A re-crawled, C fresh
+      // batch 2: B and C re-crawled (different ids, same text), D fresh
+      ship(Seq((0L, "document alpha"), (1L, "document bravo")))
+      ship(Seq((10L, "document alpha"), (11L, "document charlie")))
+      ship(Seq((20L, "document bravo"), (21L, "document charlie"), (22L, "document delta")))
+    } finally q.stop()
+
+    val survived = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(survived == Set(0L, 1L, 11L, 22L), s"got $survived")
+
+    // the accumulated sketch == the batch pipeline's sequential
+    // build-merge over the same survivors (byte-for-byte)
+    val (words, m2, k2) = graft.dedup.Bloom.load(spark, sketchDir)
+    assert((m2, k2) == (mBits, k))
+    val direct = graft.dedup.Bloom.build(
+      Seq("document alpha", "document bravo", "document charlie", "document delta")
+        .toDF("t").select(graft.dedup.Dedup.fingerprint($"t").as("fp")),
+      "fp", mBits, k)
+    assert(words.toSeq == direct.toSeq)
+
+    // replaying an already-applied batch id is a no-op for rows AND sketch
+    sink(Seq((99L, "document alpha")).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(outDir).count() == 4)
+    // a NEW batch id still dedups against everything accumulated so far
+    sink(Seq((30L, "document delta"), (31L, "document echo")).toDF("doc_id", "text"), 3L)
+    val after = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(after == Set(0L, 1L, 11L, 22L, 31L), s"got $after")
+  }
+
   test("streaming unit dedup: repeated spans flagged, short spans immune, state evicted") {
     implicit val sqlCtx = spark.sqlContext
     import graft.model.Span

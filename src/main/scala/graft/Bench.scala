@@ -36,7 +36,7 @@ object Bench {
     "q_pq_topk", "q_bpe_pairs", "q_ivf_pq", "q_bloom_dedup", "q_cms_hh",
     "q_span_corrupt", "q_weighted_sample", "q_len_batches", "q_corpus_diff",
     "q_freq_spectrum", "q_lang_profile", "q_containment", "q_shards",
-    "q_good_turing")
+    "q_good_turing", "q_containment_lsh")
 
   /** The join/window-heavy tail runs in a FRESH session: in BENCH_r04 these
     * queries drifted 3–6× inside the long shared session (AQE flipping join

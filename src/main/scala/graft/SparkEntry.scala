@@ -232,6 +232,19 @@ object SparkEntry {
           Portable.round4(col("containment_b")).as("containment_b"))
     }),
 
+    // LSH Ensemble (Zhu VLDB'16) containment pairs: size-bucketed corpus,
+    // per-bucket-pair banding tuned to the containment-implied Jaccard
+    // bound, exact containment verification — the index that catches
+    // inclusions plain Jaccard-LSH candidacy loses (doc_id%10 subset keeps
+    // the dense synthetic corpus's candidate volume bounded)
+    "q_containment_lsh" -> ((s, dir) =>
+      Dedup.containmentPairsEnsemble(
+          tbl(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          threshold = 0.2, shingleK = 2, nHashes = 64)
+        .select(col("id_a"), col("id_b"), Portable.round4(col("jaccard")).as("jaccard"),
+          Portable.round4(col("containment_a")).as("containment_a"),
+          Portable.round4(col("containment_b")).as("containment_b"))),
+
     "q_simhash_bands" -> ((s, dir) =>
       Dedup.simHashBands(tbl(s, dir, "documents"), nBands = 4)
         .select(col("doc_id"), col("band").cast("long").as("band"), col("band_key"))),
@@ -867,6 +880,10 @@ object SparkEntry {
       raw"""tk AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS tok,
                 generate_subscripts(string_split($normText, ' '), 1) AS i
          FROM documents)"""
+    // XOR-minhash position masks for the LSH-Ensemble oracle (fixed 60-bit
+    // constants — see Dedup.ensembleMask)
+    val ensembleMaskRows =
+      (0 until 64).map(k => s"($k, ${Dedup.ensembleMask(k)})").mkString(", ")
     // affine MinHash family over a 31-bit md5 base hash (see Dedup.minHashSignatures)
     def minhashH(expr: String, k: Int) =
       raw"CAST(min(((('0x' || substr(md5($expr), 1, 8))::UBIGINT >> 1) * ${Dedup.minHashA(k)} + ${Dedup.minHashB(k)}) % ${Dedup.MinHashP}) AS BIGINT)"
@@ -1273,6 +1290,63 @@ object SparkEntry {
                   floor((ni * 1.0 / sa.n) * 10000 + 0.5) / 10000 AS containment_a,
                   floor((ni * 1.0 / sb.n) * 10000 + 0.5) / 10000 AS containment_b
            FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b""",
+
+      // LSH Ensemble restated: the q_containment shingle CTEs on the
+      // doc_id%10 subset, per-position md5 minhash signatures, log2 size
+      // buckets (+1e-9 epsilon, same as the engine), the same
+      // largest-r-with-recall>=0.9 scheme rule via a range join, band keys
+      // as md5 over comma-joined in-band minima, small-side x large-side
+      // key join, exact containment verify at threshold 0.5
+      "q_containment_lsh" ->
+        raw"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+           tk AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS tok,
+                  generate_subscripts(string_split($normText, ' '), 1) AS i FROM docs),
+           sh AS (SELECT DISTINCT doc_id, sh FROM (
+                  SELECT a.doc_id, a.tok || ' ' || b.tok AS sh
+                  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                  UNION ALL
+                  SELECT doc_id, $normText AS sh FROM docs
+                  WHERE len(string_split($normText, ' ')) < 2)),
+           sz AS (SELECT doc_id, count(*) AS n,
+                         CAST(floor(log2(count(*)) + 1e-9) AS BIGINT) AS p
+                  FROM sh GROUP BY doc_id),
+           bse AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(sh), 1, 15))::UBIGINT AS BIGINT) AS b
+                   FROM sh),
+           sig AS (SELECT doc_id, k,
+                          CAST(min(xor(b, m)) AS BIGINT) AS h
+                   FROM bse CROSS JOIN (VALUES ${ensembleMaskRows}) ks(k, m)
+                   GROUP BY doc_id, k),
+           parts AS (SELECT DISTINCT p FROM sz),
+           schemes AS (SELECT s, l, max(r) AS r FROM (
+                  SELECT sp.p AS s, lp.p AS l, rr.r AS r,
+                         0.2 * pow(2, sp.p) / (pow(2, sp.p) + pow(2, lp.p + 1)) AS j
+                  FROM parts sp JOIN parts lp ON lp.p >= sp.p
+                  CROSS JOIN (SELECT unnest(range(1, 65)) AS r) rr) t
+                  WHERE 1 - pow(1 - pow(j, r), 64 // r) >= 0.9
+                  GROUP BY s, l),
+           keys AS (SELECT z.doc_id, z.p, c.s, c.l,
+                           md5('ce:' || CAST(c.s AS VARCHAR) || ':' || CAST(c.l AS VARCHAR) ||
+                               ':' || CAST(g.k // c.r AS VARCHAR) || ':' ||
+                               string_agg(CAST(g.h AS VARCHAR), ',' ORDER BY g.k)) AS bk
+                    FROM sz z JOIN schemes c ON z.p = c.s OR z.p = c.l
+                    JOIN sig g ON g.doc_id = z.doc_id AND g.k < (64 // c.r) * c.r
+                    GROUP BY z.doc_id, z.p, c.s, c.l, c.r, g.k // c.r),
+           cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                           greatest(a.doc_id, b.doc_id) AS id_b
+                    FROM keys a JOIN keys b
+                      ON a.s = b.s AND a.l = b.l AND a.bk = b.bk
+                     AND a.p = a.s AND b.p = b.l AND a.doc_id <> b.doc_id),
+           inter AS (SELECT c.id_a, c.id_b, count(*) AS ni FROM cand c
+                     JOIN sh x ON x.doc_id = c.id_a
+                     JOIN sh y ON y.doc_id = c.id_b AND y.sh = x.sh
+                     GROUP BY c.id_a, c.id_b)
+           SELECT i.id_a, i.id_b,
+                  floor((ni * 1.0 / (sa.n + sb.n - ni)) * 10000 + 0.5) / 10000 AS jaccard,
+                  floor((ni * 1.0 / sa.n) * 10000 + 0.5) / 10000 AS containment_a,
+                  floor((ni * 1.0 / sb.n) * 10000 + 0.5) / 10000 AS containment_b
+           FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+           WHERE greatest(ni * 1.0 / sa.n, ni * 1.0 / sb.n) >= 0.2""",
 
       "q_chunked_identity" ->
         "SELECT doc_id, text FROM documents",

@@ -122,6 +122,20 @@ object Dedup {
   def minHashA(k: Int): Long = 1L + 2L * ((graft.gen.DetRng.hash64(s"mha$k") >>> 34) & 0x3FFFFFFFL)
   def minHashB(k: Int): Long = (graft.gen.DetRng.hash64(s"mhb$k") >>> 33)
 
+  /** 60-bit XOR mask for ensemble-minhash position `k` — fixed constants,
+    * embedded as literals by engine and oracle alike. FNV-1a alone is NOT
+    * enough here: on the short "cem<k>" seeds its top ~36 bits barely move
+    * (measured 11 distinct top-20-bit values over 64 masks), and XOR masks
+    * agreeing on their high bits all pick the SAME argmin — zero position
+    * diversity. The SplitMix64 finalizer avalanches the full word first. */
+  def ensembleMask(k: Int): Long = {
+    var z = graft.gen.DetRng.hash64(s"cem$k")
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    z >>> 4
+  }
+
   /**
    * MinHash signatures, one row per doc with columns `h0..h{n-1}`: the
    * native codegen'd [[org.apache.spark.sql.graft.MinHashSig]] kernel runs
@@ -135,6 +149,17 @@ object Dedup {
    * `minhash_sig` subexpression — whole-stage-codegen subexpression
    * elimination evaluates the kernel once per row (plan-asserted in
    * DedupSpec).
+   *
+   * KNOWN BIAS at small Jaccard: the affine map sends the 31-bit base
+   * through at most one wrap of the 61-bit modulus — a two-segment MONOTONE
+   * map, so the per-position argmin concentrates on the same extreme-base
+   * shingles for every k instead of permuting independently. At the
+   * near-dup family's operating point (J ≳ 0.5, sets sharing their
+   * extremes) the collision estimate holds (recall specs pass); for
+   * subset-vs-superset pairs at small J it collapses (measured 0/128
+   * position matches at true J = 0.116). Operators that NEED
+   * P(position match) = J at small J — [[containmentPairsEnsemble]] — use
+   * per-position independent md5 draws instead.
    */
   def minHashSignatures(docs: DataFrame, shingleK: Int, nHashes: Int,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -277,6 +302,119 @@ object Dedup {
         lshCandidatePairs(docs, shingleK, nBands, rowsPerBand, idCol, textCol),
         shingleK, idCol, textCol)
       .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+
+  /**
+   * LSH ENSEMBLE containment pairs (Zhu, Deng, Nandi, Miller — "LSH
+   * Ensemble: Internet-Scale Domain Search", VLDB 2016): the
+   * containment-aware candidate index that closes [[containmentPairs]]'s
+   * documented gap. Plain MinHash-LSH recalls by JACCARD, and an inclusion
+   * with size ratio R has Jaccard ≈ containment/R — beyond the band
+   * scheme's reach long before containment drops. The ensemble move:
+   *
+   *  1. PARTITION the corpus by distinct-shingle-set size into radix-2
+   *     buckets `p = ⌊log₂ n⌋` (size ratio ≤ 2 within a bucket — the
+   *     bounded-ratio property Zhu's equi-depth partitions exist for).
+   *  2. For every ordered bucket pair (s ≤ l), a containment-`t` inclusion
+   *     of an s-doc in an l-doc has Jaccard ≥ J_{sl} = t·2ˢ/(2ˢ+2ˡ⁺¹), so
+   *     tune THAT pair's banding: the largest rows-per-band r whose
+   *     `1−(1−J_{sl}^r)^{⌊H/r⌋} ≥ minRecall` (fewer rows, more bands as
+   *     the ratio grows — r = 1 at the extreme, the ensemble's
+   *     small-Jaccard regime).
+   *  3. Docs emit band keys under every scheme their bucket participates
+   *     in; candidates join per (scheme, band, key); exact
+   *     [[containmentVerify]] keeps pairs whose larger containment
+   *     reaches `threshold` — so every reported pair is exact, the index
+   *     only bounds recall.
+   *
+   * COVERAGE is explicit instead of silently missing: a bucket pair where
+   * even r = 1 cannot reach `minRecall` is skipped. With
+   * J_min = 1−(1−minRecall)^(1/H) that supports size ratios up to
+   * ~ threshold/J_min − 1 (H = 128, recall 0.9, t = 0.9 → ratios to ~49,
+   * i.e. l−s ≤ ~4) — raise `nHashes` to widen the window linearly; plain
+   * [[containmentPairs]] at default banding loses inclusions past ratio
+   * ~3 (spec-asserted side by side in DedupSpec).
+   *
+   * Scale shape: signatures and set sizes are NARROW (the codegen'd
+   * minhash kernel + a scan-side distinct-shingle count, no shuffle);
+   * the scheme table is metadata (≤ (log₂ maxSize)² rows, broadcast);
+   * key volume per doc is bounded by its bucket's schemes × bands; the
+   * candidate join shuffles 16-byte keys, never text; verification pays
+   * only candidate pairs.
+   */
+  def containmentPairsEnsemble(docs: DataFrame, threshold: Double, shingleK: Int = 3,
+                               nHashes: Int = 128, minRecall: Double = 0.9,
+                               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    require(nHashes >= 1, s"nHashes must be >= 1, got $nHashes")
+    require(minRecall > 0.0 && minRecall < 1.0, s"minRecall in (0,1), got $minRecall")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // scan-side size statistic; docs with no shingles carry no containment
+    // evidence (the dedup family's passthrough policy)
+    val sizes = docs.select(col(idCol),
+        size(array_distinct(tokenShingles(tokens(col(textCol)), shingleK))).as("__n"))
+      .filter(col("__n") > 0)
+      // +1e-9: log(2, 2^k) can land a hair under k in floating point and
+      // floor a power-of-two doc into the wrong bucket (oracle SQL applies
+      // the same epsilon)
+      .withColumn("__p", floor(log(2.0, col("__n")) + 1e-9).cast("long"))
+    // XOR minhash — `h_k = min over shingles of (base ⊕ m_k)`, ONE 60-bit
+    // md5 base per shingle and a fixed 60-bit constant per position —
+    // instead of [[minHashSignatures]]'s affine family: the affine map
+    // sends the 31-bit base through at most one wrap of the 61-bit modulus
+    // — a two-segment MONOTONE map whose argmin concentrates on the same
+    // extreme-base shingles for every k, so a subset that misses the
+    // superset's extreme shingle misses on nearly every position at once
+    // (measured: 0 of 128 positions matching at true J = 0.116). Harmless
+    // at the near-dup family's J ≈ 0.9; fatal in the ensemble's small-J
+    // regime, whose recall bound NEEDS P(position match) ≈ J. XOR-ing a
+    // random constant walks a random path of the (md5-uniform) base trie —
+    // the per-position argmin is unbiased and positions are independent
+    // (spec-asserted: the inclusion IS caught). Overflow-free Long-exact
+    // integer ops, one md5 per shingle (Spark's md5 is ~5 µs/call; a
+    // per-position-md5 family measured 9.9 of 18.5 s at sf0.1), portable
+    // to the DuckDB oracle verbatim.
+    val sh = docs.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(array_distinct(tokenShingles(col("__toks"), shingleK))).as("__sh"))
+    val base = sh.select(col(idCol),
+      conv(substring(md5(col("__sh")), 1, 15), 16, 10).cast("long").as("__b"))
+    val mins = (0 until nHashes).map(k =>
+      min(col("__b").bitwiseXOR(lit(ensembleMask(k)))).as(s"__h$k"))
+    val sig = base.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until nHashes).map(k => col(s"__h$k")): _*).as("__sig"))
+    // one row per doc (nHashes longs + size): materialize once — the
+    // partition collect and BOTH key sides read it, and the signature
+    // subtree (shingle explode + md5) is the expensive part of the plan
+    val withP = sig.join(sizes, Seq(idCol)).localCheckpoint()
+
+    val parts = withP.select(col("__p")).distinct().collect().map(_.getLong(0)).sorted
+    def recall(j: Double, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(j, r), nHashes / r)
+    val schemes = for {
+      s <- parts; l <- parts if l >= s
+      jsl = threshold * math.pow(2.0, s.toDouble) /
+        (math.pow(2.0, s.toDouble) + math.pow(2.0, (l + 1).toDouble))
+      r <- (nHashes to 1 by -1).find(r => recall(jsl, r) >= minRecall)
+    } yield (s, l, r, nHashes / r)
+    val schemeDf = broadcast(schemes.toSeq.toDF("__s", "__l", "__r", "__b"))
+
+    def keysFor(sideCol: String, idAs: String) =
+      withP.join(schemeDf, col("__p") === col(sideCol))
+        .select(col(idCol).as(idAs), col("__s"), col("__l"),
+          explode(transform(sequence(lit(0), col("__b") - 1), bi =>
+            md5(concat(lit("ce:"), col("__s").cast("string"), lit(":"),
+              col("__l").cast("string"), lit(":"), bi.cast("string"), lit(":"),
+              array_join(transform(slice(col("__sig"), bi * col("__r") + 1, col("__r")),
+                h => h.cast("string")), ","))))).as("__bk"))
+    val cands = keysFor("__s", "__ia")
+      .join(keysFor("__l", "__ib"), Seq("__s", "__l", "__bk"))
+      .filter(col("__ia") =!= col("__ib"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"))
+      .distinct()
+    containmentVerify(docs, cands, shingleK, idCol, textCol)
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+  }
 
   /** Star reduction of a candidate-pair set: one row `(id_a, id_b)` per
     * non-minimal member, where `id_a` is the member's SMALLEST candidate

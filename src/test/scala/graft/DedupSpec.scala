@@ -209,6 +209,51 @@ class DedupSpec extends SparkSpec {
     assert(found.contains((0L, 1L)), s"got $found")
   }
 
+  test("LSH Ensemble: extreme-ratio inclusion missed by plain LSH, caught by the ensemble") {
+    // B is ~260 unique words; A is a 32-word slice quoted wholesale:
+    // containment_a = 1 but jaccard ≈ 30/258 ≈ 0.12 — far under plain
+    // banding's reach, inside the ensemble's r=1 window
+    val longWords = (0 until 260).map(i => s"w$i")
+    val big = (1000L, longWords.mkString(" "))
+    val small = (1L, longWords.slice(100, 132).mkString(" "))
+    val other = (2L, (0 until 40).map(i => s"z$i").mkString(" "))
+    val cdocs = Seq(small, other, big).toDF("doc_id", "text")
+
+    // plain LSH (default 4 bands × 2 rows): candidacy factually misses
+    val plain = Dedup.containmentPairs(cdocs, threshold = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!plain.contains((1L, 1000L)),
+      s"fixture must demonstrate the gap — tweak words if plain LSH got lucky: $plain")
+
+    // the ensemble partitions by size (p=4 vs p=8) and tunes that bucket
+    // pair's banding down to r=1: the inclusion is caught, exactly verified
+    val ens = Dedup.containmentPairsEnsemble(cdocs, threshold = 0.9)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(ens.contains((1L, 1000L)), s"ensemble must catch the inclusion: ${ens.keySet}")
+    val (_, _, j, ca, cb) = ens((1L, 1000L))
+    assert(ca == 1.0, s"containment_a = $ca")
+    assert(j < 0.15, s"jaccard stays low: $j")
+    assert(cb < 0.15, s"containment_b stays low: $cb")
+    // no false pairs: verification is exact on candidates
+    assert(ens.keySet == Set((1L, 1000L)), ens.keySet.toString)
+
+    // moderate ratios agree with the plain operator (both exact on
+    // candidates; candidacy holds for both at ratio ~3)
+    val quoted = "the original short article body with its own exact words here"
+    val mdocs = Seq(
+      (0L, quoted),
+      (1L, s"$quoted plus a long commentary section that the aggregator site appended " +
+        "with extra paragraphs of unrelated discussion and citations and navigation text"))
+      .toDF("doc_id", "text")
+    val m1 = Dedup.containmentPairs(mdocs, threshold = 0.9, shingleK = 3,
+        nBands = 8, rowsPerBand = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val m2 = Dedup.containmentPairsEnsemble(mdocs, threshold = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(m1 == Set((0L, 1L)) && m2 == Set((0L, 1L)), s"$m1 / $m2")
+  }
+
   test("simhash banded near-dup pairs == brute-force pairs within the Hamming radius") {
     // near-dup family: long base text with single-token perturbations (small
     // signature flips) plus unrelated docs (far signatures)

@@ -113,9 +113,18 @@ object SubstringDup {
     // the chosen trade until the input text no longer fits the scan cache
     val kg = kgramHashTable(docs, k, idCol, textCol)
     val capped = dropHotHashes(kg, maxDocFreq, idCol)
+    // shuffle_hash: BOTH self-join sides are the corpus-sized exploded
+    // k-gram table, but Catalyst's size estimate of a Generate subtree
+    // derives from the compressed parquet scan underneath it — a few MB —
+    // so AQE happily BROADCASTS one side (measured in the decade probe:
+    // the sibling selfRuns join broadcast 13.5M rows at sf1, 28× the
+    // sf0.1 wall time instead of ~10×, and a guaranteed driver OOM at real
+    // scale). The hint pins the only shape that survives: co-partition on
+    // the join key and hash-join per partition.
     val a = capped.select(col("h"), col(idCol).as("doc_a"), col("pos").as("pa"))
     val matches = a.join(
-        capped.select(col("h"), col(idCol).as("doc_b"), col("pos").as("pb")), "h")
+        capped.select(col("h"), col(idCol).as("doc_b"), col("pos").as("pb"))
+          .hint("shuffle_hash"), "h")
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
         (col("pa") - col("pb")).as("diag"))
@@ -209,7 +218,10 @@ object SubstringDup {
     val capped = dropHotHashes(kg, maxDocFreq, idCol)
     val a = capped.select(col(idCol).as("doc_a"), col("pos").as("pa"), col("h"))
     val b = capped.select(col(idCol).as("doc_b"), col("pos").as("pb"), col("h"))
-    val matches = cand.join(a, "doc_a").join(b, Seq("doc_b", "h"))
+    // the k-gram sides must never be the broadcast build (corpus-sized
+    // under a scan-derived size estimate — see sharedRuns)
+    val matches = cand.join(a.hint("shuffle_hash"), "doc_a")
+      .join(b.hint("shuffle_hash"), Seq("doc_b", "h"))
       .select(col("doc_a"), col("doc_b"), col("pa"), (col("pa") - col("pb")).as("diag"))
     runsFromMatches(matches, minLen, k)
       .groupBy(col("doc_a"), col("doc_b"))
@@ -366,11 +378,19 @@ object SubstringDup {
           .agg(count(lit(1)).as("__occ"))
           .filter(col("__occ") > maxOcc)
           .select(col(idCol), col("h"))
-        kg.join(hot, Seq(idCol, "h"), "left_anti")
+        // shuffle_hash (not AQE's choice): the hot set is bounded by
+        // positions/maxOcc — corpus-scale at 100 TB, not saturating — and
+        // the anti join co-partitions on (id, h), the exact partitioning
+        // the self-join below needs, so the exchange is reused
+        kg.join(hot.hint("shuffle_hash"), Seq(idCol, "h"), "left_anti")
       }
     val a = capped.select(col(idCol), col("pos").as("pa"), col("h"))
     val b = capped.select(col(idCol), col("pos").as("pb"), col("h"))
-    val matches = a.join(b, Seq(idCol, "h"))
+    // shuffle_hash: see sharedRuns — Catalyst sizes the exploded k-gram
+    // subtree at its parquet-scan bytes and BROADCASTS a corpus-sized side
+    // otherwise (measured: 13.5M rows broadcast at sf1, 28× instead of
+    // ~10× the sf0.1 time; an OOM at real scale)
+    val matches = a.join(b.hint("shuffle_hash"), Seq(idCol, "h"))
       .filter(col("pa") < col("pb"))
       .select(col(idCol).as("doc_a"), col(idCol).as("doc_b"),
         col("pa"), col("pb"), (col("pa") - col("pb")).as("diag"))

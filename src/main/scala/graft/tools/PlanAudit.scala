@@ -7,6 +7,12 @@ import org.apache.spark.sql.SparkSession
   * scale-up (CartesianProduct anywhere; BroadcastNestedLoop outside a
   * deliberate tiny-side pattern). One line per query, smells last.
   *
+  * Round-6 sweep result (sf0.01, all 89 queries incl. q_containment_lsh):
+  * ZERO CartesianProducts; the SAME twelve adjudicated BNLJ hits as round
+  * 5, no new ones; the substring family now shows ShuffledHashJoin where
+  * the decade probe caught AQE broadcasting a corpus-sized exploded side
+  * (see SubstringDup.scala).
+  *
   * Round-5 sweep result (sf0.01, all 87 queries): ZERO CartesianProducts;
   * twelve BroadcastNestedLoopJoin hits, all adjudicated deliberate —
   * q_tfidf / q_bm25 / q_bm25_doc / q_lm_score / q_dsir / q_source_mix /

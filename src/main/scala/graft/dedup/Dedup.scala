@@ -214,7 +214,11 @@ object Dedup {
     val bands = lshBands(docs, shingleK, nBands, rowsPerBand, idCol, textCol)
     val a = bands.select(col("band"), col("band_key"), col(idCol).as("id_a"))
     val b = bands.select(col("band"), col("band_key"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "band_key"))
+    // shuffle_hash: both sides are the corpus-sized band table, but
+    // Catalyst sizes the Generate-over-scan subtree at its parquet bytes
+    // and BROADCASTS one side (plan-audited at sf1) — co-partitioning on
+    // the band key is the only shape that survives 100 TB
+    a.join(b.hint("shuffle_hash"), Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
@@ -257,9 +261,14 @@ object Dedup {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("jb"), col("sh").as("sh_b"))
+    // shuffle_hash on the shingle sides: their size estimates descend from
+    // the parquet scan under the shingle explode, so Spark would broadcast
+    // a candidate-restricted-but-corpus-scale side (the same Generate
+    // mis-estimate plan-audited at sf1 across the dedup family); the
+    // shuffled shape carries exactly the documented 8-byte hashes
     pairs
-      .join(shA, Seq("id_a"))
-      .join(shB, col("id_b") === col("jb") && col("sh_a") === col("sh_b"))
+      .join(shA.hint("shuffle_hash"), Seq("id_a"))
+      .join(shB.hint("shuffle_hash"), col("id_b") === col("jb") && col("sh_a") === col("sh_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
@@ -647,7 +656,10 @@ object Dedup {
       col(idCol).as("id_a"), col("simhash").as("sig_a"))
     val b = bands.select(col("band"), col("band_key"),
       col(idCol).as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
+    // shuffle_hash: corpus-sized band table on both sides — see
+    // lshCandidatePairs (Catalyst sizes the kernel-scan subtree at its
+    // parquet bytes and would broadcast one side)
+    a.join(b.hint("shuffle_hash"), Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))

@@ -175,7 +175,11 @@ object Winnowing {
       }
     val a = d.select(col(idCol).as("id_a"), col("h"))
     val b = d.select(col(idCol).as("id_b"), col("h"))
-    a.join(b, Seq("h"))
+    // shuffle_hash: the distinct fingerprint table is corpus-sized on both
+    // sides, but its size estimate descends from the parquet scan under
+    // the fingerprint explode, so Spark broadcast one side (plan-audited
+    // at sf1) — an OOM at real scale; co-partition on h instead
+    a.join(b.hint("shuffle_hash"), Seq("h"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))

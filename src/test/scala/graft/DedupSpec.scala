@@ -254,6 +254,34 @@ class DedupSpec extends SparkSpec {
     assert(m1 == Set((0L, 1L)) && m2 == Set((0L, 1L)), s"$m1 / $m2")
   }
 
+  test("corpus-sized self-join sides are never broadcast (the Generate mis-estimate guard)") {
+    // Catalyst sizes explode-over-scan subtrees at their input-scan bytes,
+    // so without the shuffle_hash hints AQE broadcasts a corpus-sized band/
+    // fingerprint/shingle side — fine on a fixture, an OOM at real scale
+    // (measured at sf1: 13.5M rows broadcast, 28x wall time). These pins
+    // fail if the hints are ever dropped.
+    def selfJoinIsShuffled(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+        s"$tag: the corpus-sized self-join must shuffle, got:\n${plan.take(2000)}")
+    }
+    selfJoinIsShuffled(Dedup.lshCandidatePairs(docs), "lshCandidatePairs")
+    selfJoinIsShuffled(Dedup.simHashNearDupPairs(docs), "simHashNearDupPairs")
+    selfJoinIsShuffled(Dedup.overlapVerify(docs,
+      Seq((0L, 1L)).toDF("id_a", "id_b")), "overlapVerify")
+    selfJoinIsShuffled(graft.textanalysis.SubstringDup.sharedSubstringPairs(
+      Seq((0L, "a shared substring of many characters right here"),
+          (1L, "also a shared substring of many characters right here"))
+        .toDF("doc_id", "text"), minLen = 16), "sharedSubstringPairs")
+    selfJoinIsShuffled(graft.textanalysis.SubstringDup.selfRepeats(
+      Seq((0L, "repeat me twice repeat me twice")).toDF("doc_id", "text"),
+      minLen = 12), "selfRepeats")
+    val fp = graft.textanalysis.Winnowing.fingerprintTable(spark,
+      docs, k = 4, w = 4)
+    selfJoinIsShuffled(graft.textanalysis.Winnowing.matchPairs(fp, minShared = 1L),
+      "winnow matchPairs")
+  }
+
   test("simhash banded near-dup pairs == brute-force pairs within the Hamming radius") {
     // near-dup family: long base text with single-token perturbations (small
     // signature flips) plus unrelated docs (far signatures)

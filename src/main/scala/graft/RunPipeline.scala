@@ -93,6 +93,12 @@ import graft.pipeline.CheckpointedRun
  *                                  # keys on the REDACTED text when the scrub is on;
  *                                  # span cuts on doc-dedup survivors only; the mix
  *                                  # allocates over the CLEANED per-source counts)
+ *   [--bpe-train n[:maxWords]]     # train a BPE merge table over the corrected corpus
+ *                                  #   (one distributed word-count agg + the driver-local
+ *                                  #   delta merge loop over the top-maxWords words,
+ *                                  #   default 2^20) -> output/_export/bpe_model in the
+ *                                  #   Bpe.saveMerges layout; point --bpe-encode at that
+ *                                  #   dir to train AND tokenize in one run
  *   [--stage-telemetry true]       # per-stage quality telemetry: null-CER + doc/span
  *                                  #   counts of each ACTIVE doc-drop stage's surviving
  *                                  #   population (which gate moved quality) — written
@@ -694,11 +700,13 @@ object RunPipeline {
   private def exportArtifacts(spark: SparkSession, outDir: String, spansCol: String,
                               shards: Option[(Int, String)], pack: Option[Int],
                               corrupt: Option[(Double, Int)], bpeDir: Option[String],
+                              bpeTrain: Option[(Int, Int)],
                               stageToken: String): String = {
     import graft.pipeline.{Packing, Sampling, SpanCorruption}
     val exportDir = s"$outDir/_export"
     val specStr = s"shards=${shards.getOrElse("")}|pack=${pack.getOrElse("")}" +
-      s"|corrupt=${corrupt.getOrElse("")}|bpe=${bpeDir.getOrElse("")}|src=$stageToken"
+      s"|corrupt=${corrupt.getOrElse("")}|bpe=${bpeDir.getOrElse("")}" +
+      s"|bpetrain=${bpeTrain.getOrElse("")}|src=$stageToken"
     val hconf = spark.sparkContext.hadoopConfiguration
     val marker = new org.apache.hadoop.fs.Path(s"$exportDir/_spec")
     val fs = marker.getFileSystem(hconf)
@@ -732,6 +740,13 @@ object RunPipeline {
     corrupt.foreach { case (p, maxLen) =>
       SpanCorruption.corrupt(tagged, p, maxLen, textCol = "__txt")
         .write.mode("overwrite").parquet(s"$exportDir/corrupt")
+    }
+    // train BEFORE encode: `--bpe-encode <output>/_export/bpe_model`
+    // tokenizes with the merges trained in the SAME run
+    bpeTrain.foreach { case (numMerges, maxWords) =>
+      val merges = graft.textanalysis.Bpe.trainMergesLocal(
+        tagged.where(col("__n") > 0), numMerges, textCol = "__txt", maxWords = maxWords)
+      graft.textanalysis.Bpe.saveMerges(spark, merges, s"$exportDir/bpe_model")
     }
     bpeDir.foreach { dir =>
       val merges = graft.textanalysis.Bpe.loadMerges(spark, dir)
@@ -818,6 +833,17 @@ object RunPipeline {
     val packSpec = a.get("pack").map(_.toInt)
     val corruptSpec = a.get("span-corrupt").map(parseCorruptSpec)
     val bpeEncode = a.get("bpe-encode")
+    // n[:maxWords] — train a BPE merge table over the corrected corpus
+    // (driver-local delta loop over the top-maxWords word counts)
+    val bpeTrain = a.get("bpe-train").map { spec =>
+      spec.split(":", 2) match {
+        case Array(n, w) => (n.toInt, w.toInt)
+        case Array(n) => (n.toInt, 1 << 20)
+      }
+    }
+    bpeTrain.foreach { case (n, w) =>
+      require(n >= 1 && w >= 1, s"--bpe-train needs n>=1[:maxWords>=1], got $n:$w")
+    }
     // packing is per-shard by design (each shard's token stream feeds one
     // dataloader); a shard-less pack would be a corpus-global stream over a
     // string id — undefined order, so fail loudly
@@ -948,7 +974,8 @@ object RunPipeline {
       shardsSpec.map { case (n, seed) => s" shards=$n:$seed" }.getOrElse("") +
       packSpec.map(s => s" pack=$s").getOrElse("") +
       corruptSpec.map { case (p, m) => s" span-corrupt=$p:$m" }.getOrElse("") +
-      bpeEncode.map(d => s" bpe-encode=$d").getOrElse("")
+      bpeEncode.map(d => s" bpe-encode=$d").getOrElse("") +
+      bpeTrain.map { case (n, w) => s" bpe-train=$n:$w" }.getOrElse("")
     // stage token fingerprints the SOURCES: a resume of this output dir with
     // a different input/clean table (or spans columns, or dedup setting)
     // must rebuild its stages instead of silently reusing the previous
@@ -995,9 +1022,10 @@ object RunPipeline {
     // training-export tail: strictly after every bucket is committed (it
     // reads the corrected output table), inside the timed run
     val exportStatus: Option[String] =
-      if (shardsSpec.isEmpty && corruptSpec.isEmpty && bpeEncode.isEmpty) None
+      if (shardsSpec.isEmpty && corruptSpec.isEmpty && bpeEncode.isEmpty &&
+          bpeTrain.isEmpty) None
       else Some(exportArtifacts(spark, output, spansCol,
-        shardsSpec, packSpec, corruptSpec, bpeEncode, stageToken))
+        shardsSpec, packSpec, corruptSpec, bpeEncode, bpeTrain, stageToken))
     val total = CheckpointedRun.metrics(spark, state, runId)
     val sec = (System.nanoTime() - t0) / 1e9
 

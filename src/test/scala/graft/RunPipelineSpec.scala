@@ -742,6 +742,32 @@ class RunPipelineSpec extends SparkSpec {
     assert(RunPipeline.parseDecontamSpec("/data/eval:101") == ("/data/eval:101", 13))
   }
 
+  test("--bpe-train trains over the corrected corpus; --bpe-encode consumes it same-run") {
+    import graft.textanalysis.Bpe
+    val base = Files.createTempDirectory("runpipeline_bpetrain").toString
+    DocGen.docs(spark, 50).toDF()
+      .select(col("doc_id"), col("noisy_spans").as("spans")).write.parquet(s"$base/in")
+    val out = RunPipeline.run(spark, Map(
+      "input" -> s"$base/in", "output" -> s"$base/out", "corrector" -> "null",
+      "buckets" -> "2", "group-size" -> "2",
+      "bpe-train" -> "8", "bpe-encode" -> s"$base/out/_export/bpe_model"))
+    assert(out.contains(""""export":"written""""), out)
+    val corrected = spark.read.parquet(s"$base/out").drop("bucket")
+    val tagged = corrected.withColumn("__txt", concat_ws(" ",
+      transform(filter(col("spans"), sp => sp.getField("kind") === "text"),
+        sp => sp.getField("text"))))
+    // flag ≡ operator: the persisted table is exactly trainMergesLocal's
+    val want = Bpe.trainMergesLocal(tagged, 8, textCol = "__txt")
+    assert(want.length == 8)
+    assert(Bpe.loadMerges(spark, s"$base/out/_export/bpe_model") == want)
+    // the same-run encode used the freshly trained merges
+    val wantTok = Bpe.encodeDocs(tagged, want, textCol = "__txt")
+      .as[(String, Seq[String])].collect().toMap
+    val gotTok = spark.read.parquet(s"$base/out/_export/tokens")
+      .as[(String, Seq[String])].collect().toMap
+    assert(gotTok == wantTok)
+  }
+
   test("training export: --shards/--pack/--span-corrupt/--bpe-encode ≡ operators, resume no-op") {
     import graft.pipeline.{Packing, Sampling, SpanCorruption}
     import graft.textanalysis.Bpe

@@ -68,6 +68,38 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** Edge-count cap under which [[run]] solves the component labeling with
+    * one collect + driver-side union-find instead of the iterative
+    * relational rounds. 2²⁰ deduplicated edges is ≤ 16 MB of (long, long)
+    * rows — far under any sane `spark.driver.maxResultSize` — while each
+    * relational round costs ~6 exchanges plus 2 actions of fixed latency.
+    * The same bounded-collect discipline as `Bpe.trainMergesLocal` and the
+    * Bloom literal-vs-table pick: small inputs take the driver path, big
+    * inputs keep the exact distributed loop (both paths produce identical
+    * labels — spec-asserted across the cap in ConnectedComponentsSpec). */
+  val MaxLocalEdges: Long = 1L << 20
+
+  /** Driver-side union-find over a bounded edge list: min-id labels, same
+    * output contract as the relational fixpoint. */
+  private def localComponents(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN id so every root is its component's minimum
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(n => n -> find(n)).toMap
+  }
+
   /**
    * Component labels for every node of the pair graph.
    *
@@ -78,7 +110,7 @@ object ConnectedComponents {
    *         themselves). Deterministic — safe to oracle-check.
    */
   def run(pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
-          maxIter: Int = 50): DataFrame = {
+          maxIter: Int = 50, maxLocalEdges: Long = MaxLocalEdges): DataFrame = {
     // materialize the bare pair list ONCE — the upstream plan may be an
     // entire candidate-generation pipeline (LSH banding + verification), and
     // both the edge seed and the final node labeling need it
@@ -95,6 +127,24 @@ object ConnectedComponents {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+
+    // Driver fast path for bounded graphs: the deduplicated edge set after
+    // candidate generation + verification is output-sized (true duplicate
+    // relations), not corpus-sized; when it fits MaxLocalEdges, one collect
+    // + union-find replaces O(log² n) rounds of 2-shuffle jobs. The count
+    // is already materialized (localCheckpoint above), so the size probe is
+    // a cheap action over in-memory blocks.
+    val nEdges = edges.count()
+    if (nEdges <= maxLocalEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val labels = localComponents(collected)
+      val labelDf = labels.toSeq.toDF("id", "component")
+      // isolated nodes (self-pairs in the input) label themselves
+      return nodes.join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    }
 
     // (cardinality, order-independent xor of per-edge hashes) in ONE pass —
     // the per-round convergence probe. xor (unlike sum) cannot overflow

@@ -253,11 +253,16 @@ object Dedup {
     * never the k-word text). */
   def overlapVerify(docs: DataFrame, pairs: DataFrame, shingleK: Int = 3,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    org.apache.spark.sql.graft.ShingleHashExpr.register(docs.sparkSession)
     val ids = pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b").as("id"))).distinct()
+    // distinct-shingle hashes via the narrow `shingle_hashes` kernel (round
+    // 7): one codegen'd call per row replaces the tokenize → shingle HOF →
+    // array_distinct → explode → md5 → substring → conv chain per SHINGLE —
+    // bit-equal rows (string-level distinct, first 60 md5 bits;
+    // equivalence-fuzzed in DedupSpec)
     val sh = docs.join(ids, col(idCol) === col("id"), "left_semi")
-      .withColumn("__toks", tokens(col(textCol)))
-      .select(col(idCol).as("id"), explode(array_distinct(tokenShingles(col("__toks"), shingleK))).as("__s"))
-      .select(col("id"), conv(substring(md5(col("__s")), 1, 15), 16, 10).cast("long").as("sh"))
+      .select(col(idCol).as("id"),
+        explode(call_function("shingle_hashes", col(textCol), lit(shingleK))).as("sh"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("jb"), col("sh").as("sh_b"))
@@ -358,15 +363,6 @@ object Dedup {
     require(minRecall > 0.0 && minRecall < 1.0, s"minRecall in (0,1), got $minRecall")
     val spark = docs.sparkSession
     import spark.implicits._
-    // scan-side size statistic; docs with no shingles carry no containment
-    // evidence (the dedup family's passthrough policy)
-    val sizes = docs.select(col(idCol),
-        size(array_distinct(tokenShingles(tokens(col(textCol)), shingleK))).as("__n"))
-      .filter(col("__n") > 0)
-      // +1e-9: log(2, 2^k) can land a hair under k in floating point and
-      // floor a power-of-two doc into the wrong bucket (oracle SQL applies
-      // the same epsilon)
-      .withColumn("__p", floor(log(2.0, col("__n")) + 1e-9).cast("long"))
     // XOR minhash — `h_k = min over shingles of (base ⊕ m_k)`, ONE 60-bit
     // md5 base per shingle and a fixed 60-bit constant per position —
     // instead of [[minHashSignatures]]'s affine family: the affine map
@@ -380,21 +376,32 @@ object Dedup {
     // random constant walks a random path of the (md5-uniform) base trie —
     // the per-position argmin is unbiased and positions are independent
     // (spec-asserted: the inclusion IS caught). Overflow-free Long-exact
-    // integer ops, one md5 per shingle (Spark's md5 is ~5 µs/call; a
-    // per-position-md5 family measured 9.9 of 18.5 s at sf0.1), portable
-    // to the DuckDB oracle verbatim.
-    val sh = docs.withColumn("__toks", tokens(col(textCol)))
-      .select(col(idCol), explode(array_distinct(tokenShingles(col("__toks"), shingleK))).as("__sh"))
-    val base = sh.select(col(idCol),
-      conv(substring(md5(col("__sh")), 1, 15), 16, 10).cast("long").as("__b"))
-    val mins = (0 until nHashes).map(k =>
-      min(col("__b").bitwiseXOR(lit(ensembleMask(k)))).as(s"__h$k"))
-    val sig = base.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until nHashes).map(k => col(s"__h$k")): _*).as("__sig"))
+    // integer ops, one md5 per shingle, portable to the DuckDB oracle
+    // verbatim.
+    //
+    // Signature AND size come from ONE narrow codegen'd kernel call per row
+    // (`ensemble_minhash` — the minhash_sig discipline applied to the XOR
+    // family): the former shingle-explode + 64-min hash aggregation and the
+    // separate size scan + sig⋈sizes join are gone (round 7; bit-equal to
+    // the relational form, equivalence-fuzzed in DedupSpec). Docs with no
+    // shingles carry no containment evidence (null text → null signature —
+    // the dedup family's passthrough policy; `__n` is ≥ 1 otherwise, the
+    // filter is kept as the explicit policy statement).
+    org.apache.spark.sql.graft.ShingleHashExpr.register(spark)
+    val es = call_function("ensemble_minhash", col(textCol), lit(shingleK), lit(nHashes))
     // one row per doc (nHashes longs + size): materialize once — the
-    // partition collect and BOTH key sides read it, and the signature
-    // subtree (shingle explode + md5) is the expensive part of the plan
-    val withP = sig.join(sizes, Seq(idCol)).localCheckpoint()
+    // partition collect and BOTH key sides read it
+    val withP = docs.select(col(idCol), es.as("__es"))
+      .filter(col("__es").isNotNull)
+      .select(col(idCol),
+        slice(col("__es"), 1, nHashes).as("__sig"),
+        element_at(col("__es"), nHashes + 1).as("__n"))
+      .filter(col("__n") > 0)
+      // +1e-9: log(2, 2^k) can land a hair under k in floating point and
+      // floor a power-of-two doc into the wrong bucket (oracle SQL applies
+      // the same epsilon)
+      .withColumn("__p", floor(log(2.0, col("__n")) + 1e-9).cast("long"))
+      .localCheckpoint()
 
     val parts = withP.select(col("__p")).distinct().collect().map(_.getLong(0)).sorted
     def recall(j: Double, r: Int): Double =

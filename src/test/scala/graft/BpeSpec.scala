@@ -129,8 +129,12 @@ class BpeSpec extends AnyFunSuite {
     val merges = Bpe.trainMerges(docs, numMerges = 40, minPairCount = 1L)
     assert(merges.length > 20, s"fixture should yield > 20 merges, got ${merges.length}")
     val words = refWc.keys.toSeq.toDF("word")
-    val enc = Bpe.encodeWords(words, merges, chunk = 8)
+    val enc = Bpe.encodeWords(words, merges)
       .as[(String, Seq[String])].collect().toMap
+    // the kernel and the fold-column witness stay bit-equal
+    val encFold = Bpe.encodeWordsFold(words, merges, chunk = 8)
+      .as[(String, Seq[String])].collect().toMap
+    assert(enc == encFold)
     refWc.keys.foreach { w =>
       // engine tokens == reference merges applied in rank order
       var ref = refSymbols(w)
@@ -141,6 +145,33 @@ class BpeSpec extends AnyFunSuite {
     }
     // frequent whole words collapse to single symbols (+ marker merge)
     assert(enc("low").length <= 2, s"'low' should be fully merged: ${enc("low")}")
+  }
+
+  test("bpe_encode kernel ≡ fold-column chain at 1/16/1000 merges (fuzz)") {
+    val rnd = new scala.util.Random(20260822L)
+    val alpha = "abc"
+    val words = ((0 until 80).map(_ =>
+      (0 until (1 + rnd.nextInt(9))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      :+ "").distinct.toDF("word")
+    // arbitrary (not just trained) merge lists: random non-empty symbol
+    // pairs over the alphabet's closure — encode semantics are defined for
+    // any list, and the kernel must match the fold on all of them
+    def randSym(): String =
+      (0 until (1 + rnd.nextInt(3))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val pool = (0 until 1000).map(_ => (randSym(), randSym()))
+    for (n <- Seq(1, 16, 1000)) {
+      val merges = pool.take(n)
+      val kernel = Bpe.encodeWords(words, merges)
+        .as[(String, Seq[String])].collect().toMap
+      val fold = Bpe.encodeWordsFold(words, merges)
+        .as[(String, Seq[String])].collect().toMap
+      assert(kernel == fold, s"n=$n")
+    }
+    // trained-table case with the marker-bearing merges included
+    val trained = Bpe.trainMerges(docs, numMerges = 30, minPairCount = 1L)
+    val tw = refWc.keys.toSeq.toDF("word")
+    assert(Bpe.encodeWords(tw, trained).as[(String, Seq[String])].collect().toMap ==
+      Bpe.encodeWordsFold(tw, trained).as[(String, Seq[String])].collect().toMap)
   }
 
   test("encodeDocs reassembles per-doc subword streams in word order") {

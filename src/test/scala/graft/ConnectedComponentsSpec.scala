@@ -105,4 +105,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     val pairs = Seq((5L, 3L), (3L, 8L), (12L, 7L), (8L, 1L))
     assert(labelsOf(pairs) == labelsOf(pairs))
   }
+
+  test("driver union-find fast path ≡ relational rounds (both sides of the cap)") {
+    val rng = new scala.util.Random(7)
+    for (round <- 0 until 3) {
+      val n = 40 + round * 25
+      val pairs = Seq.fill(2 * n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val df = pairs.toDF("id_a", "id_b")
+      val local = ConnectedComponents.run(df) // default cap: local path
+        .as[(Long, Long)].collect().toMap
+      val relational = ConnectedComponents.run(df, maxLocalEdges = 0L) // force rounds
+        .as[(Long, Long)].collect().toMap
+      assert(local == relational, s"round $round")
+    }
+  }
 }

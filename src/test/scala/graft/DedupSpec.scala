@@ -254,6 +254,45 @@ class DedupSpec extends SparkSpec {
     assert(m1 == Set((0L, 1L)) && m2 == Set((0L, 1L)), s"$m1 / $m2")
   }
 
+  test("shingle_hashes / ensemble_minhash kernels ≡ relational md5 chains") {
+    org.apache.spark.sql.graft.ShingleHashExpr.register(spark)
+    val rng = new scala.util.Random(11)
+    val vocab = Seq("the", "quick", "Brown", "fox", "ЖУРНАЛ", "😀", "a", "tab\there")
+    val fuzz = (10L until 40L).map(i =>
+      (i, Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.length)))
+        .mkString(if (rng.nextBoolean()) " " else "  ")))
+    val edge = (Seq(
+      (0L, ""), (1L, "   "), (2L, "one"), (3L, "two words"),
+      (4L, "\tTAB  and\n\nNEWLINES  here maybe more tokens"),
+      (5L, "the quick brown fox jumps over the lazy dog the quick brown fox"),
+      (6L, "ЖУРНАЛ Русский Текст С Кириллицей"),
+      (7L, "😀 emoji 😀 tokens 😀 galore 😀 emoji 😀 tokens"),
+      (8L, null.asInstanceOf[String])) ++ fuzz).toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3)) {
+      val kernel = edge.select($"doc_id",
+        call_function("shingle_hashes", $"text", lit(k)).as("hs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val rel = edge.select($"doc_id",
+        transform(array_distinct(Dedup.tokenShingles(Dedup.tokens($"text"), k)),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("hs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(kernel == rel, s"k=$k")
+      // ensemble: XOR-mask minima over the same distinct-shingle hashes,
+      // distinct count as the final element
+      val n = 8
+      val ens = edge.select($"doc_id",
+        call_function("ensemble_minhash", $"text", lit(k), lit(n)).as("es"))
+        .as[(Long, Seq[Long])].collect().toMap
+      kernel.foreach { case (id, hs) =>
+        if (hs == null) assert(ens(id) == null, s"k=$k id=$id")
+        else {
+          val want = (0 until n).map(i => hs.map(_ ^ Dedup.ensembleMask(i)).min) :+ hs.size.toLong
+          assert(ens(id) == want, s"k=$k id=$id")
+        }
+      }
+    }
+  }
+
   test("corpus-sized self-join sides are never broadcast (the Generate mis-estimate guard)") {
     // Catalyst sizes explode-over-scan subtrees at their input-scan bytes,
     // so without the shuffle_hash hints AQE broadcasts a corpus-sized band/

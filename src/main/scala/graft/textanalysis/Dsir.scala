@@ -61,6 +61,23 @@ object Dsir {
   def featureTable(docs: DataFrame, dim: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dim >= 2 && dim <= 65536, s"dim out of [2, 65536]: $dim")
+    // round 7: gram construction + 16-bit-md5 feature hashing in ONE
+    // codegen'd kernel call per row (`hashed_grams(text, dim, 2)` —
+    // unigrams + bigrams, one int per occurrence) instead of the
+    // interpreted gram-array HOF followed by a per-gram md5 expression
+    // chain; bit-equal counts (equivalence spec in DsirSpec, witness form
+    // at [[featureTableColumns]])
+    org.apache.spark.sql.graft.TextGramExpr.register(docs.sparkSession)
+    docs.select(col(idCol), explode(call_function("hashed_grams",
+        col(textCol), lit(dim), lit(2))).as("f"))
+      .groupBy(col(idCol), col("f"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Pure-Column witness of [[featureTable]] (the pre-kernel form). */
+  private[graft] def featureTableColumns(docs: DataFrame, dim: Int,
+                                                idCol: String = "doc_id",
+                                                textCol: String = "text"): DataFrame = {
     val toks = filter(graft.dedup.Dedup.tokens(col(textCol)), t => length(t) > 0)
     val grams = graft.dedup.Dedup.let(toks) { t =>
       concat(t,

@@ -33,7 +33,16 @@ object LangProfile {
   /** Character trigrams of the padded normalized text (`' ' + text + ' '`
     * — CT's word-boundary evidence), as strings (profiles are small; the
     * hash families are for the dedup operators, not rank tables). */
-  private def grams(text: Column): Column = {
+  private def grams(text: Column): Column =
+    call_function("char_ngrams", text, lit(3))
+
+  /** The pure-Column restatement of [[grams]] — the interpreted-HOF form
+    * the `char_ngrams` kernel replaced (round 7: the per-gram `substr`
+    * lambda evaluates interpreted, one round trip per character). Kept as
+    * the equivalence witness (LangProfileSpec); null text yields an empty
+    * array here vs null from the kernel — identical after the explode both
+    * consumers apply. */
+  private[graft] def gramsColumns(text: Column): Column = {
     val t = concat(lit(" "), graft.dedup.Dedup.normalizeText(text), lit(" "))
     graft.dedup.Dedup.let(t) { s =>
       when(length(s) >= 3,
@@ -58,6 +67,7 @@ object LangProfile {
   def train(docs: DataFrame, k: Int = 300,
             textCol: String = "text", langCol: String = "lang"): DataFrame = {
     require(k >= 1, s"profile size k must be >= 1, got $k")
+    org.apache.spark.sql.graft.TextGramExpr.register(docs.sparkSession)
     docs.select(col(langCol).as("lang"), explode(grams(col(textCol))).as("gram"))
       .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("__n"))
       .withColumn("rank", row_number().over(
@@ -83,6 +93,7 @@ object LangProfile {
                penalty: Long = 0L,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(docK >= 1, s"doc profile size must be >= 1, got $docK")
+    org.apache.spark.sql.graft.TextGramExpr.register(docs.sparkSession)
     val pen =
       if (penalty > 0L) penalty
       else profiles.agg(max(col("rank"))).head().getLong(0)

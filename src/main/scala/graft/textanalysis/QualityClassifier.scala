@@ -47,10 +47,25 @@ object QualityClassifier {
     (conv(substring(md5(token), 1, 4), 16, 10).cast("long") % dim).cast("int")
 
   /** Hashed unigram counts of the normalized text: `(idCol, f, c)` — one
-    * explode + one hash agg; empty docs yield no rows. */
+    * explode + one hash agg; empty docs yield no rows. Round 7: tokenize +
+    * feature-hash in one codegen'd `hashed_grams(text, dim, 1)` kernel
+    * call per row instead of a string explode followed by a per-token
+    * md5 → substring → conv chain (bit-equal counts, equivalence spec in
+    * QualityClassifierSpec via [[featureTableColumns]]). */
   def featureTable(docs: DataFrame, dim: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dim >= 2 && dim <= 65536, s"dim out of [2, 65536]: $dim")
+    org.apache.spark.sql.graft.TextGramExpr.register(docs.sparkSession)
+    docs.select(col(idCol), explode(call_function("hashed_grams",
+        col(textCol), lit(dim), lit(1))).as("f"))
+      .groupBy(col(idCol), col("f"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Pure-Column witness of [[featureTable]] (the pre-kernel form). */
+  private[graft] def featureTableColumns(docs: DataFrame, dim: Int,
+                                                idCol: String = "doc_id",
+                                                textCol: String = "text"): DataFrame = {
     val toks = graft.dedup.Dedup.normalizeText(col(textCol))
     docs.select(col(idCol), explode(split(toks, " ")).as("token"))
       .filter(length(col("token")) > 0)

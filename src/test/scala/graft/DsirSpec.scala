@@ -123,4 +123,15 @@ class DsirSpec extends AnyFunSuite {
     Seq(dim).toDF("dim").write.parquet(s"$bad/meta")
     assertThrows[IllegalArgumentException](Dsir.loadModel(spark, bad))
   }
+  test("hashed_grams kernel featureTable ≡ pure-Column witness") {
+    val dim = 512
+    val edge = raw.unionByName(Seq((900L, ""), (901L, "   "), (902L, "one"),
+      (903L, "ЖУРНАЛ русский  текст")).toDF("doc_id", "text"))
+    val a = graft.textanalysis.Dsir.featureTable(edge, dim)
+      .as[(Long, Int, Long)].collect().toSet
+    val b = graft.textanalysis.Dsir.featureTableColumns(edge, dim)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a == b)
+  }
+
 }

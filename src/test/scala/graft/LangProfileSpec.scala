@@ -59,4 +59,19 @@ class LangProfileSpec extends AnyFunSuite {
     val viaDisk = LangProfile.classify(labeled, loaded).as[(String, String, Long)].collect().sortBy(_._1)
     assert(fresh.toSeq == viaDisk.toSeq)
   }
+  test("char_ngrams kernel ≡ pure-Column trigram builder") {
+    org.apache.spark.sql.graft.TextGramExpr.register(spark)
+    val edge = Seq(
+      (0L, ""), (1L, "   "), (2L, "ab"), (3L, "abc"), (4L, "two words"),
+      (5L, "\tTAB  and\n\nNEWLINES  here"), (6L, "ЖУРНАЛ Русский Текст"),
+      (7L, "😀 emoji 😀 tokens"), (8L, enDoc(3)), (9L, deDoc(5)))
+      .toDF("doc_id", "text")
+    val kernel = edge.select($"doc_id",
+      call_function("char_ngrams", $"text", lit(3)).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    val cols = edge.select($"doc_id", LangProfile.gramsColumns($"text").as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(kernel == cols)
+  }
+
 }

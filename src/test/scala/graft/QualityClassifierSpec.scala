@@ -114,4 +114,16 @@ class QualityClassifierSpec extends AnyFunSuite {
     val acc = sc.count { case (id, s) => (s > 0.5) == (id < 520L) } / 40.0
     assert(acc >= 0.95, s"held-out accuracy $acc")
   }
+  test("hashed_grams kernel featureTable ≡ pure-Column witness") {
+    val dim = 256
+    val edge = labeled.select($"doc_id", $"text")
+      .unionByName(Seq((900L, ""), (901L, "  mixed  CASE tokens "),
+        (902L, "ЖУРНАЛ текст")).toDF("doc_id", "text"))
+    val a = QualityClassifier.featureTable(edge, dim)
+      .as[(Long, Int, Long)].collect().toSet
+    val b = QualityClassifier.featureTableColumns(edge, dim)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a == b)
+  }
+
 }

@@ -45,6 +45,31 @@ object SpanCorruption {
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(pStart > 0.0 && pStart < 1.0, s"pStart out of (0,1): $pStart")
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    // round 7: every step of this operator (gates, span union, islands,
+    // sentinel numbering, reassembly) is a pure function of the single
+    // document, so the whole thing runs as ONE codegen'd kernel call per
+    // row (`span_corrupt`) with no exchange at all — the former relational
+    // shape (posexplode + span explode + distinct + two per-doc windows +
+    // (id, pos) join + sorted-collect reassembly, kept below as
+    // [[corruptRelational]], the equivalence witness) paid five shuffles
+    // for a per-row function. Value-identical: the fuzz spec asserts
+    // kernel ≡ relational and the splice-back invariant; `q_span_corrupt`
+    // pins the bytes against the DuckDB oracle.
+    org.apache.spark.sql.graft.SpanCorruptExpr.register(docs.sparkSession)
+    val sc = call_function("span_corrupt",
+      col(idCol).cast("string"), col(textCol),
+      lit(math.round(pStart * 65536.0).toInt), lit(maxLen))
+    docs.select(col(idCol), sc.getField("input_text").as("input_text"),
+      sc.getField("target_text").as("target_text"))
+  }
+
+  /** The relational restatement of [[corrupt]] — the pre-kernel shape,
+    * kept as the independent equivalence witness (posexplode + bounded
+    * span explode + islands windows + reassembly aggregation). */
+  private[graft] def corruptRelational(docs: DataFrame, pStart: Double = 0.06, maxLen: Int = 4,
+                                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(pStart > 0.0 && pStart < 1.0, s"pStart out of (0,1): $pStart")
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
     val cutoff = math.round(pStart * 65536.0)
     val toks = docs.select(col(idCol),
       posexplode(filter(graft.dedup.Dedup.tokens(col(textCol)), t => length(t) > 0))

@@ -52,18 +52,18 @@ object LmScore {
     // derive all three consumers narrowly from the arrays. The derivations
     // are definitionally ngramArray(text, 1) and ngramArray(text, 2) over
     // the same token array (equality spec-asserted vs the naive reference).
+    org.apache.spark.sql.graft.NgramExpr.register(docs.sparkSession)
     val toks = docs.select(col(idCol),
         filter(graft.dedup.Dedup.tokens(col(textCol)), t => length(t) > 0).as("__toks"))
       .localCheckpoint()
     val uni = toks.select(explode(col("__toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c_uni"))
       .filter(col("c_uni") >= minCount)
-    val bigramArr = graft.dedup.Dedup.let(col("__toks")) { t =>
-      when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - 2),
-          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-        .otherwise(array().cast("array<string>"))
-    }
+    // round 7: bigrams over the materialized token arrays via the native
+    // `array_ngrams` kernel — one codegen'd call per row instead of the
+    // interpreted per-gram concat_ws lambda (bit-equal; the TextAnalysis
+    // ngram equivalence spec covers the kernel family)
+    val bigramArr = call_function("array_ngrams", col("__toks"), lit(2))
     val dg = toks.select(col(idCol), posexplode(bigramArr).as(Seq("pos", "gram")))
       .withColumn("w1", split(col("gram"), " ").getItem(0))
     val bi = dg.groupBy(col("gram")).agg(count(lit(1)).as("c_bi"))

@@ -170,8 +170,23 @@ object TextAnalysis {
    * n-gram statistics, relevance, and dedup shingles share one tokenization.
    */
   /** Token n-gram array of the normalized text — the scan-side builder
-    * shared by [[corpusNgramCounts]] and [[docNgrams]]. */
+    * shared by [[corpusNgramCounts]] and [[docNgrams]]. Round 7: the
+    * native `token_ngrams` kernel (one codegen'd call per row) replaces
+    * the interpreted per-gram `concat_ws`-over-`element_at` lambda —
+    * bit-equal arrays (witness at [[ngramArrayColumns]], equivalence spec
+    * in TextAnalysisSpec; null text yields null vs the witness's empty
+    * array — identical through the explode every consumer applies).
+    * Registration rides the active session (every caller is inside a
+    * query build with one). */
   def ngramArray(textCol: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    org.apache.spark.sql.graft.NgramExpr.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("token_ngrams", textCol, lit(n))
+  }
+
+  /** Pure-Column witness of [[ngramArray]] (the pre-kernel form). */
+  private[graft] def ngramArrayColumns(textCol: Column, n: Int): Column = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
     val toks = filter(graft.dedup.Dedup.tokens(textCol), t => length(t) > 0)
     graft.dedup.Dedup.let(toks) { t =>

@@ -74,4 +74,23 @@ class SpanCorruptionSpec extends AnyFunSuite {
       .as[(Long, String, String)].head()
     assert(un._2 == "alpha beta gamma" && un._3 == "<extra_id_0>")
   }
+
+  test("span_corrupt kernel ≡ relational islands pipeline (params × fixtures)") {
+    // edge docs: empty, whitespace, single token, uppercase/whitespace runs,
+    // unicode, plus the generator corpus — across pStart/maxLen settings,
+    // including maxLen 1 (single-token spans) and a high pStart (dense,
+    // overlapping spans that exercise run merging and end clipping)
+    val edge = docs.unionByName(Seq(
+      (900L, ""), (901L, "   "), (902L, "one"),
+      (903L, "\tTAB  and\n\nNEWLINES  here maybe more tokens"),
+      (904L, "ЖУРНАЛ Русский Текст С Кириллицей опять Кириллицей"),
+      (905L, "a b c d e f g h i j k l m n o p")).toDF("doc_id", "text"))
+    for ((p, ml) <- Seq((0.08, 4), (0.3, 1), (0.5, 6), (0.02, 3))) {
+      val kernel = SpanCorruption.corrupt(edge, p, ml)
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      val rel = SpanCorruption.corruptRelational(edge, p, ml)
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      assert(kernel.toSeq == rel.toSeq, s"pStart=$p maxLen=$ml")
+    }
+  }
 }

@@ -598,4 +598,34 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Option[Long], Option[Long])].collect().head
     assert(ap._4 == 2L)
   }
+  test("token_ngrams / array_ngrams kernels ≡ pure-Column gram builders") {
+    org.apache.spark.sql.graft.NgramExpr.register(spark)
+    val edge = Seq(
+      (0L, ""), (1L, "   "), (2L, "one"), (3L, "two words"),
+      (4L, "\tTAB  and\n\nNEWLINES  here maybe more tokens now"),
+      (5L, "ЖУРНАЛ Русский Текст С Кириллицей"),
+      (6L, "the quick brown fox jumps over the lazy dog again and again"),
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 13)) {
+      val kernel = edge.select($"doc_id", TextAnalysis.ngramArray($"text", n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      val cols = edge.select($"doc_id", TextAnalysis.ngramArrayColumns($"text", n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      // null text: kernel null vs witness empty — same zero rows after explode
+      kernel.foreach { case (id, g) =>
+        if (g == null) assert(cols(id) != null && cols(id).isEmpty, s"n=$n id=$id")
+        else assert(g == cols(id), s"n=$n id=$id")
+      }
+      // array input: same grams over the materialized token arrays
+      val viaArr = edge.select($"doc_id",
+        call_function("array_ngrams",
+          filter(graft.dedup.Dedup.tokens($"text"), t => length(t) > 0), lit(n)).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      viaArr.foreach { case (id, g) =>
+        if (g == null) assert(kernel(id) == null)
+        else assert(g == kernel(id), s"array n=$n id=$id")
+      }
+    }
+  }
+
 }

@@ -32,8 +32,21 @@ object LineDedup {
 
   /** The doc's normalized tokens in consecutive NON-overlapping
     * `width`-token segments, as one array column (last segment may be
-    * shorter — the trailing fragment). */
-  private def segmentsCol(textCol: Column, width: Int): Column =
+    * shorter — the trailing fragment). Round 7: the native
+    * `token_segments` kernel (one codegen'd call per row) replaces the
+    * interpreted per-segment `array_join(slice(...))` lambda — bit-equal
+    * arrays (witness at [[segmentsColWitness]], equivalence spec in
+    * LineDedupSpec); the coalesce restores the witness's empty array for
+    * null text. */
+  private def segmentsCol(textCol: Column, width: Int): Column = {
+    org.apache.spark.sql.graft.NgramExpr.register(
+      org.apache.spark.sql.SparkSession.active)
+    coalesce(call_function("token_segments", textCol, lit(width)),
+      array().cast("array<string>"))
+  }
+
+  /** Pure-Column witness of [[segmentsCol]] (the pre-kernel form). */
+  private[graft] def segmentsColWitness(textCol: Column, width: Int): Column =
     Dedup.let(Dedup.tokens(textCol)) { toks =>
       when(size(toks) > 0,
         transform(sequence(lit(0), ceil(size(toks) / lit(width.toDouble)).cast("int") - 1),

@@ -114,11 +114,21 @@ object Pq {
     * the shared kernel of the Lloyd step and [[pqEncode]]. Scan-side: the
     * codebook rides as a literal nested array; argmin L2² per subspace in
     * one fixed-order fold, ties to the lowest code. */
+  /** Codebook image as ONE nested-array literal — a single plan node.
+    * The former `array(array(array(lit...)))` construction built
+    * m·ksub·subDim Literal leaves plus every CreateArray above them
+    * (~1,000 expression nodes at the default 8×16×8), which the analyzer
+    * and optimizer walked on every rule pass — measured as the dominant
+    * cold cost of the PQ queries (round 7). Values identical (constant
+    * folding produced this same Literal eventually; now it starts as one). */
+  private def cbLiteral(cb: Array[Array[Array[Double]]]): Column =
+    typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+
   private def encodeExploded(emb: DataFrame, codebooks: DataFrame,
                              m: Int, ksub: Int, subDim: Int,
                              idCol: String, vecCol: String): DataFrame = {
     val cb = collectCodebooks(codebooks, m, ksub)
-    val cbLit = array(cb.map(sub => array(sub.map(c => array(c.map(lit): _*)): _*)): _*)
+    val cbLit = cbLiteral(cb)
     emb
       .select(col(idCol), posexplode(subvecs(col(vecCol), m, subDim)).as(Seq("m", "sub")))
       .withColumn("__d2s",
@@ -150,7 +160,7 @@ object Pq {
   def pqDecode(codes: DataFrame, codebooks: DataFrame, m: Int, ksub: Int,
                idCol: String = "vec_id"): DataFrame = {
     val cb = collectCodebooks(codebooks, m, ksub)
-    val cbLit = array(cb.map(sub => array(sub.map(c => array(c.map(lit): _*)): _*)): _*)
+    val cbLit = cbLiteral(cb)
     codes.select(col(idCol),
       flatten(transform(col("codes"),
         (code, j) => element_at(element_at(cbLit, j + 1), code.cast("int") + 1)))
@@ -164,7 +174,7 @@ object Pq {
   private def queryLuts(queries: DataFrame, cb: Array[Array[Array[Double]]],
                         m: Int, subDim: Int,
                         idCol: String, vecCol: String): DataFrame = {
-    val cbLit = array(cb.map(sub => array(sub.map(c => array(c.map(lit): _*)): _*)): _*)
+    val cbLit = cbLiteral(cb)
     queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__lut",
@@ -205,9 +215,10 @@ object Pq {
   }
 
   /** Query-independent flat LUT of partial squared centroid norms,
-    * same `(j·ksub)+c+1` layout as the dot LUT. */
+    * same `(j·ksub)+c+1` layout as the dot LUT (one literal node — see
+    * [[cbLiteral]]). */
   private def n2Lut(cb: Array[Array[Array[Double]]]): Column =
-    array(cb.flatMap(sub => sub.map(c => lit(c.map(x => x * x).sum))): _*)
+    typedLit(cb.flatMap(sub => sub.map(c => c.map(x => x * x).sum)).toSeq)
 
   /**
    * ADC top-k: for each float query, rank PQ-encoded corpus vectors by the

@@ -199,8 +199,12 @@ object Similarity {
   private def assignWithCentroids(df: DataFrame, centroids: DataFrame,
                                   vecCol: String): DataFrame = {
     val cents = unitCentroids(centroids)
-    val centLit = array(cents.map { case (_, v) => array(v.map(lit): _*) }: _*)
-    val idLit = array(cents.map(p => lit(p._1)): _*)
+    // single-literal embedding (round 7): the former array(array(lit...))
+    // construction carried nCentroids·dim Literal leaves through every
+    // analyzer/optimizer pass — at the √-rule's centroid counts that is a
+    // plan-sized-by-data hazard; typedLit is ONE node with the same value
+    val centLit = typedLit(cents.map { case (_, v) => v.toSeq }.toSeq)
+    val idLit = typedLit(cents.map(_._1).toSeq)
     val dots = transform(centLit, cv =>
       aggregate(zip_with(col(vecCol), cv, (x, y) => x.cast("double") * y),
         lit(0.0), (acc, x) => acc + x))

@@ -41,6 +41,33 @@ object BpeEncodeProbe {
       Bpe.encodeWordsFold(words, merges).write.mode("overwrite").format("noop").save()
     }
     println(f"speedup cold ${f1 / k1}%.1f x, vs warm ${f1 / k2}%.1f x at ${merges.length} merges")
+
+    // The sf corpus has a tiny closed vocabulary (training exhausts after
+    // ~100 merges), so the production regime — thousands of merges over a
+    // large distinct-word table — is probed on a synthetic corpus: md5-hex
+    // pseudo-words (16-char alphabet, unbounded pairable structure).
+    import spark.implicits._
+    val synWords = (0 until 10000).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w$i".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val synDocs = synWords.grouped(200).map(_.mkString(" ")).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val t1 = System.nanoTime()
+    val synMerges = Bpe.trainMergesLocal(synDocs, numMerges, minPairCount = 1L)
+    println(f"synthetic: trained ${synMerges.length} merges in ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    val sw = Bpe.wordCounts(synDocs).select(col("word")).localCheckpoint()
+    println(s"synthetic distinct words: ${sw.count()}")
+    val sk1 = time("syn kernel cold") {
+      Bpe.encodeWords(sw, synMerges).write.mode("overwrite").format("noop").save()
+    }
+    val sk2 = time("syn kernel warm") {
+      Bpe.encodeWords(sw, synMerges).write.mode("overwrite").format("noop").save()
+    }
+    val sf1 = time("syn fold chain (chunk 16)") {
+      Bpe.encodeWordsFold(sw, synMerges).write.mode("overwrite").format("noop").save()
+    }
+    println(f"synthetic speedup cold ${sf1 / sk1}%.1f x, vs warm ${sf1 / sk2}%.1f x " +
+      f"at ${synMerges.length} merges")
     spark.stop()
   }
 }

@@ -60,6 +60,30 @@ case class ArrayNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Consecutive NON-overlapping `width`-token segments of the normalized
+  * text (the [[graft.dedup.LineDedup]] unit builder): space-joined groups,
+  * last segment may be shorter. Tokens are `Dedup.tokens` semantics — the
+  * UNFILTERED split, so the empty doc yields one empty segment (matching
+  * `split('', ' ') = ['']`). Null yields null (callers coalesce to the
+  * witness's empty array). */
+case class TokenSegments(child: Expression, width: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_segments"
+
+  override def nullSafeEval(s: Any): Any =
+    NgramKernel.tokenSegments(s.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.NgramKernel.tokenSegments($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NgramKernel {
 
   private def normalize(text: UTF8String): String = {
@@ -102,6 +126,27 @@ object NgramKernel {
     grams(toks, n)
   }
 
+  def tokenSegments(text: UTF8String, width: Int): GenericArrayData = {
+    val toks = normalize(text).split(" ", -1) // unfiltered: '' stays a token
+    val nSeg = (toks.length + width - 1) / width
+    val out = new Array[Any](nSeg)
+    val sb = new java.lang.StringBuilder
+    var s = 0
+    while (s < nSeg) {
+      sb.setLength(0)
+      var j = s * width
+      val e = math.min(toks.length, j + width)
+      while (j < e) {
+        if (j > s * width) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(s) = UTF8String.fromString(sb.toString)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def arrayNgrams(arr: ArrayData, n: Int): GenericArrayData = {
     val m = arr.numElements()
     val toks = new Array[String](m)
@@ -130,6 +175,17 @@ object NgramExpr {
         (children: Seq[Expression]) => {
           require(children.length == 2, "token_ngrams expects (text, n)")
           TokenNgrams(children(0), intLit("token_ngrams", children(1)))
+        })
+    }
+    val sid = FunctionIdentifier("token_segments")
+    if (!spark.sessionState.functionRegistry.functionExists(sid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        sid,
+        new ExpressionInfo(classOf[TokenSegments].getName, null, "token_segments",
+          "non-overlapping width-token segments of the normalized text", "", "", "", "string_funcs", "4.0.0", "", "built-in"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "token_segments expects (text, width)")
+          TokenSegments(children(0), intLit("token_segments", children(1)))
         })
     }
     val aid = FunctionIdentifier("array_ngrams")

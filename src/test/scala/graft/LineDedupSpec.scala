@@ -98,4 +98,23 @@ class LineDedupSpec extends SparkSpec {
       .as[(String, Int)].collect().toSet
     assert(got == expected, s"got $got\nexpected $expected")
   }
+  test("token_segments kernel ≡ pure-Column segment builder") {
+    val edge = Seq(
+      (0L, ""), (1L, "   "), (2L, "one"), (3L, "two words"),
+      (4L, "\tTAB  and\n\nNEWLINES  here maybe more tokens now"),
+      (5L, (0 until 37).map(i => s"tok$i").mkString(" ")),
+      (6L, "ЖУРНАЛ Русский Текст С Кириллицей"),
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    for (w <- Seq(1, 3, 10)) {
+      val kernel = graft.dedup.LineDedup.segmentTable(edge, w)
+        .as[(Long, Long, String, Int)].collect().toSet
+      val witness = edge.select($"doc_id",
+          posexplode(graft.dedup.LineDedup.segmentsColWitness($"text", w)).as(Seq("p0", "unit")))
+        .select($"doc_id", ($"p0" + 1).as("unit_no"), $"unit",
+          size(split($"unit", " ")).as("n_tokens"))
+        .as[(Long, Long, String, Int)].collect().toSet
+      assert(kernel == witness, s"width=$w")
+    }
+  }
+
 }

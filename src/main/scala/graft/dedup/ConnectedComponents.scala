@@ -133,9 +133,15 @@ object ConnectedComponents {
     // relations), not corpus-sized; when it fits MaxLocalEdges, one collect
     // + union-find replaces O(log² n) rounds of 2-shuffle jobs. The count
     // is already materialized (localCheckpoint above), so the size probe is
-    // a cheap action over in-memory blocks.
+    // a cheap action over in-memory blocks. LONG ids only (the doc_id /
+    // vec_id family — every benched caller): the union-find below reads
+    // primitive longs, and non-numeric id domains (the multimodal canon
+    // maps join on string media hashes) keep the type-generic relational
+    // rounds.
+    val idsAreLong = edges.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
     val nEdges = edges.count()
-    if (nEdges <= maxLocalEdges) {
+    if (idsAreLong && nEdges <= maxLocalEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -164,11 +164,34 @@ object SubstringDup {
     }
 
   /** The islands tail shared by [[sharedRuns]] and the prefiltered variant:
-    * matched positions → maximal diagonal runs of >= minLen chars. */
+    * matched positions → maximal diagonal runs of >= minLen chars.
+    *
+    * Round-7 shape: a COUNT window + filter sits between the exchange and
+    * the islands machinery. A qualifying run needs >= minLen-k+1
+    * CONSECUTIVE positions on its diagonal, so a diagonal whose TOTAL
+    * match count is under that can emit nothing — and measured at sf0.1
+    * (tools/DiagProbe) only 190 of 1,848,339 diagonal groups (7,424 of
+    * 2,271,394 match rows) survive. The count window shares the islands
+    * window's exchange and group-delimiting sort (same partition keys),
+    * so the filter costs one streaming pass; what it buys is the expensive
+    * tail — the row_number window and ESPECIALLY the islands hash
+    * aggregation (formerly ~1.8M one-row groups of allocation churn) now
+    * touch only the surviving rows. (A full collect_list-aggregation
+    * replacement was measured SLOWER — the sort is cheaper than
+    * per-group list allocation at this group count; this keeps the sort
+    * and cuts everything after it.) Semantics unchanged: the filter keeps
+    * every row of each surviving diagonal, so island labeling within a
+    * group is untouched (brute-force-LCS equivalence in SubstringDupSpec
+    * still pins the outputs).
+    */
   private def runsFromMatches(matches: DataFrame, minLen: Int, k: Int): DataFrame = {
+    val minRun = minLen - k + 1
+    val wd = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
     // islands: within a diagonal, consecutive pa values share pa - row_number
-    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+    val w = wd.orderBy(col("pa"))
     matches
+      .withColumn("__dn", count(lit(1)).over(wd))
+      .filter(col("__dn") >= minRun)
       .withColumn("island", col("pa") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
       .agg(count(lit(1)).as("run_kgrams"), min(col("pa")).as("pa_start"))

@@ -107,7 +107,12 @@ object Pq {
         .localCheckpoint() // truncate the per-iteration lineage (tiny table)
       it += 1
     }
-    codebooks
+    // iterations = 0 returns the raw seed plan otherwise, and every
+    // consumer collects the codebook table (encode, scoring, decode) —
+    // materialize the m·ksub rows once instead of re-running the
+    // seed window+explode per collect (round 7; the >0 path is already
+    // checkpointed by its last iteration)
+    if (iterations == 0) codebooks.localCheckpoint() else codebooks
   }
 
   /** Per-(vector, subspace) assignment rows `(idCol, m, code, sub)` —

@@ -164,7 +164,15 @@ object Winnowing {
    */
   def matchPairs(fps: DataFrame, minShared: Long = 2,
                  idCol: String = "doc_id", maxDocFreq: Long = 0): DataFrame = {
-    val d0 = fps.select(col(idCol), col("h")).distinct()
+    // localCheckpoint (round 7; NOTE: makes this call EAGER — it runs the
+    // distinct job at call time): d0 feeds the hot-set aggregation, the
+    // anti join, and both self-join sides, so the fingerprint distinct
+    // executed up to four times per query; the deduped (id, h) table is
+    // index-sized (fingerprint density ≈ 2/(w+1) of k-grams) and
+    // materializing it once measured 1.76 → 1.35 s warm on q_winnow_pairs
+    // (same-window best-of-3) — the opposite verdict from SubstringDup's
+    // kg table, whose full k-gram explode is bigger than its rebuild cost
+    val d0 = fps.select(col(idCol), col("h")).distinct().localCheckpoint()
     val d =
       if (maxDocFreq <= 0) d0
       else {

@@ -254,23 +254,55 @@ object Dedup {
   def overlapVerify(docs: DataFrame, pairs: DataFrame, shingleK: Int = 3,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     org.apache.spark.sql.graft.ShingleHashExpr.register(docs.sparkSession)
+    // Round-7 shape: per-doc SORTED distinct-shingle hash ARRAYS (one
+    // narrow `shingle_hashes` kernel call per candidate doc) joined to the
+    // pair table, intersection counted per pair by the codegen'd
+    // merge-count kernel `hash_overlap_count`. The former exploded form
+    // (kept as [[overlapVerifyExploded]], the equivalence witness)
+    // replicated every doc's shingle ROWS once per candidate pair it
+    // appears in — a doc in p pairs shipped p·|shingles| rows into a
+    // (id, hash)-keyed join (measured 1.64 s of q_containment_lsh's 2.63 s
+    // warm at 60k candidates over 800 docs ≈ 18M join rows); here each
+    // pair carries the two doc arrays once (same bytes, |shingles|× fewer
+    // rows, no exploded mid-join shuffle and no 18M-row aggregation).
+    // Bit-equal by construction: n_inter = Σ_v cntA(v)·cntB(v) is exactly
+    // the exploded join's row count (60-bit hash collisions cross-join in
+    // both forms — kernel-pinned in DedupSpec), zero-overlap pairs emit no
+    // row (the n_inter > 0 filter restores the inner-join semantics), and
+    // docs with null text carry no array and drop their pairs as before.
+    // shuffle_hash pins on the array sides: their size estimates descend
+    // from the parquet scan (the Generate-family mis-estimate), and a
+    // candidate-restricted side is still corpus-scale at 100 TB.
     val ids = pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b").as("id"))).distinct()
-    // distinct-shingle hashes via the narrow `shingle_hashes` kernel (round
-    // 7): one codegen'd call per row replaces the tokenize → shingle HOF →
-    // array_distinct → explode → md5 → substring → conv chain per SHINGLE —
-    // bit-equal rows (string-level distinct, first 60 md5 bits;
-    // equivalence-fuzzed in DedupSpec)
+    val hs = docs.join(ids, col(idCol) === col("id"), "left_semi")
+      .select(col(idCol).as("id"),
+        sort_array(call_function("shingle_hashes", col(textCol), lit(shingleK))).as("__hs"))
+      .filter(col("__hs").isNotNull)
+      .select(col("id"), col("__hs"), size(col("__hs")).cast("long").as("n"))
+    pairs
+      .join(hs.select(col("id").as("id_a"), col("__hs").as("__hs_a"), col("n").as("n_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("__hs").as("__hs_b"), col("n").as("n_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        call_function("hash_overlap_count", col("__hs_a"), col("__hs_b")).as("n_inter"),
+        col("n_a"), col("n_b"))
+      .filter(col("n_inter") > 0)
+  }
+
+  /** The exploded-row restatement of [[overlapVerify]] (the pre-kernel
+    * shape) — kept as the independent equivalence witness: one (id, hash)
+    * row per candidate-doc shingle, intersection = equi-join row count. */
+  private[graft] def overlapVerifyExploded(docs: DataFrame, pairs: DataFrame, shingleK: Int = 3,
+                                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    org.apache.spark.sql.graft.ShingleHashExpr.register(docs.sparkSession)
+    val ids = pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b").as("id"))).distinct()
     val sh = docs.join(ids, col(idCol) === col("id"), "left_semi")
       .select(col(idCol).as("id"),
         explode(call_function("shingle_hashes", col(textCol), lit(shingleK))).as("sh"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("jb"), col("sh").as("sh_b"))
-    // shuffle_hash on the shingle sides: their size estimates descend from
-    // the parquet scan under the shingle explode, so Spark would broadcast
-    // a candidate-restricted-but-corpus-scale side (the same Generate
-    // mis-estimate plan-audited at sf1 across the dedup family); the
-    // shuffled shape carries exactly the documented 8-byte hashes
     pairs
       .join(shA.hint("shuffle_hash"), Seq("id_a"))
       .join(shB.hint("shuffle_hash"), col("id_b") === col("jb") && col("sh_a") === col("sh_b"))

@@ -79,7 +79,59 @@ case class EnsembleMinHash(child: Expression, shingleK: Int, nHashes: Int)
     copy(child = newChild)
 }
 
+/** Multiset overlap count of two SORTED `array<long>` columns:
+  * `Σ_v countA(v) · countB(v)` — exactly the row count of the equi-join
+  * of the two value lists (the `overlapVerify` intersection statistic,
+  * duplicate hash values included: two distinct shingles colliding on the
+  * 60-bit hash cross-join in the relational form, and this kernel
+  * reproduces that product). PRECONDITION: both inputs ascending-sorted
+  * (callers build them with `sort_array`). */
+case class HashOverlapCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash_overlap_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleHashKernel.overlapCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.ShingleHashKernel.overlapCount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ShingleHashKernel {
+
+  /** Merge-count over two sorted long arrays: Σ runLenA(v) · runLenB(v). */
+  def overlapCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                   b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var total = 0L
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va < vb) i += 1
+      else if (va > vb) j += 1
+      else {
+        var ca = 0L
+        while (i < na && a.getLong(i) == va) { ca += 1; i += 1 }
+        var cb = 0L
+        while (j < nb && b.getLong(j) == va) { cb += 1; j += 1 }
+        total += ca * cb
+      }
+    }
+    total
+  }
 
   private val md5 = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
 
@@ -187,6 +239,17 @@ object ShingleHashExpr {
         (children: Seq[Expression]) => {
           require(children.length == 2, "shingle_hashes expects (text, k)")
           ShingleHashes(children(0), intLit("shingle_hashes", children(1)))
+        })
+    }
+    val oid = FunctionIdentifier("hash_overlap_count")
+    if (!spark.sessionState.functionRegistry.functionExists(oid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        oid,
+        new ExpressionInfo(classOf[HashOverlapCount].getName, null, "hash_overlap_count",
+          "multiset overlap count of two sorted long arrays", "", "", "", "agg_funcs", "4.0.0", "", "built-in"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "hash_overlap_count expects (a, b)")
+          HashOverlapCount(children(0), children(1))
         })
     }
     val eid = FunctionIdentifier("ensemble_minhash")

@@ -293,6 +293,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hash_overlap_count: multiset product semantics; overlapVerify ≡ exploded witness") {
+    org.apache.spark.sql.graft.ShingleHashExpr.register(spark)
+    // kernel pins: sorted multiset overlap = Σ cntA(v)·cntB(v) — exactly
+    // the exploded equi-join's row count, duplicate values included (the
+    // 60-bit-collision case the fuzz corpora cannot produce)
+    def oc(a: Seq[Long], b: Seq[Long]): Long =
+      Seq((a.sorted, b.sorted)).toDF("a", "b")
+        .select(call_function("hash_overlap_count", $"a", $"b")).as[Long].head()
+    assert(oc(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)) == 2L)
+    assert(oc(Seq(1L, 1L, 2L), Seq(1L, 3L)) == 2L)      // 2×1 collision product
+    assert(oc(Seq(5L, 5L), Seq(5L, 5L, 5L)) == 6L)      // 2×3
+    assert(oc(Seq(1L), Seq(2L)) == 0L)
+    assert(oc(Seq.empty, Seq(1L)) == 0L)
+    // operator equivalence on a fuzz corpus with dense overlap + edges
+    val rng = new scala.util.Random(23)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val fdocs = ((0L until 30L).map(i =>
+      (i, Seq.fill(4 + rng.nextInt(20))(vocab(rng.nextInt(vocab.length))).mkString(" ")))
+      ++ Seq((98L, ""), (99L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    val fpairs = (for (a <- 0L until 30L; b <- a + 1 until 32L if rng.nextBoolean())
+      yield (a, if (b >= 30L) 68L + b else b)).toDF("id_a", "id_b")
+    for (k <- Seq(1, 2, 3)) {
+      val kernel = Dedup.overlapVerify(fdocs, fpairs, k)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val witness = Dedup.overlapVerifyExploded(fdocs, fpairs, k)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(kernel == witness, s"k=$k")
+      assert(kernel.nonEmpty, s"k=$k fixture should overlap")
+    }
+  }
+
   test("corpus-sized self-join sides are never broadcast (the Generate mis-estimate guard)") {
     // Catalyst sizes explode-over-scan subtrees at their input-scan bytes,
     // so without the shuffle_hash hints AQE broadcasts a corpus-sized band/

@@ -62,16 +62,17 @@ object Dsir {
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dim >= 2 && dim <= 65536, s"dim out of [2, 65536]: $dim")
     // round 7: gram construction + 16-bit-md5 feature hashing in ONE
-    // codegen'd kernel call per row (`hashed_grams(text, dim, 2)` —
-    // unigrams + bigrams, one int per occurrence) instead of the
-    // interpreted gram-array HOF followed by a per-gram md5 expression
-    // chain; bit-equal counts (equivalence spec in DsirSpec, witness form
-    // at [[featureTableColumns]])
-    org.apache.spark.sql.graft.TextGramExpr.register(docs.sparkSession)
-    docs.select(col(idCol), explode(call_function("hashed_grams",
-        col(textCol), lit(dim), lit(2))).as("f"))
-      .groupBy(col(idCol), col("f"))
-      .agg(count(lit(1)).as("c"))
+    // codegen'd kernel call per row instead of the interpreted gram-array
+    // HOF followed by a per-gram md5 expression chain; second pass: the
+    // (id, f) groups never cross documents, so the count also happens
+    // inside the kernel (`hashed_gram_counts`) and the explode emits the
+    // aggregated (f, c) rows directly — no corpus-wide (id, f) Exchange
+    // (same row set; equivalence spec in DsirSpec, witness form at
+    // [[featureTableColumns]])
+    org.apache.spark.sql.graft.TokenCountExpr.register(docs.sparkSession)
+    docs.select(col(idCol), explode(call_function("hashed_gram_counts",
+        col(textCol), lit(dim), lit(2))).as("__fc"))
+      .select(col(idCol), col("__fc.f").as("f"), col("__fc.c").as("c"))
   }
 
   /** Pure-Column witness of [[featureTable]] (the pre-kernel form). */

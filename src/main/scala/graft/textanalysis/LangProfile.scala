@@ -68,6 +68,12 @@ object LangProfile {
             textCol: String = "text", langCol: String = "lang"): DataFrame = {
     require(k >= 1, s"profile size k must be >= 1, got $k")
     org.apache.spark.sql.graft.TextGramExpr.register(docs.sparkSession)
+    // NOTE: a Fanout.fanout of the (lang, text) rows before this explode
+    // was MEASURED SLOWER at sf0.1 (q_lang_profile 1.23 → 1.60 s warm):
+    // the (lang, gram) key space is small, so the single-partition map-side
+    // combine collapses the exploded rows to ~|langs|·|grams| BEFORE the
+    // exchange, and 32-way partials ship up to 32× that — the opposite
+    // trade from classify's per-doc profile kernel (no combine to lose)
     docs.select(col(langCol).as("lang"), explode(grams(col(textCol))).as("gram"))
       .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("__n"))
       .withColumn("rank", row_number().over(
@@ -93,15 +99,38 @@ object LangProfile {
                penalty: Long = 0L,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(docK >= 1, s"doc profile size must be >= 1, got $docK")
-    org.apache.spark.sql.graft.TextGramExpr.register(docs.sparkSession)
+    org.apache.spark.sql.graft.TokenCountExpr.register(docs.sparkSession)
     val pen =
       if (penalty > 0L) penalty
       else profiles.agg(max(col("rank"))).head().getLong(0)
-    val dp = docProfiles(
+    // round 7 second pass: the whole doc-profile build — gram explode,
+    // (id, gram) count and the per-doc top-docK row_number window — is a
+    // pure per-document function, yet paid TWO corpus-wide Exchanges (the
+    // count keys and the window partition keys never cross documents). The
+    // `char_ngram_profile` kernel computes the ranked profile inside the
+    // row (count DESC, gram ASC — the exact window order) and the explode
+    // emits the profile rows directly: same row set, zero exchange, and
+    // only docK rows per doc ever leave the scan (witness:
+    // [[docProfilesWindowed]], equivalence spec in LangProfileSpec).
+    val dp = graft.pipeline.Fanout.fanout(
+        docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
+        explode(call_function("char_ngram_profile",
+          col(textCol), lit(3), lit(docK))).as("__p"))
+      .select(col(idCol), col("__p.gram").as("gram"), col("__p.rank_d").as("rank_d"))
+    rankDistance(docs, dp, profiles, pen, idCol)
+  }
+
+  /** Relational witness of the kernel doc-profile build in [[classify]]:
+    * gram explode → (id, gram) count → per-doc top-docK window. */
+  private[graft] def docProfilesWindowed(docs: DataFrame, docK: Int,
+                                         idCol: String = "doc_id",
+                                         textCol: String = "text"): DataFrame = {
+    org.apache.spark.sql.graft.TextGramExpr.register(docs.sparkSession)
+    docProfiles(
       docs.select(col(idCol), explode(grams(col(textCol))).as("gram"))
         .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__n")),
       docK, idCol)
-    rankDistance(docs, dp, profiles, pen, idCol)
   }
 
   /** Doc-profile tail: per-doc top-docK rank over pre-aggregated

@@ -55,11 +55,17 @@ object QualityClassifier {
   def featureTable(docs: DataFrame, dim: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dim >= 2 && dim <= 65536, s"dim out of [2, 65536]: $dim")
-    org.apache.spark.sql.graft.TextGramExpr.register(docs.sparkSession)
-    docs.select(col(idCol), explode(call_function("hashed_grams",
-        col(textCol), lit(dim), lit(1))).as("f"))
-      .groupBy(col(idCol), col("f"))
-      .agg(count(lit(1)).as("c"))
+    // round 7 second pass: the (id, f) groups never cross documents, so the
+    // count happens INSIDE the kernel (`hashed_gram_counts`) and the explode
+    // emits the aggregated (f, c) rows directly — the hashed_grams explode +
+    // corpus-wide (id, f) Exchange + hash aggregation become one scan-side
+    // call (same row set; witness [[featureTableColumns]])
+    org.apache.spark.sql.graft.TokenCountExpr.register(docs.sparkSession)
+    graft.pipeline.Fanout.fanout(
+        docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), explode(call_function("hashed_gram_counts",
+        col(textCol), lit(dim), lit(1))).as("__fc"))
+      .select(col(idCol), col("__fc.f").as("f"), col("__fc.c").as("c"))
   }
 
   /** Pure-Column witness of [[featureTable]] (the pre-kernel form). */

@@ -78,7 +78,7 @@ object TextGramKernel {
 
   /** Dedup.normalizeText semantics (see MinHashKernel for the lower/trim
     * caveats). */
-  private def normalize(text: UTF8String): String = {
+  private[graft] def normalize(text: UTF8String): String = {
     val replaced = text.toLowerCase.toString.replaceAll("\\s+", " ")
     var st = 0
     var en = replaced.length

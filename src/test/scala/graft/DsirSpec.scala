@@ -132,6 +132,13 @@ class DsirSpec extends AnyFunSuite {
     val b = graft.textanalysis.Dsir.featureTableColumns(edge, dim)
       .as[(Long, Int, Long)].collect().toSet
     assert(a == b)
+    // tiny dim forces unigram/bigram hash collisions — the kernel's
+    // run-length merge must match the groupBy's collision merge
+    val a7 = graft.textanalysis.Dsir.featureTable(edge, 7)
+      .as[(Long, Int, Long)].collect().toSet
+    val b7 = graft.textanalysis.Dsir.featureTableColumns(edge, 7)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a7 == b7)
   }
 
 }

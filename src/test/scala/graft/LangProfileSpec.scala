@@ -74,4 +74,23 @@ class LangProfileSpec extends AnyFunSuite {
     assert(kernel == cols)
   }
 
+  test("char_ngram_profile kernel doc profiles ≡ windowed witness") {
+    org.apache.spark.sql.graft.TokenCountExpr.register(spark)
+    val edge = Seq(
+      (0L, ""), (1L, "   "), (2L, "ab"), (3L, "abc"), (4L, "two words"),
+      (5L, "\tTAB  and\n\nNEWLINES  here"), (6L, "ЖУРНАЛ Русский Текст"),
+      (7L, "😀 emoji 😀 tokens"), (8L, enDoc(3)), (9L, deDoc(5)),
+      (10L, "aaa aaa aaa bbb bbb ccc"))     // count ties → gram ASC tie-break
+      .toDF("doc_id", "text")
+    for (docK <- Seq(1, 3, 100)) {
+      val kernel = edge.select($"doc_id",
+          explode(call_function("char_ngram_profile", $"text", lit(3), lit(docK))).as("__p"))
+        .select($"doc_id", $"__p.gram", $"__p.rank_d")
+        .as[(Long, String, Long)].collect().toSet
+      val wit = LangProfile.docProfilesWindowed(edge, docK)
+        .as[(Long, String, Long)].collect().toSet
+      assert(kernel == wit, s"docK=$docK")
+    }
+  }
+
 }

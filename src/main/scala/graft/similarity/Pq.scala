@@ -154,7 +154,11 @@ object Pq {
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val d = vecDim(emb, vecCol)
     require(d % m == 0, s"vector dim $d must divide into m=$m subspaces")
-    encodeExploded(emb, codebooks, m, ksub, d / m, idCol, vecCol)
+    // conditional fan-out before the exploded argmin chain (round 7): the
+    // scan-side encode evaluates interpreted HOF folds per (row, subspace)
+    // on the scan's partitioning — serial at probe scale; no-op at scale
+    encodeExploded(graft.pipeline.Fanout.fanout(emb, col(idCol)),
+      codebooks, m, ksub, d / m, idCol, vecCol)
       .groupBy(col(idCol))
       .agg(transform(sort_array(collect_list(struct(col("m"), col("code")))),
         s => s("code").cast("byte")).as("codes"))

@@ -70,6 +70,11 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      roundTo: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // NOTE: a Fanout.fanout of the corpus side was MEASURED SLOWER at sf0.1
+    // (q_ann_topk 0.24 -> 0.34 s warm): the native cosine over the probe
+    // corpus is ~10 ms of work — the extra exchange+stage cost more than
+    // the parallelism bought. The serial-scan hazard is real only when the
+    // per-row kernel work outweighs one stage (see semDedupPairs/pqEncode).
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
@@ -428,9 +433,24 @@ object Similarity {
   def semDedupPairs(vecs: DataFrame, threshold: Double,
                     nCentroids: Int = 0, iterations: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    roundTo: Int = 4): DataFrame = {
+                    roundTo: Int = 4): DataFrame =
+    semDedupPairsImpl(vecs, threshold, nCentroids, iterations, idCol, vecCol,
+      roundTo, fan = true)
+
+  /** `fan = true` conditionally fans the scan out before the shuffle-free
+    * assign (no-op at scale; measured q_semdedup_pairs 0.71 → 0.48 s warm
+    * at sf0.1). [[semDedup]] passes `fan = false`: its CC gate executes the
+    * pairs plan TWICE (bounded-edge count + edge collect), and the fanned
+    * plan measured SLOWER there (q_semdedup 1.10 → 1.55 s warm) — the
+    * exchange is paid per execution while the single-scan parallelism win
+    * is not. */
+  private def semDedupPairsImpl(vecs: DataFrame, threshold: Double,
+                                nCentroids: Int, iterations: Int,
+                                idCol: String, vecCol: String,
+                                roundTo: Int, fan: Boolean): DataFrame = {
     val nc = if (nCentroids > 0) nCentroids else autoCentroids(vecs.count())
-    val (_, assigned) = ivfIndex(vecs, nc, iterations, idCol, vecCol)
+    val in = if (fan) graft.pipeline.Fanout.fanout(vecs, col(idCol)) else vecs
+    val (_, assigned) = ivfIndex(in, nc, iterations, idCol, vecCol)
     val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, Seq("centroid_id"))
@@ -458,7 +478,8 @@ object Similarity {
   def semDedup(vecs: DataFrame, threshold: Double,
                nCentroids: Int = 0, iterations: Int = 0,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val pairs = semDedupPairs(vecs, threshold, nCentroids, iterations, idCol, vecCol)
+    val pairs = semDedupPairsImpl(vecs, threshold, nCentroids, iterations,
+        idCol, vecCol, roundTo = 4, fan = false)
       .select(col("id_a"), col("id_b"))
     val losers = graft.dedup.ConnectedComponents.run(pairs, "id_a", "id_b")
       .filter(col("id") =!= col("component"))

@@ -422,7 +422,13 @@ object Dedup {
     org.apache.spark.sql.graft.ShingleHashExpr.register(spark)
     val es = call_function("ensemble_minhash", col(textCol), lit(shingleK), lit(nHashes))
     // one row per doc (nHashes longs + size): materialize once — the
-    // partition collect and BOTH key sides read it
+    // partition collect and BOTH key sides read it. NOTE: a Fanout.fanout
+    // before the kernel (and one in overlapVerify's hs build) was MEASURED
+    // SLOWER at sf0.1 (q_containment_lsh 1.43 → 1.98 s, q_containment
+    // 0.74 → 0.94 s warm): at the bench's candidate volumes the serial
+    // kernel work is ~0.1 s, below the exchange + extra-stage cost — the
+    // fan-out pays only where scan-side work outweighs a stage
+    // (char_ngram_profile, pqEncode, semDedupPairs)
     val withP = docs.select(col(idCol), es.as("__es"))
       .filter(col("__es").isNotNull)
       .select(col(idCol),

@@ -164,6 +164,11 @@ object Dedup {
   def minHashSignatures(docs: DataFrame, shingleK: Int, nHashes: Int,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     org.apache.spark.sql.graft.MinHashSigExpr.register(docs.sparkSession)
+    // (a Fanout.fanout before the kernel was MEASURED SLOWER at sf0.1 —
+    // q_lsh_pairs 0.38 → 0.69 s, q_dedup_cc 0.80 → 1.15 s, q_star_pairs
+    // 0.38 → 0.66 s warm: the signature chain re-executes per consumer and
+    // each execution pays the exchange, while the kernel itself is ~0.1 s
+    // serial at probe scale)
     val sig = call_function("minhash_sig", col(textCol), lit(shingleK), lit(nHashes))
     docs
       .where(col(textCol).isNotNull) // the exploded form dropped null-text docs too

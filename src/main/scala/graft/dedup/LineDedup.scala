@@ -59,6 +59,9 @@ object LineDedup {
   def segmentTable(docs: DataFrame, width: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(width >= 1, s"segment width must be >= 1, got $width")
+    // (a Fanout.fanout before the segment kernel was MEASURED SLOWER at
+    // sf0.1, q_dup_segments 0.49 → 0.65 s / q_seg_dedup 0.69 → 0.84 s warm
+    // — the kernel is one pass over ~300 chars per row, below a stage)
     docs.select(col(idCol), posexplode(segmentsCol(col(textCol), width)).as(Seq("p0", "unit")))
       .select(col(idCol), (col("p0") + 1).as("unit_no"), col("unit"),
         (size(split(col("unit"), " "))).as("n_tokens"))

@@ -58,7 +58,14 @@ object Decontamination {
     // For a very large eval corpus pass false — the semi-join then plans as
     // an ordinary shuffled hash join, where only hashes cross the exchange.
     val evalSide = if (broadcastEval) broadcast(evalHashes) else evalHashes
-    TextAnalysis.docNgrams(train, n, idCol, textCol)
+    // conditional fan-out of the train side before the n-gram explode +
+    // per-gram md5 (round 7): the semi join broadcasts the eval hashes, so
+    // without it the whole probe chain runs on the raw scan's single
+    // probe-scale partition; no-op whenever the scan is already parallel
+    TextAnalysis.docNgrams(
+        graft.pipeline.Fanout.fanout(
+          train.select(col(idCol), col(textCol)), col(idCol)),
+        n, idCol, textCol)
       .withColumn("__gh", gramHash(col("gram")))
       .join(evalSide, Seq("__gh"), "left_semi")
       .groupBy(col(idCol))

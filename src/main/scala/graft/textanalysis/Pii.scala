@@ -111,7 +111,10 @@ object Pii {
             idCol: String = "doc_id",
             textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     val t = col(textCol)
-    docs.select(col(idCol),
+    // conditional fan-out (round 7): five stacked regex passes per row with
+    // no downstream aggregation — pure per-row CPU that otherwise runs on
+    // the raw scan's single probe-scale partition; no-op at scale
+    graft.pipeline.Fanout.fanout(docs, col(idCol)).select(col(idCol),
       emailCount(t).cast("long").as("n_emails"),
       ipv4Count(afterPhones(t)).cast("long").as("n_ipv4"),
       phoneCount(afterEmails(t)).cast("long").as("n_phones"),

@@ -72,7 +72,15 @@ object SubstringDup {
                      textCol: String = "text"): DataFrame = {
     require(k >= 1, s"k-gram size must be >= 1, got $k")
     org.apache.spark.sql.graft.WinnowExpr.register(docs.sparkSession)
-    docs.select(col(idCol),
+    // conditional fan-out before the rolling-hash explode (round 7): the kg
+    // subtree re-executes once per consumer (hot-set agg + both self-join
+    // sides), each time on the raw scan's partitioning — at probe scale one
+    // core runs the explode and every map-side partial above it three
+    // times; no-op whenever the scan is already parallel. The k-gram hash
+    // keys are near-unique, so the fan-out costs the downstream partial
+    // aggregations nothing (no map-side combine to dilute).
+    graft.pipeline.Fanout.fanout(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
         posexplode(call_function("kgram_hashes", col(textCol), lit(k))).as(Seq("p0", "h")))
       .select(col(idCol), (col("p0") + 1).as("pos"), col("h"))
   }

@@ -106,7 +106,12 @@ object Winnowing {
     call_function("winnow_fingerprints", text, lit(k), lit(w))
   }
 
-  /** Exploded fingerprint table `(idCol, pos, h)` via the native kernel. */
+  /** Exploded fingerprint table `(idCol, pos, h)` via the native kernel.
+    * NOTE: a Fanout.fanout before the kernel was MEASURED SLOWER at sf0.1
+    * (q_winnow 0.25 → 0.38 s, q_winnow_pairs 0.98 → 1.57 s warm): the
+    * benched surface fingerprints only a 200-char prefix per doc, so the
+    * serial kernel work is far below one exchange + stage — the
+    * SubstringDup kg fan-out trade inverts here. */
   def fingerprintTable(spark: SparkSession, docs: DataFrame,
                        k: Int = DefaultK, w: Int = DefaultW,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =

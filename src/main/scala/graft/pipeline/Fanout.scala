@@ -31,6 +31,21 @@ import org.apache.spark.sql.{Column, DataFrame}
  * operator here is partition-order-independent by construction (ordered
  * per-row folds, integer aggregations), and the oracle gate re-verifies
  * value-identity after the change.
+ *
+ * WHEN to fan (the round-7 measured rule): only where
+ * (serial scan-side work) × (plan executions) outweighs
+ * (one exchange + one stage) × (plan executions). Wins: the counted
+ * doc-profile kernel, PII regex chains, the 13-gram decontamination
+ * probe, the substring k-gram table, PQ encode, the SemDeDup assign
+ * (pairs surface). Losses, kept out with numbers in their source notes:
+ * light per-row work (tokenize, 200-char winnow, token segments, sq8 /
+ * cosine over a 2k-vector corpus), chains that re-execute per consumer
+ * (minhash signatures), paths whose driver gate executes the plan twice
+ * (semDedup's CC collect), and any site above which a SMALL-key-space
+ * aggregation combines map-side (LangProfile.train). Two usage hazards:
+ * gate only on scan-level frames (the partition probe re-plans the
+ * frame), and expect `repartition(col)` WITHOUT the explicit count to be
+ * coalesced straight back to one partition by AQE.
  */
 object Fanout {
 

@@ -149,16 +149,36 @@ object Pq {
 
   /** PQ codes of every vector: `(idCol, codes: array<tinyint>)` with
     * `codes(j)` = the nearest codebook entry of subspace j. One narrow
-    * scan — the stored form: m bytes per vector. */
+    * scan — the stored form: m bytes per vector. Round 7 second pass: the
+    * `pq_encode` kernel computes the whole code array per row (codebook as
+    * one flat literal), replacing the posexplode → interpreted argmin →
+    * groupBy(id) sorted-collect chain — the per-row HOF folds AND the
+    * corpus-wide regroup Exchange (witness: [[pqEncodeGrouped]],
+    * equivalence spec in PqSpec; a null vector keeps its row as m null
+    * codes via the coalesce, exactly the witness's
+    * posexplode-of-null-slices shape). */
   def pqEncode(emb: DataFrame, codebooks: DataFrame, m: Int, ksub: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val d = vecDim(emb, vecCol)
     require(d % m == 0, s"vector dim $d must divide into m=$m subspaces")
-    // conditional fan-out before the exploded argmin chain (round 7): the
-    // scan-side encode evaluates interpreted HOF folds per (row, subspace)
-    // on the scan's partitioning — serial at probe scale; no-op at scale
-    encodeExploded(graft.pipeline.Fanout.fanout(emb, col(idCol)),
-      codebooks, m, ksub, d / m, idCol, vecCol)
+    org.apache.spark.sql.graft.PqAdcExpr.register(emb.sparkSession)
+    val cb = collectCodebooks(codebooks, m, ksub)
+    val cbFlat = typedLit(cb.flatten.flatten.toSeq)
+    val mNulls = typedLit(Seq.fill[Option[Byte]](m)(None))
+    graft.pipeline.Fanout.fanout(emb, col(idCol))
+      .select(col(idCol), coalesce(
+        call_function("pq_encode",
+          col(vecCol).cast("array<double>"), cbFlat, lit(m), lit(ksub)),
+        mNulls).as("codes"))
+  }
+
+  /** The exploded + regrouped restatement of [[pqEncode]] (the pre-kernel
+    * shape) — kept as the equivalence witness. */
+  private[graft] def pqEncodeGrouped(emb: DataFrame, codebooks: DataFrame, m: Int, ksub: Int,
+                                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = vecDim(emb, vecCol)
+    require(d % m == 0, s"vector dim $d must divide into m=$m subspaces")
+    encodeExploded(emb, codebooks, m, ksub, d / m, idCol, vecCol)
       .groupBy(col(idCol))
       .agg(transform(sort_array(collect_list(struct(col("m"), col("code")))),
         s => s("code").cast("byte")).as("codes"))
@@ -203,9 +223,27 @@ object Pq {
     * `(query_id, neighbor_id, codes, __lut, __qn)`: both Σ_j fold in
     * subspace order (deterministic); asymmetric cosine
     * `Σ lut / (|q|·sqrt(Σ n2))` floor-rounded; [[TopKBySim]] ranking
-    * (sim desc, neighbor id asc). */
+    * (sim desc, neighbor id asc). Round 7 second pass: the whole score is
+    * one codegen'd `pq_adc_sim` call per candidate row instead of two
+    * interpreted transform+aggregate folds (witness [[adcScoreRankHof]],
+    * equivalence spec in PqSpec — same fold order, same lazy zero-denom
+    * rule, rounding unchanged outside the kernel). */
   private def adcScoreRank(joined: DataFrame, n2Flat: Column,
                            k: Int, ksub: Int, roundTo: Int): DataFrame = {
+    org.apache.spark.sql.graft.PqAdcExpr.register(joined.sparkSession)
+    val scored = joined
+      .select(col("query_id"), col("neighbor_id"),
+        Portable.roundAt(
+          call_function("pq_adc_sim",
+            col("codes"), col("__lut"), n2Flat, col("__qn"), lit(ksub)),
+          roundTo).as("sim"))
+    TopKBySim.rank(scored, k)
+  }
+
+  /** The interpreted-HOF restatement of [[adcScoreRank]] (the pre-kernel
+    * shape) — kept as the equivalence witness. */
+  private def adcScoreRankHof(joined: DataFrame, n2Flat: Column,
+                              k: Int, ksub: Int, roundTo: Int): DataFrame = {
     val scored = joined
       .withColumn("__dot",
         aggregate(transform(col("codes"),
@@ -221,6 +259,22 @@ object Pq {
             .otherwise(col("__dot") / (col("__qn") * sqrt(col("__cn2")))),
           roundTo).as("sim"))
     TopKBySim.rank(scored, k)
+  }
+
+  /** [[pqTopK]] over the witness encode + witness scorer — the full HOF
+    * path PqSpec compares the kernel path against. */
+  private[graft] def pqTopKHof(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+                               k: Int, m: Int, ksub: Int,
+                               idCol: String = "vec_id", vecCol: String = "embedding",
+                               roundTo: Int = 4): DataFrame = {
+    val d = vecDim(queries, vecCol)
+    require(d % m == 0, s"query dim $d must divide into m=$m subspaces")
+    val cb = collectCodebooks(codebooks, m, ksub)
+    val q = queryLuts(queries, cb, m, d / m, idCol, vecCol)
+    adcScoreRankHof(
+      codes.select(col(idCol).cast("long").as("neighbor_id"), col("codes"))
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id")),
+      n2Lut(cb), k, ksub, roundTo)
   }
 
   /** Query-independent flat LUT of partial squared centroid norms,

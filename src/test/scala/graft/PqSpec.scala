@@ -191,4 +191,39 @@ class PqSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
     assert(fresh.toSeq == loaded.toSeq)
   }
+
+  test("pq_encode kernel ≡ exploded+regrouped witness, incl. null/short/tie edges") {
+    val (m, ksub) = (4, 4)
+    // edge rows: null vector, empty, short (partial subspace coverage),
+    // one null element (nulls only its subspace), plus the tie lattice
+    val edge = emb.unionByName(Seq[(Long, Option[Array[Option[Float]]])](
+        (100L, None),
+        (101L, Some(Array.empty[Option[Float]])),
+        (102L, Some(Array.tabulate(3)(j => Option(j.toFloat)))),
+        (103L, Some(Array.tabulate(dim)(j => if (j == 5) None else Option(j / 7.0f)))))
+      .toDF("vec_id", "embedding"))
+    val cbDf = Pq.pqTrain(emb, m, ksub, iterations = 0)
+    val a = Pq.pqEncode(edge, cbDf, m, ksub)
+      .as[(Long, Seq[Option[Byte]])].collect().toMap
+    val b = Pq.pqEncodeGrouped(edge, cbDf, m, ksub)
+      .as[(Long, Seq[Option[Byte]])].collect().toMap
+    assert(a.keySet == b.keySet)
+    a.keySet.foreach(k => assert(a(k) == b(k), s"vec $k: ${a(k)} vs ${b(k)}"))
+  }
+
+  test("pq_adc_sim kernel pqTopK ≡ interpreted-HOF witness path, bit-level") {
+    val (m, ksub) = (4, 4)
+    // a zero query vector exercises the lazy zero-denominator rule on the
+    // query-norm side (qn = 0 => denom = 0 => sim = 0.0, never null)
+    val withZero = emb.unionByName(Seq(
+      (200L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding"))
+    val queries = withZero.filter($"vec_id" < 3 || $"vec_id" === 200L)
+    val cbDf = Pq.pqTrain(emb, m, ksub, iterations = 1)
+    val codes = Pq.pqEncode(withZero, cbDf, m, ksub)
+    val kernel = Pq.pqTopK(queries, codes, cbDf, 7, m, ksub)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val witness = Pq.pqTopKHof(queries, codes, cbDf, 7, m, ksub)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(kernel.toSeq == witness.toSeq)
+  }
 }

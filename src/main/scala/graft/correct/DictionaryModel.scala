@@ -22,13 +22,17 @@ final class DictionaryModel(
     val minFrequency: Long) extends Serializable {
 
   /** Length-bucketed candidates (code-point length), sorted by token so the
-    * in-bucket scan meets ties in deterministic ascending-token order. */
-  @transient private lazy val byLength: Map[Int, Array[(String, Long)]] =
+    * in-bucket scan meets ties in deterministic ascending-token order.
+    * Code points are precomputed per candidate (round 7): the scan calls
+    * the DP once per candidate and re-decoding the string each time was
+    * measurable at fallback-scan volumes. */
+  @transient private lazy val byLength: Map[Int, Array[(String, Long, Array[Int])]] =
     vocab.iterator
       .filter(_._2 >= minFrequency)
       .toArray
       .sortBy(_._1)
-      .groupBy { case (t, _) => t.codePointCount(0, t.length) }
+      .map { case (t, f) => (t, f, t.codePoints().toArray) }
+      .groupBy { case (t, _, _) => t.codePointCount(0, t.length) }
       .map { case (len, arr) => (len, arr) }
 
   @transient private lazy val maxLen: Int =
@@ -49,6 +53,7 @@ final class DictionaryModel(
     if (contains(token)) return token
     if (isEmpty) return token
     val tokenLen = token.codePointCount(0, token.length)
+    val tokenCp = token.codePoints().toArray
     var bestToken: String = null
     var bestScore = Int.MaxValue
     var bestFreq = -1L
@@ -61,8 +66,15 @@ final class DictionaryModel(
         if (len >= 0 && gap <= bestScore) byLength.get(len).foreach { bucket =>
           var i = 0
           while (i < bucket.length) {
-            val (cand, freq) = bucket(i)
-            val score = DamerauLevenshtein.distanceBanded(token, cand)
+            val (cand, freq, candCp) = bucket(i)
+            // capped DP (round 7): exact when <= bestScore, any value above
+            // it otherwise — a result > bestScore fails BOTH the strict win
+            // and the tie test exactly as the true distance would, so the
+            // selected (dist, freq, token) argmin is unchanged while each
+            // candidate's band shrinks from |Δlen|+10 to the current best
+            // and dead rows exit early
+            val score = DamerauLevenshtein.distanceBandedCappedCp(
+              tokenCp, candCp, if (bestScore == Int.MaxValue) Int.MaxValue - 1 else bestScore)
             // global argmin by (dist asc, freq desc, token asc) — the full
             // tuple, so the result is independent of bucket visit order and
             // provably equal to the relational min_by path

@@ -32,6 +32,13 @@ final class NoisyChannelModel(
   @transient private lazy val pruned: Map[String, Long] =
     vocab.filter(_._2 >= minFrequency)
   @transient lazy val trie: TokenTrie = TokenTrie.build(pruned)
+  /** Code-point-reversed vocabulary trie (round 7): suffix neighborhoods of
+    * a token are prefix neighborhoods of its reversal — OSA distance is
+    * reversal-invariant (an edit script read right-to-left is a valid
+    * script of the reversed pair at the same cost; adjacent swaps stay
+    * adjacent), property-fuzzed in NoisyChannelCorrectorSpec. */
+  @transient private lazy val trieRev: TokenTrie =
+    TokenTrie.build(pruned.map { case (w, f) => (NoisyChannelModel.reverseCp(w), f) })
   @transient private lazy val totalFreq: Double =
     math.max(pruned.valuesIterator.sum.toDouble, 1.0)
   @transient private lazy val fallback: DictionaryModel =
@@ -56,18 +63,41 @@ final class NoisyChannelModel(
   private val logDel = math.log(pOp)
   private val logSwap = math.log(pOp)
 
+  /** Per-thread DP-row workspace for the channel alignment (round 7):
+    * the scorer runs once per (token, candidate) pair — tens of DP calls
+    * per hard token across search, split and wide paths — and three row
+    * allocations per call made the kernel GC-bound at scan volumes. */
+  @transient private lazy val dpRows = new ThreadLocal[Array[Array[Double]]] {
+    override def initialValue(): Array[Array[Double]] = Array.empty
+  }
+
+  private def acquireRows(len: Int): Array[Array[Double]] = {
+    var rows = dpRows.get()
+    if (rows.length < 3 || rows(0).length < len) {
+      rows = Array.ofDim[Double](3, math.max(len, 64))
+      dpRows.set(rows)
+    }
+    rows
+  }
+
   /** Exact weighted alignment: log P(noisy | clean) maximized over edit
     * scripts (OSA alignment with per-op channel weights). */
-  def channelLogProb(noisy: String, clean: String): Double = {
-    val a = noisy.codePoints().toArray // observed
+  def channelLogProb(noisy: String, clean: String): Double =
+    channelLogProbCp(noisy.codePoints().toArray, clean)
+
+  /** [[channelLogProb]] with the observed side pre-decoded — the scoring
+    * loops decode the noisy token ONCE and score many candidates. */
+  private def channelLogProbCp(a: Array[Int], clean: String): Double = {
     val b = clean.codePoints().toArray // hypothesis
     val m = a.length
     val n = b.length
     val NegInf = Double.MinValue / 4
     // dp(i)(j): best log-prob of producing a[0,i) from b[0,j)
-    var row2 = Array.fill(m + 1)(NegInf)
-    var row1 = new Array[Double](m + 1)
-    var row0 = new Array[Double](m + 1)
+    val rows = acquireRows(m + 1)
+    var row2 = rows(0)
+    var row1 = rows(1)
+    var row0 = rows(2)
+    java.util.Arrays.fill(row2, 0, m + 1, NegInf)
     var i = 0
     while (i <= m) { row1(i) = i * logIns; i += 1 } // produce leading noise by inserts
     var j = 1
@@ -102,10 +132,11 @@ final class NoisyChannelModel(
     val cands = trie.searchWithin(token, width)
     if (cands.isEmpty) return null
     if (cands.length == 1) return (cands(0)._1, 0.0)
+    val tokenCp = token.codePoints().toArray
     var bestTok: String = null
     var bestScore = Double.MinValue
     cands.foreach { case (w, f, _) =>
-      val score = channelLogProb(token, w) + math.log(f / totalFreq)
+      val score = channelLogProbCp(tokenCp, w) + math.log(f / totalFreq)
       if (score > bestScore || (score == bestScore && (bestTok == null || w < bestTok))) {
         bestScore = score; bestTok = w
       }
@@ -122,7 +153,50 @@ final class NoisyChannelModel(
    * the north_star assigns to beam search, done exactly: the candidate space
    * is small enough to enumerate, so no beam pruning is needed.
    */
-  private def splitCandidate(token: String): (String, Double) = {
+  private[graft] def splitCandidate(token: String): (String, Double) = {
+    val cps = token.codePoints().toArray
+    if (cps.length < 5) return null
+    // Round 7: ONE forward trie walk yields the width-1 neighborhood of
+    // every left prefix, one walk of the reversed trie over the reversed
+    // token yields every right suffix's (prefix neighborhoods of the
+    // reversal) — replacing ~2·|token| separate width-1 searches, the
+    // measured bulk of the beyond-width-2 path. Candidate SETS per split
+    // point are identical to the per-prefix searches
+    // (TokenTrie.prefixNeighborhoods scaladoc + spec); the argmax below
+    // selects by the full (score, clean-string) order, so per-set
+    // iteration order cannot change the winner. Witness:
+    // [[splitCandidateScan]].
+    val lefts = trie.prefixNeighborhoods(token, 1)
+    var rights: Array[scala.collection.mutable.ArrayBuffer[(String, Long, Int)]] = null
+    var best: String = null
+    var bestScore = Double.MinValue
+    var i = 2
+    while (i <= cps.length - 2) {
+      val lc = lefts(i)
+      if (lc.nonEmpty) {
+        if (rights == null)
+          rights = trieRev.prefixNeighborhoods(
+            NoisyChannelModel.reverseCp(new String(cps, 0, cps.length)), 1)
+        val rc = rights(cps.length - i)
+        lc.foreach { case (lw, lf, _) =>
+          rc.foreach { case (rwRev, rf, _) =>
+            val clean = lw + " " + NoisyChannelModel.reverseCp(rwRev)
+            val score = channelLogProbCp(cps, clean) +
+              math.log(lf / totalFreq) + math.log(rf / totalFreq)
+            if (score > bestScore || (score == bestScore && (best == null || clean < best))) {
+              bestScore = score; best = clean
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    if (best == null) null else (best, bestScore)
+  }
+
+  /** Per-split-point search restatement of [[splitCandidate]] (the
+    * pre-round-7 shape) — kept as the equivalence witness. */
+  private[graft] def splitCandidateScan(token: String): (String, Double) = {
     val cps = token.codePoints().toArray
     if (cps.length < 5) return null
     var best: String = null
@@ -137,7 +211,7 @@ final class NoisyChannelModel(
         lc.foreach { case (lw, lf, _) =>
           rc.foreach { case (rw, rf, _) =>
             val clean = lw + " " + rw
-            val score = channelLogProb(token, clean) +
+            val score = channelLogProbCp(cps, clean) +
               math.log(lf / totalFreq) + math.log(rf / totalFreq)
             if (score > bestScore || (score == bestScore && (best == null || clean < best))) {
               bestScore = score; best = clean
@@ -184,6 +258,15 @@ final class NoisyChannelModel(
 }
 
 object NoisyChannelModel {
+  /** Code-point reversal (surrogate-pair safe). */
+  private[correct] def reverseCp(s: String): String = {
+    val cp = s.codePoints().toArray
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = cp.length - 1
+    while (i >= 0) { sb.appendCodePoint(cp(i)); i -= 1 }
+    sb.toString
+  }
+
   def fromVocabDf(spark: SparkSession, vocabDf: DataFrame, minFrequency: Long,
                   goodCharsCount: Int = graft.gen.DocGen.goodChars.length): Broadcast[NoisyChannelModel] = {
     val vocab = vocabDf.collect().map(r => (r.getString(0), r.getLong(1))).toMap

@@ -85,6 +85,76 @@ object DamerauLevenshtein {
   def distanceBanded(s1: String, s2: String): Int =
     distanceBandedCp(codePoints(s1), codePoints(s2))
 
+  /**
+   * Capped OSA distance — EXACT whenever the distance is <= cap, and any
+   * value > cap (specifically cap + 1) otherwise. The candidate-scan form
+   * (round 7): an argmin scan only needs "beats the current best or ties
+   * it", so the DP early-exits once the last TWO row minima exceed cap (a
+   * cell derives from the previous row at cost >= 0 via match or the row
+   * two up at cost >= 1 via swap, so once both are past the cap no later
+   * cell can come back under it). Full-width rows, not a band: at
+   * dictionary-token lengths the band bookkeeping costs more than the
+   * plain row (measured — the first capped cut used a cap-width band and
+   * was ~2x SLOWER than the uncapped scan on ~10-char tokens); rows come
+   * from a per-thread workspace, not per-call allocation. Selection
+   * equivalence: a result > cap fails both `score < best` and
+   * `score == best`, exactly as the true distance would.
+   */
+  private[graft] def distanceBandedCappedCp(a: Array[Int], b: Array[Int], cap: Int): Int = {
+    if (cap < 0) return cap + 1 // nothing is exact below a negative cap
+    val m = a.length
+    val n = b.length
+    if (math.abs(m - n) > cap) return cap + 1
+    if (m == 0) return if (n * CostIndel > cap) cap + 1 else n * CostIndel
+    if (n == 0) return if (m * CostIndel > cap) cap + 1 else m * CostIndel
+    val rows = cappedRows.get().acquire(n + 1)
+    var row2 = rows(0)
+    var row1 = rows(1)
+    var row0 = rows(2)
+    var j = 0
+    while (j <= n) { row1(j) = j * CostIndel; j += 1 }
+    var min1 = 0
+    var i = 1
+    while (i <= m) {
+      row0(0) = i * CostIndel
+      var min0 = row0(0)
+      var jj = 1
+      while (jj <= n) {
+        val left = row0(jj - 1) + CostIndel
+        val up   = row1(jj) + CostIndel
+        var diag = row1(jj - 1)
+        if (a(i - 1) != b(jj - 1)) diag += CostSub
+        var best = math.min(math.min(left, up), diag)
+        if (i >= 2 && jj >= 2 && a(i - 1) == b(jj - 2) && a(i - 2) == b(jj - 1)) {
+          val swap = row2(jj - 2) + CostSwap
+          if (swap < best) best = swap
+        }
+        row0(jj) = best
+        if (best < min0) min0 = best
+        jj += 1
+      }
+      if (min0 > cap && min1 > cap) return cap + 1
+      val t = row2; row2 = row1; row1 = row0; row0 = t
+      min1 = min0
+      i += 1
+    }
+    val res = row1(n)
+    if (res > cap) cap + 1 else res
+  }
+
+  /** Per-thread row workspace for [[distanceBandedCappedCp]] — the
+    * dictionary scan calls it once per candidate. */
+  private final class CappedRows {
+    private var rows: Array[Array[Int]] = Array.empty
+    def acquire(len: Int): Array[Array[Int]] = {
+      if (rows.length < 3 || rows(0).length < len) rows = Array.ofDim[Int](3, math.max(len, 64))
+      rows
+    }
+  }
+  private val cappedRows = new ThreadLocal[CappedRows] {
+    override def initialValue(): CappedRows = new CappedRows
+  }
+
   private[text] def distanceBandedCp(a0: Array[Int], b0: Array[Int]): Int = {
     // Longer string horizontal (a, length m); shorter vertical (b, length n).
     var a = a0; var b = b0

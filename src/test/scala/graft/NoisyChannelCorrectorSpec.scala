@@ -96,4 +96,72 @@ class NoisyChannelCorrectorSpec extends SparkSpec {
       s"noisy-channel ${ncCer.avgDistance} materially worse than dictionary ${dictCer.avgDistance}")
     dictBc.destroy(); ncBc.destroy()
   }
+
+  test("prefixNeighborhoods(L) ≡ per-prefix searchWithin as a set, every L") {
+    val r = new scala.util.Random(23)
+    val words = (0 until 500).map { _ =>
+      new String(Array.fill(1 + r.nextInt(9))(('a' + r.nextInt(6)).toChar))
+    }.distinct.map(w => (w, 1L + r.nextInt(50))).toMap
+    val trie = TokenTrie.build(words)
+    (0 until 80).foreach { _ =>
+      val q = new String(Array.fill(3 + r.nextInt(10))(('a' + r.nextInt(7)).toChar))
+      (0 to 2).foreach { d =>
+        val all = trie.prefixNeighborhoods(q, d)
+        (0 to q.length).foreach { l =>
+          val got = all(l).toSet
+          val want = trie.searchWithin(q.take(l), d).toSet
+          assert(got == want, s"q=$q d=$d L=$l missing=${want -- got} extra=${got -- want}")
+        }
+      }
+    }
+  }
+
+  test("OSA distance is code-point-reversal invariant (the reversed-trie premise)") {
+    val r = new scala.util.Random(31)
+    def rev(s: String): String = {
+      val cp = s.codePoints().toArray.reverse
+      val sb = new java.lang.StringBuilder; cp.foreach(sb.appendCodePoint); sb.toString
+    }
+    (0 until 3000).foreach { _ =>
+      val a = new String(Array.fill(r.nextInt(10))(('a' + r.nextInt(5)).toChar))
+      val b = new String(Array.fill(r.nextInt(10))(('a' + r.nextInt(5)).toChar))
+      assert(DamerauLevenshtein.distance(a, b) == DamerauLevenshtein.distance(rev(a), rev(b)),
+        s"a=$a b=$b")
+    }
+  }
+
+  test("single-walk splitCandidate ≡ per-split-point scan witness") {
+    val vocab = DocGen.lexicon.take(400).zipWithIndex.map { case (w, i) => w -> (i % 40 + 1).toLong }.toMap
+    val m = new NoisyChannelModel(vocab, 1L, DocGen.goodChars.length)
+    val r = new scala.util.Random(47)
+    val lex = DocGen.lexicon.take(400).toArray
+    // merged word pairs with 0-2 extra edits, plus random junk
+    val cases = (0 until 300).map { _ =>
+      if (r.nextBoolean()) {
+        val merged = lex(r.nextInt(lex.length)) + lex(r.nextInt(lex.length))
+        val cs = merged.toCharArray
+        if (cs.nonEmpty && r.nextBoolean()) cs(r.nextInt(cs.length)) = ('a' + r.nextInt(26)).toChar
+        new String(cs)
+      } else new String(Array.fill(5 + r.nextInt(10))(('a' + r.nextInt(26)).toChar))
+    }
+    cases.foreach { t =>
+      val a = m.splitCandidate(t)
+      val b = m.splitCandidateScan(t)
+      assert(a == b, s"token=$t kernel=$a witness=$b")
+    }
+  }
+
+  test("capped OSA distance: exact <= cap, strictly above otherwise") {
+    val r = new scala.util.Random(53)
+    (0 until 4000).foreach { _ =>
+      val a = Array.fill(r.nextInt(12))('a' + r.nextInt(5))
+      val b = Array.fill(r.nextInt(12))('a' + r.nextInt(5))
+      val full = DamerauLevenshtein.distance(new String(a.map(_.toChar)), new String(b.map(_.toChar)))
+      (0 to 6).foreach { cap =>
+        val capped = DamerauLevenshtein.distanceBandedCappedCp(a, b, cap)
+        if (full <= cap) assert(capped == full, s"cap=$cap full=$full capped=$capped")
+        else assert(capped > cap, s"cap=$cap full=$full capped=$capped")
+      }
+    }
+  }
 }
